@@ -1,0 +1,265 @@
+"""Control-plane metadata store.
+
+Plays the role of the reference controller's metadata store
+(``controller/.../store/stream/PersistentStreamBase.java`` and the
+ZK/Pravega-table-backed impls): scopes, stream configuration + seal
+state, the epoch chain (segment key ranges and the successor graph),
+per-segment head/tail offsets, named StreamCuts, transactions, writer
+marks, watermarks, and subscriber cuts.
+
+Storage is small JSON documents under ``<root>/_metadata/`` written with
+write-temp-then-``os.replace`` so each document update is atomic. The
+control plane is driver-side by design: at 100 TB the *data* is big, the
+metadata is a few KB per stream — exactly how the reference separates
+controller (metadata) from segment store (data). On a real deployment
+this directory lives on shared storage (S3/HDFS); only the driver of a
+maintenance/writer job mutates a given stream's documents (the reference
+serializes stream mutations through its controller the same way).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pravega_spark.config import StreamConfiguration
+from pravega_spark.errors import ScopeNotFoundException, StreamNotFoundException
+
+EPOCH_SHIFT = 32  # segment_id = epoch << 32 | segment_number (NameUtils.java:572-576)
+
+
+def make_segment_id(epoch: int, number: int) -> int:
+    return (epoch << EPOCH_SHIFT) | number
+
+
+def segment_epoch(segment_id: int) -> int:
+    return segment_id >> EPOCH_SHIFT
+
+def segment_number(segment_id: int) -> int:
+    return segment_id & ((1 << EPOCH_SHIFT) - 1)
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class MetadataStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_root = os.path.join(root, "_metadata")
+        os.makedirs(self.meta_root, exist_ok=True)
+
+    # ---------- low-level doc I/O ----------
+    def _doc_path(self, *parts: str) -> str:
+        return os.path.join(self.meta_root, *parts)
+
+    def _read(self, path: str, default):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return default
+
+    def _write(self, path: str, doc) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    # ---------- scopes (StreamManager.createScope etc.) ----------
+    def create_scope(self, scope: str) -> bool:
+        p = self._doc_path("scopes.json")
+        doc = self._read(p, {"scopes": []})
+        if scope in doc["scopes"]:
+            return False
+        doc["scopes"].append(scope)
+        self._write(p, doc)
+        return True
+
+    def list_scopes(self) -> list[str]:
+        return list(self._read(self._doc_path("scopes.json"), {"scopes": []})["scopes"])
+
+    def delete_scope(self, scope: str, recursive: bool = False) -> bool:
+        if scope not in self.list_scopes():
+            return False
+        streams = self.list_streams(scope)
+        if streams and not recursive:
+            raise ScopeNotFoundException(f"scope {scope} not empty")
+        p = self._doc_path("scopes.json")
+        doc = self._read(p, {"scopes": []})
+        doc["scopes"].remove(scope)
+        self._write(p, doc)
+        return True
+
+    def _require_scope(self, scope: str) -> None:
+        if scope not in self.list_scopes():
+            raise ScopeNotFoundException(scope)
+
+    # ---------- streams ----------
+    def _stream_doc(self, scope: str, stream: str) -> str:
+        return self._doc_path(scope, stream, "stream.json")
+
+    def create_stream(self, scope: str, stream: str, config: StreamConfiguration) -> bool:
+        self._require_scope(scope)
+        p = self._stream_doc(scope, stream)
+        if self._read(p, None) is not None:
+            return False
+        n = max(1, config.scaling.min_num_segments)
+        segments = [
+            {"segment_id": make_segment_id(0, i), "key_start": i / n, "key_end": (i + 1) / n}
+            for i in range(n)
+        ]
+        self._write(p, {
+            "scope": scope, "stream": stream, "sealed": False,
+            "creation_time": _now_ms(), "config": config.to_json(),
+        })
+        self._write(self._doc_path(scope, stream, "epochs.json"),
+                    [{"epoch": 0, "creation_time": _now_ms(), "segments": segments}])
+        self._write(self._doc_path(scope, stream, "segments.json"), {
+            str(s["segment_id"]): {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0}
+            for s in segments
+        })
+        return True
+
+    def stream_exists(self, scope: str, stream: str) -> bool:
+        return self._read(self._stream_doc(scope, stream), None) is not None
+
+    def get_stream(self, scope: str, stream: str) -> dict:
+        doc = self._read(self._stream_doc(scope, stream), None)
+        if doc is None:
+            raise StreamNotFoundException(f"{scope}/{stream}")
+        return doc
+
+    def get_config(self, scope: str, stream: str) -> StreamConfiguration:
+        return StreamConfiguration.from_json(self.get_stream(scope, stream)["config"])
+
+    def update_stream(self, scope: str, stream: str, config: StreamConfiguration) -> None:
+        doc = self.get_stream(scope, stream)
+        doc["config"] = config.to_json()
+        self._write(self._stream_doc(scope, stream), doc)
+
+    def seal_stream(self, scope: str, stream: str) -> None:
+        doc = self.get_stream(scope, stream)
+        doc["sealed"] = True
+        self._write(self._stream_doc(scope, stream), doc)
+        segs = self.get_segments(scope, stream)
+        for s in segs.values():
+            s["sealed"] = True
+        self._write(self._doc_path(scope, stream, "segments.json"), segs)
+
+    def delete_stream(self, scope: str, stream: str) -> None:
+        doc = self.get_stream(scope, stream)
+        if not doc["sealed"]:
+            raise StreamNotFoundException(f"{scope}/{stream} must be sealed before delete")
+        import shutil
+
+        shutil.rmtree(os.path.dirname(self._stream_doc(scope, stream)), ignore_errors=True)
+
+    def list_streams(self, scope: str, tag: str | None = None) -> list[str]:
+        d = self._doc_path(scope)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(os.listdir(d)):
+            doc = self._read(os.path.join(d, name, "stream.json"), None)
+            if doc is None:
+                continue
+            if tag is None or tag in doc["config"].get("tags", []):
+                out.append(name)
+        return out
+
+    def get_stream_tags(self, scope: str, stream: str) -> list[str]:
+        return list(self.get_stream(scope, stream)["config"].get("tags", []))
+
+    # ---------- epochs / segments ----------
+    def get_epochs(self, scope: str, stream: str) -> list[dict]:
+        self.get_stream(scope, stream)
+        return self._read(self._doc_path(scope, stream, "epochs.json"), [])
+
+    def active_epoch(self, scope: str, stream: str) -> dict:
+        return self.get_epochs(scope, stream)[-1]
+
+    def active_ranges(self, scope: str, stream: str) -> list[tuple[int, float, float]]:
+        ep = self.active_epoch(scope, stream)
+        return [(s["segment_id"], s["key_start"], s["key_end"]) for s in ep["segments"]]
+
+    def append_epoch(self, scope: str, stream: str, segments: list[dict]) -> dict:
+        epochs = self.get_epochs(scope, stream)
+        new = {"epoch": epochs[-1]["epoch"] + 1, "creation_time": _now_ms(), "segments": segments}
+        epochs.append(new)
+        self._write(self._doc_path(scope, stream, "epochs.json"), epochs)
+        return new
+
+    def get_segments(self, scope: str, stream: str) -> dict[str, dict]:
+        return self._read(self._doc_path(scope, stream, "segments.json"), {})
+
+    def put_segments(self, scope: str, stream: str, segs: dict[str, dict]) -> None:
+        self._write(self._doc_path(scope, stream, "segments.json"), segs)
+
+    def tail_offsets(self, scope: str, stream: str) -> dict[int, int]:
+        return {int(k): v["tail_offset"] for k, v in self.get_segments(scope, stream).items()}
+
+    def head_offsets(self, scope: str, stream: str) -> dict[int, int]:
+        return {int(k): v["head_offset"] for k, v in self.get_segments(scope, stream).items()}
+
+    # ---------- named streamcuts ----------
+    def save_streamcut(self, scope: str, stream: str, name: str, cut_json: str) -> None:
+        p = self._doc_path(scope, stream, "cuts.json")
+        doc = self._read(p, {})
+        doc[name] = {"created": _now_ms(), "cut": cut_json}
+        self._write(p, doc)
+
+    def load_streamcut(self, scope: str, stream: str, name: str) -> str | None:
+        doc = self._read(self._doc_path(scope, stream, "cuts.json"), {})
+        entry = doc.get(name)
+        return entry["cut"] if entry else None
+
+    def list_streamcuts(self, scope: str, stream: str) -> dict[str, dict]:
+        return self._read(self._doc_path(scope, stream, "cuts.json"), {})
+
+    # ---------- transactions ----------
+    def txn_doc(self, scope: str, stream: str) -> dict:
+        return self._read(self._doc_path(scope, stream, "txns.json"), {})
+
+    def put_txn_doc(self, scope: str, stream: str, doc: dict) -> None:
+        self._write(self._doc_path(scope, stream, "txns.json"), doc)
+
+    # ---------- writer marks / watermarks (T1-T2) ----------
+    def note_writer_mark(self, scope: str, stream: str, writer_id: str,
+                         timestamp_ms: int, position: dict[int, int]) -> None:
+        p = self._doc_path(scope, stream, "marks.json")
+        doc = self._read(p, {})
+        doc[writer_id] = {"timestamp": timestamp_ms, "position": {str(k): v for k, v in position.items()}}
+        self._write(p, doc)
+
+    def remove_writer(self, scope: str, stream: str, writer_id: str) -> None:
+        p = self._doc_path(scope, stream, "marks.json")
+        doc = self._read(p, {})
+        doc.pop(writer_id, None)
+        self._write(p, doc)
+
+    def writer_marks(self, scope: str, stream: str) -> dict[str, dict]:
+        return self._read(self._doc_path(scope, stream, "marks.json"), {})
+
+    def append_watermark(self, scope: str, stream: str, wm: dict) -> None:
+        p = self._doc_path(scope, stream, "watermarks.json")
+        doc = self._read(p, [])
+        wm = dict(wm, seq=len(doc))
+        doc.append(wm)
+        self._write(p, doc)
+
+    def watermarks(self, scope: str, stream: str) -> list[dict]:
+        return self._read(self._doc_path(scope, stream, "watermarks.json"), [])
+
+    # ---------- subscribers (consumption-based retention, N3) ----------
+    def update_subscriber_cut(self, scope: str, stream: str, subscriber: str, cut_json: str) -> None:
+        p = self._doc_path(scope, stream, "subscribers.json")
+        doc = self._read(p, {})
+        doc[subscriber] = {"cut": cut_json, "updated": _now_ms()}
+        self._write(p, doc)
+
+    def list_subscribers(self, scope: str, stream: str) -> dict[str, dict]:
+        return self._read(self._doc_path(scope, stream, "subscribers.json"), {})

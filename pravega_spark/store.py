@@ -1,0 +1,584 @@
+"""StreamStore — the engine's data plane.
+
+Capabilities re-expressed from the reference (file:line cites are into
+/root/reference):
+
+  - ``create/seal/truncate/delete stream`` — StreamManager.java:71-115
+  - ``writeEvent(s)`` with routing-key → segment hashing, per-segment
+    contiguous offsets, exactly-once writer retries —
+    EventStreamWriterImpl.java:66-127, SegmentSelector.java:55-87,
+    AppendProcessor.java:302 (writer-id dedup)
+  - bounded reads between StreamCuts (batch client) —
+    BatchClientFactory.java:80-123, SegmentIteratorImpl.java:44-77
+  - head/tail/StreamCut algebra — StreamManager.java:223-261
+  - time→position lookup — Controller.getSegmentsAtTime
+    (Controller.java:388), IndexRequestProcessor.java:59
+  - transactions (begin/commit/abort/ping) — Transaction.java:29-109,
+    CommitRequestHandler.java:247-367
+  - scale (seal segments, create successors, new epoch) —
+    ScaleOperationTask / EpochRecord.java
+
+Spark-first architecture:
+  * Data lives as Parquet under ``streams/<scope>/<stream>/segment_id=N/``
+    so StreamCut-bounded reads become partition-pruned scans with
+    offset range predicates pushed to parquet row groups.
+  * Visibility is governed by the metadata tail offsets: a Spark append
+    may create files, but readers always filter ``offset < tail``, so a
+    batch becomes visible only when its metadata commit lands — this is
+    the atomic-commit manifest (SURVEY §7 hard parts 1-2) without
+    needing Delta.
+  * Per-key order: a routing key hashes to exactly one live segment per
+    epoch; offsets within a segment are assigned by a window over the
+    arrival sequence, so ``ORDER BY offset`` per segment reproduces
+    write order per key (ReadWriteTest invariant).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pravega_spark.config import StreamConfiguration
+from pravega_spark.errors import (
+    InvalidStreamCutException,
+    StreamNotFoundException,
+    StreamSealedException,
+    TruncatedDataException,
+    TxnFailedException,
+)
+from pravega_spark.hashing import hash_to_range, segment_for_ranges
+from pravega_spark.metadata import MetadataStore, make_segment_id, segment_epoch
+from pravega_spark.streamcut import StreamCut
+
+ROUTING_KEY = "routing_key"
+SEGMENT_ID = "segment_id"
+OFFSET = "offset"
+EVENT_TIME = "event_time"
+INGEST_TIME = "ingest_time"
+
+ENVELOPE_COLS = (ROUTING_KEY, SEGMENT_ID, OFFSET, EVENT_TIME, INGEST_TIME)
+
+DEFAULT_TXN_LEASE_MS = 599_999  # EventWriterConfig.java:132
+
+
+@dataclass
+class StreamInfo:
+    """Reference: StreamManager.fetchStreamInfo (StreamInfo.java)."""
+
+    scope: str
+    stream: str
+    sealed: bool
+    head_stream_cut: StreamCut
+    tail_stream_cut: StreamCut
+    event_count: int
+
+
+class Transaction:
+    """Staged writes merged atomically on commit (Transaction.java:29-109)."""
+
+    OPEN, COMMITTED, ABORTED = "OPEN", "COMMITTED", "ABORTED"
+
+    def __init__(self, store: "StreamStore", scope: str, stream: str, txn_id: str):
+        self.store, self.scope, self.stream, self.txn_id = store, scope, stream, txn_id
+
+    @property
+    def staging_path(self) -> str:
+        return os.path.join(self.store.root, "_txn_staging", self.scope, self.stream, self.txn_id)
+
+    def _doc(self) -> dict:
+        doc = self.store.meta.txn_doc(self.scope, self.stream)
+        if self.txn_id not in doc:
+            raise TxnFailedException(f"unknown txn {self.txn_id}")
+        return doc
+
+    def status(self) -> str:
+        return self._doc()[self.txn_id]["status"]
+
+    def write_events(self, df: DataFrame, routing_key_col: str = ROUTING_KEY) -> None:
+        """Buffer events into the txn's staging dir (shadow segments).
+
+        Reference writes txn events to ``#transaction.<id>`` shadow
+        segments (NameUtils.java:163); our shadow is a staging Parquet
+        dir. Segment assignment and offsets happen at COMMIT time so the
+        merge lands in the then-active epoch, like the reference's
+        commit-time segment merge (CommitRequestHandler.java:361).
+        """
+        doc = self._doc()
+        if doc[self.txn_id]["status"] != self.OPEN:
+            raise TxnFailedException(f"txn {self.txn_id} is {doc[self.txn_id]['status']}")
+        staged = self.store._with_arrival_seq(df, routing_key_col)
+        # one sub-dir per write_events call keeps arrival order across calls
+        part = f"part={doc[self.txn_id]['parts']}"
+        staged.write.mode("append").parquet(os.path.join(self.staging_path, part))
+        doc[self.txn_id]["parts"] += 1
+        self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+
+    def ping(self, lease_ms: int = DEFAULT_TXN_LEASE_MS) -> None:
+        doc = self._doc()
+        if doc[self.txn_id]["status"] != self.OPEN:
+            raise TxnFailedException(f"txn {self.txn_id} is {doc[self.txn_id]['status']}")
+        doc[self.txn_id]["lease_expiry"] = int(time.time() * 1000) + lease_ms
+        self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+
+    def commit(self, timestamp_ms: int | None = None) -> None:
+        doc = self._doc()
+        st = doc[self.txn_id]["status"]
+        if st == self.COMMITTED:
+            return  # idempotent, like reference commit of committed txn
+        if st != self.OPEN:
+            raise TxnFailedException(f"txn {self.txn_id} is {st}")
+        spark = self.store.spark
+        if doc[self.txn_id]["parts"] > 0:
+            staged = spark.read.option("basePath", self.staging_path).parquet(
+                os.path.join(self.staging_path, "part=*")
+            )
+            # stable order: by write_events call, then arrival within call
+            staged = staged.withColumn("_seq", F.col("part") * F.lit(1 << 40) + F.col("_seq")).drop("part")
+            self.store._commit_rows(self.scope, self.stream, staged)
+        doc[self.txn_id]["status"] = self.COMMITTED
+        doc[self.txn_id]["commit_time"] = int(time.time() * 1000)
+        self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+        if timestamp_ms is not None:
+            # Transaction.commit(timestamp) also notes writer time (Transaction.java:97)
+            self.store.note_time(self.scope, self.stream, f"txn-{self.txn_id}", timestamp_ms)
+        shutil.rmtree(self.staging_path, ignore_errors=True)
+
+    def abort(self) -> None:
+        doc = self._doc()
+        st = doc[self.txn_id]["status"]
+        if st == self.ABORTED:
+            return
+        if st != self.OPEN:
+            raise TxnFailedException(f"txn {self.txn_id} is {st}")
+        doc[self.txn_id]["status"] = self.ABORTED
+        self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+        shutil.rmtree(self.staging_path, ignore_errors=True)
+
+
+class StreamStore:
+    """Facade over metadata + parquet data plane."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.meta = MetadataStore(root)
+
+    # ================= DDL (D1-D7) =================
+    def create_scope(self, scope: str) -> bool:
+        return self.meta.create_scope(scope)
+
+    def list_scopes(self) -> list[str]:
+        return self.meta.list_scopes()
+
+    def delete_scope(self, scope: str, recursive: bool = False) -> bool:
+        if recursive:
+            for s in self.meta.list_streams(scope):
+                self.seal_stream(scope, s)
+                self.delete_stream(scope, s)
+        return self.meta.delete_scope(scope, recursive)
+
+    def create_stream(self, scope: str, stream: str, config: StreamConfiguration | None = None) -> bool:
+        return self.meta.create_stream(scope, stream, config or StreamConfiguration())
+
+    def update_stream(self, scope: str, stream: str, config: StreamConfiguration) -> None:
+        self.meta.update_stream(scope, stream, config)
+
+    def seal_stream(self, scope: str, stream: str) -> None:
+        self.meta.seal_stream(scope, stream)
+
+    def delete_stream(self, scope: str, stream: str) -> None:
+        self.meta.delete_stream(scope, stream)
+        shutil.rmtree(self._stream_path(scope, stream), ignore_errors=True)
+
+    def list_streams(self, scope: str, tag: str | None = None) -> list[str]:
+        return self.meta.list_streams(scope, tag)
+
+    def stream_exists(self, scope: str, stream: str) -> bool:
+        return self.meta.stream_exists(scope, stream)
+
+    def get_stream_tags(self, scope: str, stream: str) -> list[str]:
+        return self.meta.get_stream_tags(scope, stream)
+
+    # ================= write path (W1-W4, G1) =================
+    def _stream_path(self, scope: str, stream: str) -> str:
+        return os.path.join(self.root, "streams", scope, stream)
+
+    @staticmethod
+    def _with_arrival_seq(df: DataFrame, routing_key_col: str) -> DataFrame:
+        """Normalize input: ensure routing_key + a monotone arrival seq.
+
+        ``monotonically_increasing_id`` is (partition << 33 | row) — it
+        preserves intra-partition arrival order, which is the order
+        contract the reference gives per routing key (per-key order is
+        per *writer* arrival order; cross-partition interleaving is
+        unordered there too, since different writers race).
+        """
+        out = df
+        if routing_key_col != ROUTING_KEY:
+            out = out.withColumn(ROUTING_KEY, F.col(routing_key_col).cast("string"))
+        else:
+            out = out.withColumn(ROUTING_KEY, F.col(ROUTING_KEY).cast("string"))
+        return out.withColumn("_seq", F.monotonically_increasing_id())
+
+    def write_events(
+        self,
+        scope: str,
+        stream: str,
+        df: DataFrame,
+        routing_key_col: str = ROUTING_KEY,
+        event_time_col: str | None = None,
+        writer_id: str | None = None,
+        batch_seq: int | None = None,
+        note_time: bool = False,
+    ) -> dict[int, int]:
+        """Append a batch of events; returns new tail offsets.
+
+        Exactly-once on retry: pass (writer_id, batch_seq) — a batch_seq
+        ≤ the writer's last committed one is skipped, mirroring the
+        reference's writer-id/event-number dedup at the segment store
+        (AppendProcessor.java:302-358).
+        """
+        info = self.meta.get_stream(scope, stream)
+        if info["sealed"]:
+            raise StreamSealedException(f"{scope}/{stream} is sealed")
+        if writer_id is not None and batch_seq is not None:
+            if batch_seq <= self._writer_seq(scope, stream).get(writer_id, -1):
+                return self.meta.tail_offsets(scope, stream)  # duplicate retry
+        staged = self._with_arrival_seq(df, routing_key_col)
+        if event_time_col and event_time_col != EVENT_TIME:
+            staged = staged.withColumn(EVENT_TIME, F.col(event_time_col).cast("timestamp"))
+        tails = self._commit_rows(scope, stream, staged)
+        if writer_id is not None and batch_seq is not None:
+            seqs = self._writer_seq(scope, stream)
+            seqs[writer_id] = batch_seq
+            self.meta._write(self.meta._doc_path(scope, stream, "writer_seqs.json"), seqs)
+        if note_time and writer_id is not None and EVENT_TIME in staged.columns:
+            row = staged.agg(F.max(EVENT_TIME).alias("m")).collect()[0]
+            if row["m"] is not None:
+                self.note_time(scope, stream, writer_id, int(row["m"].timestamp() * 1000))
+        return tails
+
+    def _writer_seq(self, scope: str, stream: str) -> dict:
+        return self.meta._read(self.meta._doc_path(scope, stream, "writer_seqs.json"), {})
+
+    def _commit_rows(self, scope: str, stream: str, staged: DataFrame) -> dict[int, int]:
+        """Assign segments + contiguous offsets and commit atomically.
+
+        Single commit point per batch (SURVEY §7 hard part 1): offsets =
+        base tail + row_number within segment ordered by arrival seq.
+        Visibility flips only when the metadata write lands, after the
+        Parquet append succeeded.
+        """
+        ranges = self.meta.active_ranges(scope, stream)
+        tails = self.meta.tail_offsets(scope, stream)
+        base = F.create_map(*[x for sid in [r[0] for r in ranges] for x in (F.lit(sid), F.lit(tails.get(sid, 0)))])
+        w = Window.partitionBy(SEGMENT_ID).orderBy("_seq")
+        out = (
+            staged.withColumn(SEGMENT_ID, segment_for_ranges(hash_to_range(F.col(ROUTING_KEY)), ranges))
+            .withColumn(OFFSET, F.row_number().over(w) - 1 + base[F.col(SEGMENT_ID)])
+            .withColumn(INGEST_TIME, F.current_timestamp())
+            .drop("_seq")
+        )
+        if EVENT_TIME not in out.columns:
+            out = out.withColumn(EVENT_TIME, F.lit(None).cast("timestamp"))
+        out = out.persist()
+        try:
+            counts = {r[SEGMENT_ID]: r["n"] for r in out.groupBy(SEGMENT_ID).agg(F.count("*").alias("n")).collect()}
+            out.write.mode("append").partitionBy(SEGMENT_ID).parquet(self._stream_path(scope, stream))
+        finally:
+            out.unpersist()
+        segs = self.meta.get_segments(scope, stream)
+        for sid, n in counts.items():
+            s = segs.setdefault(str(sid), {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0})
+            s["tail_offset"] += n
+            s["event_count"] += n
+        self.meta.put_segments(scope, stream, segs)
+        return {int(k): v["tail_offset"] for k, v in segs.items()}
+
+    # ================= transactions (X1-X2) =================
+    def begin_txn(self, scope: str, stream: str, lease_ms: int = DEFAULT_TXN_LEASE_MS) -> Transaction:
+        info = self.meta.get_stream(scope, stream)
+        if info["sealed"]:
+            raise StreamSealedException(f"{scope}/{stream} is sealed")
+        txn_id = uuid.uuid4().hex
+        doc = self.meta.txn_doc(scope, stream)
+        doc[txn_id] = {
+            "status": Transaction.OPEN,
+            "created": int(time.time() * 1000),
+            "lease_expiry": int(time.time() * 1000) + lease_ms,
+            "parts": 0,
+        }
+        self.meta.put_txn_doc(scope, stream, doc)
+        return Transaction(self, scope, stream, txn_id)
+
+    def get_txn(self, scope: str, stream: str, txn_id: str) -> Transaction:
+        txn = Transaction(self, scope, stream, txn_id)
+        txn._doc()  # raises if unknown
+        return txn
+
+    def list_completed_txns(self, scope: str, stream: str) -> dict[str, str]:
+        return {
+            k: v["status"]
+            for k, v in self.meta.txn_doc(scope, stream).items()
+            if v["status"] != Transaction.OPEN
+        }
+
+    def sweep_txns(self, scope: str, stream: str, now_ms: int | None = None) -> list[str]:
+        """Abort expired open txns (TxnSweeper.java analogue)."""
+        now_ms = now_ms or int(time.time() * 1000)
+        doc = self.meta.txn_doc(scope, stream)
+        swept = []
+        for txn_id, t in doc.items():
+            if t["status"] == Transaction.OPEN and t["lease_expiry"] < now_ms:
+                Transaction(self, scope, stream, txn_id).abort()
+                swept.append(txn_id)
+        return swept
+
+    # ================= read path (R4-R8) =================
+    def _raw_read(self, scope: str, stream: str) -> DataFrame:
+        path = self._stream_path(scope, stream)
+        if not os.path.isdir(path):
+            # empty stream: synthesize empty frame with the envelope schema
+            return self.spark.createDataFrame(
+                [], f"{ROUTING_KEY} string, {EVENT_TIME} timestamp, {INGEST_TIME} timestamp, {SEGMENT_ID} bigint, {OFFSET} bigint"
+            )
+        return self.spark.read.parquet(path)
+
+    def read(
+        self,
+        scope: str,
+        stream: str,
+        from_cut: StreamCut | None = None,
+        to_cut: StreamCut | None = None,
+    ) -> DataFrame:
+        """Bounded batch read between two StreamCuts (BatchClient, R5).
+
+        The bounds become per-segment offset range predicates; with the
+        ``segment_id=N`` dir layout Catalyst prunes whole partitions and
+        parquet row-group stats prune by ``offset``. Head-clamp below
+        raises TruncatedDataException like the reference reader when the
+        requested start precedes the stream head.
+        """
+        if not self.meta.stream_exists(scope, stream):
+            raise StreamNotFoundException(f"{scope}/{stream}")
+        heads = self.meta.head_offsets(scope, stream)
+        tails = self.meta.tail_offsets(scope, stream)
+        starts = dict(heads)
+        if from_cut is not None and not from_cut.unbounded:
+            for sid, off in from_cut.positions.items():
+                if off < heads.get(sid, 0):
+                    raise TruncatedDataException(
+                        f"segment {sid}: requested offset {off} < head {heads.get(sid, 0)}"
+                    )
+                starts[sid] = off
+        ends = dict(tails)
+        if to_cut is not None and not to_cut.unbounded:
+            for sid, off in to_cut.positions.items():
+                if off > tails.get(sid, 0):
+                    raise InvalidStreamCutException(f"segment {sid}: end {off} beyond tail")
+                ends[sid] = off
+        df = self._raw_read(scope, stream)
+        cond = None
+        for sid, end in ends.items():
+            start = starts.get(sid, 0)
+            if end <= start:
+                continue
+            c = (F.col(SEGMENT_ID) == sid) & (F.col(OFFSET) >= start) & (F.col(OFFSET) < end)
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return df.limit(0)
+        return df.filter(cond)
+
+    def fetch_event(self, scope: str, stream: str, segment_id: int, offset: int) -> DataFrame:
+        """Point re-read by EventPointer (EventStreamReader.fetchEvent, R4)."""
+        return self._raw_read(scope, stream).filter(
+            (F.col(SEGMENT_ID) == segment_id) & (F.col(OFFSET) == offset)
+        )
+
+    # ---- StreamCut algebra (R5/R7/R8) ----
+    def head_stream_cut(self, scope: str, stream: str) -> StreamCut:
+        return StreamCut.of(self.meta.head_offsets(scope, stream))
+
+    def tail_stream_cut(self, scope: str, stream: str) -> StreamCut:
+        return StreamCut.of(self.meta.tail_offsets(scope, stream))
+
+    def get_stream_info(self, scope: str, stream: str) -> StreamInfo:
+        info = self.meta.get_stream(scope, stream)
+        head, tail = self.head_stream_cut(scope, stream), self.tail_stream_cut(scope, stream)
+        return StreamInfo(scope, stream, info["sealed"], head, tail, head.distance_to(tail))
+
+    def distance_between(self, scope: str, stream: str, a: StreamCut, b: StreamCut) -> int:
+        return a.distance_to(b)
+
+    def get_next_stream_cut(self, scope: str, stream: str, cut: StreamCut, distance: int) -> StreamCut:
+        """Advance ~``distance`` events per segment, clamped to tail
+        (BatchClientFactory.getNextStreamCut, BatchClientFactory.java:123)."""
+        tails = self.meta.tail_offsets(scope, stream)
+        out = {}
+        for sid, tail in tails.items():
+            cur = cut.offset_for(sid, 0) if not cut.unbounded else 0
+            out[sid] = min(tail, cur + distance)
+        return StreamCut.of(out)
+
+    def stream_cut_at_time(self, scope: str, stream: str, ts) -> StreamCut:
+        """First offset per segment with event_time >= ts (R7).
+
+        Replaces the reference's per-segment index-segment search
+        (IndexRequestProcessor.findNearestIndexedOffset) with a
+        stats-pruned parquet scan: min() over a pushed-down filter.
+        """
+        tails = self.meta.tail_offsets(scope, stream)
+        df = self._raw_read(scope, stream)
+        rows = (
+            df.filter(F.col(EVENT_TIME) >= F.lit(ts))
+            .groupBy(SEGMENT_ID)
+            .agg(F.min(OFFSET).alias("o"))
+            .collect()
+        )
+        found = {r[SEGMENT_ID]: r["o"] for r in rows}
+        return StreamCut.of({sid: found.get(sid, tail) for sid, tail in tails.items()})
+
+    def save_stream_cut(self, scope: str, stream: str, name: str, cut: StreamCut) -> None:
+        self.meta.save_streamcut(scope, stream, name, cut.to_json())
+
+    def load_stream_cut(self, scope: str, stream: str, name: str) -> StreamCut | None:
+        s = self.meta.load_streamcut(scope, stream, name)
+        return StreamCut.from_json(s) if s else None
+
+    # ================= truncation (D5/N2) =================
+    def truncate_stream(self, scope: str, stream: str, cut: StreamCut) -> None:
+        """Advance head offsets; physical file removal is compaction's job.
+
+        Reference: TruncateStreamTask + SegmentApi.truncateStreamSegment.
+        Readers positioned before the new head get TruncatedDataException.
+        """
+        segs = self.meta.get_segments(scope, stream)
+        for sid, off in cut.positions.items():
+            s = segs.get(str(sid))
+            if s is None:
+                continue
+            if off > s["tail_offset"]:
+                raise InvalidStreamCutException(f"truncate beyond tail of segment {sid}")
+            s["head_offset"] = max(s["head_offset"], off)
+        self.meta.put_segments(scope, stream, segs)
+
+    def compact_stream(self, scope: str, stream: str) -> None:
+        """Physically drop truncated rows and rewrite small files.
+
+        The lakehouse twin of SLTS defrag + garbage collection
+        (ChunkedSegmentStorage / GarbageCollector.java:89): rewrite each
+        live segment partition keeping rows >= head, coalesced to
+        rollover-sized files.
+        """
+        heads = self.meta.head_offsets(scope, stream)
+        tails = self.meta.tail_offsets(scope, stream)
+        path = self._stream_path(scope, stream)
+        if not os.path.isdir(path):
+            return
+        df = self.spark.read.parquet(path)
+        cond = None
+        for sid, head in heads.items():
+            c = (F.col(SEGMENT_ID) == sid) & (F.col(OFFSET) >= head) & (F.col(OFFSET) < tails.get(sid, 0))
+            cond = c if cond is None else (cond | c)
+        live = df.filter(cond) if cond is not None else df.limit(0)
+        tmp = f"{path}.compact.{uuid.uuid4().hex[:8]}"
+        live.repartition(SEGMENT_ID).write.mode("overwrite").partitionBy(SEGMENT_ID).parquet(tmp)
+        old = f"{path}.old.{uuid.uuid4().hex[:8]}"
+        os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # ================= scaling (S4-S5) =================
+    def scale_stream(
+        self,
+        scope: str,
+        stream: str,
+        seal_segments: list[int],
+        new_ranges: list[tuple[float, float]],
+    ) -> dict:
+        """Seal segments, create successors over their key space, commit a
+        new epoch (Controller.startScale / ScaleOperationTask).
+
+        Data files don't move — only the routing function for future
+        writes changes; bounded reads crossing the boundary union epochs
+        via offset ranges, which the read path already does.
+        """
+        epochs = self.meta.get_epochs(scope, stream)
+        active = epochs[-1]
+        active_ids = {s["segment_id"] for s in active["segments"]}
+        if not set(seal_segments) <= active_ids:
+            raise InvalidStreamCutException("can only seal active segments")
+        sealed_ranges = [
+            (s["key_start"], s["key_end"]) for s in active["segments"] if s["segment_id"] in seal_segments
+        ]
+        lo, hi = min(r[0] for r in sealed_ranges), max(r[1] for r in sealed_ranges)
+        if abs(sum(r[1] - r[0] for r in sealed_ranges) - (hi - lo)) > 1e-9:
+            raise InvalidStreamCutException("sealed segments must cover a contiguous key range")
+        if abs(sum(b - a for a, b in new_ranges) - (hi - lo)) > 1e-9 or any(
+            not (lo - 1e-9 <= a < b <= hi + 1e-9) for a, b in new_ranges
+        ):
+            raise InvalidStreamCutException("new ranges must repartition the sealed key space")
+        new_epoch_num = active["epoch"] + 1
+        max_num = max(s["segment_id"] & 0xFFFFFFFF for e in epochs for s in e["segments"])
+        new_segments = [
+            {"segment_id": make_segment_id(new_epoch_num, max_num + 1 + i), "key_start": a, "key_end": b}
+            for i, (a, b) in enumerate(sorted(new_ranges))
+        ]
+        carried = [s for s in active["segments"] if s["segment_id"] not in seal_segments]
+        epoch = self.meta.append_epoch(scope, stream, sorted(carried + new_segments, key=lambda s: s["key_start"]))
+        segs = self.meta.get_segments(scope, stream)
+        for sid in seal_segments:
+            segs[str(sid)]["sealed"] = True
+        for s in new_segments:
+            segs.setdefault(str(s["segment_id"]), {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0})
+        self.meta.put_segments(scope, stream, segs)
+        return epoch
+
+    def current_segments(self, scope: str, stream: str) -> list[dict]:
+        """Controller.getCurrentSegments (Controller.java:305)."""
+        return list(self.meta.active_epoch(scope, stream)["segments"])
+
+    def get_epoch_segments(self, scope: str, stream: str, epoch: int) -> list[dict]:
+        for e in self.meta.get_epochs(scope, stream):
+            if e["epoch"] == epoch:
+                return list(e["segments"])
+        raise StreamNotFoundException(f"epoch {epoch}")
+
+    def get_successors(self, scope: str, stream: str, segment_id: int) -> list[int]:
+        """Successor graph query (Controller.getSuccessors, Controller.java:412):
+        segments in the next epoch overlapping the sealed segment's range."""
+        epochs = self.meta.get_epochs(scope, stream)
+        ep = segment_epoch(segment_id)
+        rng = None
+        for e in epochs:
+            for s in e["segments"]:
+                if s["segment_id"] == segment_id:
+                    rng = (s["key_start"], s["key_end"])
+        if rng is None:
+            return []
+        for e in epochs:
+            if e["epoch"] <= ep:
+                continue
+            ids = {s["segment_id"] for s in e["segments"]}
+            if segment_id not in ids:
+                return [
+                    s["segment_id"]
+                    for s in e["segments"]
+                    if s["key_start"] < rng[1] and s["key_end"] > rng[0] and segment_epoch(s["segment_id"]) == e["epoch"]
+                ]
+        return []
+
+    # ================= event time (T1-T3) =================
+    def note_time(self, scope: str, stream: str, writer_id: str, timestamp_ms: int) -> None:
+        """Writer time mark (EventStreamWriter.noteTime → Controller.noteTimestampFromWriter)."""
+        self.meta.note_writer_mark(scope, stream, writer_id, timestamp_ms, self.meta.tail_offsets(scope, stream))
+
+    def remove_writer(self, scope: str, stream: str, writer_id: str) -> None:
+        self.meta.remove_writer(scope, stream, writer_id)
