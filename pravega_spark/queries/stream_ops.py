@@ -1,0 +1,402 @@
+"""Stream-store operator queries for the correctness gate.
+
+Each query exercises an engine primitive from SURVEY §2 (routing-key
+hashing W3, offset assignment G1, StreamCut-bounded reads R5, EventPointer
+fetch R4, time→position R7, head/tail info R8, KVT ops K1-K4, revisioned
+fold V2-V3, watermark computation T2, auto-scale rate detection S2-S3,
+retention cut N2) against the driver's ``events``/``customer`` tables,
+with the identical computation expressed in DuckDB SQL as the oracle.
+
+The fixed fixture: the ``events`` table is treated as a stream with
+``routing_key = user_id`` hashed into 8 fixed segments (epoch 0), and
+``offset`` = arrival index per segment ordered by ``event_id`` (the
+driver's generator emits event_id in arrival order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pravega_spark.hashing import hash_to_range, hash_to_range_duckdb, segment_for_ranges
+from pravega_spark.sources import load_table
+
+N_SEGMENTS = 8
+RANGES = [(i, i / N_SEGMENTS, (i + 1) / N_SEGMENTS) for i in range(N_SEGMENTS)]
+
+DEC = "decimal(18,4)"
+
+# DuckDB twin of hash_to_range(user_id) → segment (equal fixed ranges ⇒ floor)
+_DUCK_SEG = f"CAST(floor({hash_to_range_duckdb('user_id')} * {N_SEGMENTS}) AS BIGINT)"
+
+
+def _enveloped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → engine envelope: segment_id via the real routing operator,
+    offset via the real per-segment assignment window."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = segment_for_ranges(hash_to_range(F.col("user_id")), RANGES)
+    w = Window.partitionBy("segment_id").orderBy("event_id")
+    return ev.withColumn("segment_id", seg).withColumn("offset", F.row_number().over(w) - 1)
+
+
+_DUCK_ENVELOPE = f"""
+  SELECT *, {_DUCK_SEG} AS segment_id,
+         row_number() OVER (PARTITION BY {_DUCK_SEG} ORDER BY event_id) - 1 AS "offset"
+  FROM events
+"""
+
+
+# ---------------------------------------------------------------- W3: routing
+def stream_segment_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing-key → segment hashing (SegmentSelector.getSegmentForEvent):
+    event + distinct-key counts per segment."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = segment_for_ranges(hash_to_range(F.col("user_id")), RANGES)
+    return (
+        ev.withColumn("segment_id", seg)
+        .groupBy("segment_id")
+        .agg(F.count("*").alias("event_count"), F.countDistinct("user_id").alias("n_keys"))
+        .orderBy("segment_id")
+    )
+
+
+SEGMENT_ASSIGNMENT_SQL = f"""
+SELECT {_DUCK_SEG} AS segment_id, count(*) AS event_count,
+       count(DISTINCT user_id) AS n_keys
+FROM events GROUP BY 1 ORDER BY segment_id
+"""
+
+
+# ---------------------------------------------------------------- R8: head/tail info
+def stream_tail_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail StreamCut + event counts (StreamManager.fetchStreamInfo /
+    getDistanceBetweenTwoStreamCuts over segment metadata)."""
+    return (
+        _enveloped(spark, sf_dir)
+        .groupBy("segment_id")
+        .agg((F.max("offset") + 1).alias("tail_offset"), F.count("*").alias("event_count"))
+        .orderBy("segment_id")
+    )
+
+
+TAIL_OFFSETS_SQL = f"""
+SELECT segment_id, max("offset") + 1 AS tail_offset, count(*) AS event_count
+FROM ({_DUCK_ENVELOPE}) GROUP BY segment_id ORDER BY segment_id
+"""
+
+
+# ---------------------------------------------------------------- R5: bounded read
+def streamcut_bounded_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read between two StreamCuts: from {seg: 10} to {seg: 200}
+    per segment (BatchClientFactory.getSegmentRangeBetweenStreamCuts)."""
+    env = _enveloped(spark, sf_dir)
+    return (
+        env.filter((F.col("offset") >= 10) & (F.col("offset") < 200))
+        .groupBy("segment_id", "event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"))
+        .orderBy("segment_id", "event_type")
+    )
+
+
+BOUNDED_READ_SQL = f"""
+SELECT segment_id, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+FROM ({_DUCK_ENVELOPE})
+WHERE "offset" >= 10 AND "offset" < 200
+GROUP BY segment_id, event_type ORDER BY segment_id, event_type
+"""
+
+
+# ---------------------------------------------------------------- R4: fetch by pointer
+def stream_fetch_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventPointer random re-read: one event per segment at offset 42."""
+    return (
+        _enveloped(spark, sf_dir)
+        .filter(F.col("offset") == 42)
+        .select("segment_id", "offset", "event_id", "user_id", "event_type")
+        .orderBy("segment_id")
+    )
+
+
+FETCH_EVENT_SQL = f"""
+SELECT segment_id, "offset", event_id, user_id, event_type
+FROM ({_DUCK_ENVELOPE}) WHERE "offset" = 42 ORDER BY segment_id
+"""
+
+
+# ---------------------------------------------------------------- R7: time→position
+def stream_time_to_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamCut at a timestamp: first offset per segment with
+    event_time >= t (Controller.getSegmentsAtTime + index search)."""
+    env = _enveloped(spark, sf_dir)
+    t = "2024-01-03 00:00:00"
+    return (
+        env.filter(F.col("ts") >= F.lit(t).cast("timestamp"))
+        .groupBy("segment_id")
+        .agg(F.min("offset").alias("position"))
+        .orderBy("segment_id")
+    )
+
+
+TIME_TO_POSITION_SQL = f"""
+SELECT segment_id, min("offset") AS position
+FROM ({_DUCK_ENVELOPE})
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY segment_id ORDER BY segment_id
+"""
+
+
+# ---------------------------------------------------------------- per-key order invariant
+def stream_per_key_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReadWriteTest invariant as a query: reading each segment in offset
+    order must yield strictly increasing event_id per routing key —
+    emits per-key violation counts (all zero) + event counts."""
+    env = _enveloped(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("offset")
+    return (
+        env.withColumn("prev_event", F.lag("event_id").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("prev_event") > F.col("event_id"), 1).otherwise(0)).cast("bigint").alias("order_violations"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PER_KEY_ORDER_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN prev_event > event_id THEN 1 ELSE 0 END) AS BIGINT) AS order_violations
+FROM (
+  SELECT user_id, event_id, lag(event_id) OVER (PARTITION BY user_id ORDER BY "offset") AS prev_event
+  FROM ({_DUCK_ENVELOPE})
+)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------- T2: watermark computation
+def stream_watermark_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PeriodicWatermarking.computeWatermark analogue: writers = routing
+    keys; mark = max event time seen per writer; stream watermark =
+    [min, max] over writer marks + position upper bound per segment count."""
+    ev = load_table(spark, sf_dir, "events")
+    marks = ev.groupBy("user_id").agg(F.max("ts").alias("mark"))
+    return marks.agg(
+        F.min("mark").alias("lower_time_bound"),
+        F.max("mark").alias("upper_time_bound"),
+        F.count("*").alias("n_writers"),
+    )
+
+
+WATERMARK_SQL = """
+SELECT min(mark) AS lower_time_bound, max(mark) AS upper_time_bound,
+       count(*) AS n_writers
+FROM (SELECT user_id, max(ts) AS mark FROM events GROUP BY user_id)
+"""
+
+
+# ---------------------------------------------------------------- S2/S3: scale trigger
+def stream_scale_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoScaleProcessor trigger detection over per-segment rates:
+    10-minute event rates per segment; flag segments whose peak
+    10-min rate exceeds 2× the mean segment rate (split candidates)."""
+    env = _enveloped(spark, sf_dir)
+    rates = (
+        env.groupBy("segment_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = rates.groupBy("segment_id").agg(F.max("n").alias("peak"), F.avg("n").alias("mean"))
+    overall = rates.agg(F.avg("n").alias("overall_mean")).collect()[0]["overall_mean"]
+    return (
+        stats.withColumn("scale_up", (F.col("peak") > 2 * F.lit(overall)).cast("boolean"))
+        .select("segment_id", "peak", F.round("mean", 4).alias("mean_rate"), "scale_up")
+        .orderBy("segment_id")
+    )
+
+
+SCALE_HOTSPOTS_SQL = f"""
+WITH rates AS (
+  SELECT segment_id, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM ({_DUCK_ENVELOPE}) GROUP BY segment_id, date_trunc('hour', ts)
+), overall AS (SELECT avg(n) AS m FROM rates)
+SELECT segment_id, max(n) AS peak, round(avg(n), 4) AS mean_rate,
+       max(n) > 2 * (SELECT m FROM overall) AS scale_up
+FROM rates GROUP BY segment_id ORDER BY segment_id
+"""
+
+
+# ---------------------------------------------------------------- N2: retention cut
+def stream_retention_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based retention truncation point (StreamMetadataTasks.
+    getTruncationStreamCutByTimeLimit): keep the trailing 24h —
+    first retained offset per segment."""
+    env = _enveloped(spark, sf_dir)
+    horizon = env.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    return (
+        env.filter(F.col("ts") >= F.lit(horizon) - F.expr("INTERVAL 24 HOURS"))
+        .groupBy("segment_id")
+        .agg(F.min("offset").alias("truncate_at"))
+        .orderBy("segment_id")
+    )
+
+
+RETENTION_CUT_SQL = f"""
+SELECT segment_id, min("offset") AS truncate_at
+FROM ({_DUCK_ENVELOPE})
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+GROUP BY segment_id ORDER BY segment_id
+"""
+
+
+# ================================================================ KVT (K1-K4)
+# Fixture: KVT built from customer with a deterministic second version for
+# custkey % 7 == 0 (acctbal + 100). Latest-version reads = MERGE result.
+def _kvt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("pk"),
+        F.col("c_name").alias("val_name"),
+        F.col("c_acctbal").cast(DEC).alias("val_acctbal"),
+        F.lit(1).cast("bigint").alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    v2 = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("pk"),
+            F.col("c_name").alias("val_name"),
+            (F.col("c_acctbal").cast(DEC) + 100).cast(DEC).alias("val_acctbal"),
+            F.lit(2).cast("bigint").alias("version"),
+            F.lit(False).alias("deleted"),
+        )
+    )
+    v3 = (
+        cust.filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            F.col("c_custkey").alias("pk"),
+            F.col("c_name").alias("val_name"),
+            F.lit(None).cast(DEC).alias("val_acctbal"),
+            F.lit(3).cast("bigint").alias("version"),
+            F.lit(True).alias("deleted"),
+        )
+    )
+    return v1.unionByName(v2).unionByName(v3)
+
+
+_DUCK_KVT = """
+  SELECT c_custkey AS pk, c_name AS val_name,
+         CAST(c_acctbal AS DECIMAL(18,4)) AS val_acctbal,
+         CAST(1 AS BIGINT) AS version, false AS deleted
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,4)) + 100 AS DECIMAL(18,4)),
+         CAST(2 AS BIGINT), false
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, NULL, CAST(3 AS BIGINT), true
+  FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+def kvt_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 getAll: latest non-deleted value per key (version CAS winner)."""
+    kvt = _kvt(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy(F.desc("version"))
+    return (
+        kvt.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (~F.col("deleted")))
+        .select("pk", "val_name", "val_acctbal", "version")
+        .orderBy("pk")
+    )
+
+
+KVT_LATEST_SQL = f"""
+SELECT pk, val_name, val_acctbal, version
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY version DESC) AS rk
+  FROM ({_DUCK_KVT})
+)
+WHERE rk = 1 AND NOT deleted
+ORDER BY pk
+"""
+
+
+def kvt_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 forRange iterator: keys in [100, 300), latest versions, sorted."""
+    latest = kvt_latest_version(spark, sf_dir)
+    return latest.filter((F.col("pk") >= 100) & (F.col("pk") < 300)).orderBy("pk")
+
+
+KVT_RANGE_SQL = f"""
+SELECT * FROM ({KVT_LATEST_SQL.replace('ORDER BY pk', '')}) WHERE pk >= 100 AND pk < 300 ORDER BY pk
+"""
+
+
+def kvt_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 forPrefix iterator: string keyspace, prefix '12'."""
+    latest = kvt_latest_version(spark, sf_dir)
+    return (
+        latest.withColumn("key_str", F.col("pk").cast("string"))
+        .filter(F.col("key_str").startswith("12"))
+        .select("key_str", "val_name", "val_acctbal")
+        .orderBy("key_str")
+    )
+
+
+KVT_PREFIX_SQL = f"""
+SELECT CAST(pk AS VARCHAR) AS key_str, val_name, val_acctbal
+FROM ({KVT_LATEST_SQL.replace('ORDER BY pk', '')})
+WHERE CAST(pk AS VARCHAR) LIKE '12%'
+ORDER BY key_str
+"""
+
+
+def kvt_delta_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 entryDeltaIterator: change feed of updates past version 1
+    (includes tombstones, like TableStore.entryDeltaIterator)."""
+    kvt = _kvt(spark, sf_dir)
+    return (
+        kvt.filter(F.col("version") > 1)
+        .select("pk", "version", "deleted", "val_acctbal")
+        .orderBy("pk", "version")
+    )
+
+
+KVT_DELTA_SQL = f"""
+SELECT pk, version, deleted, val_acctbal
+FROM ({_DUCK_KVT}) WHERE version > 1 ORDER BY pk, version
+"""
+
+
+QUERIES = {
+    "stream_segment_assignment": stream_segment_assignment,
+    "stream_tail_offsets": stream_tail_offsets,
+    "streamcut_bounded_read": streamcut_bounded_read,
+    "stream_fetch_event": stream_fetch_event,
+    "stream_time_to_position": stream_time_to_position,
+    "stream_per_key_order": stream_per_key_order,
+    "stream_watermark_bounds": stream_watermark_bounds,
+    "stream_scale_hotspots": stream_scale_hotspots,
+    "stream_retention_cut": stream_retention_cut,
+    "kvt_latest_version": kvt_latest_version,
+    "kvt_range_scan": kvt_range_scan,
+    "kvt_prefix_scan": kvt_prefix_scan,
+    "kvt_delta_iterator": kvt_delta_iterator,
+}
+
+ORACLES = {
+    "stream_segment_assignment": SEGMENT_ASSIGNMENT_SQL,
+    "stream_tail_offsets": TAIL_OFFSETS_SQL,
+    "streamcut_bounded_read": BOUNDED_READ_SQL,
+    "stream_fetch_event": FETCH_EVENT_SQL,
+    "stream_time_to_position": TIME_TO_POSITION_SQL,
+    "stream_per_key_order": PER_KEY_ORDER_SQL,
+    "stream_watermark_bounds": WATERMARK_SQL,
+    "stream_scale_hotspots": SCALE_HOTSPOTS_SQL,
+    "stream_retention_cut": RETENTION_CUT_SQL,
+    "kvt_latest_version": KVT_LATEST_SQL,
+    "kvt_range_scan": KVT_RANGE_SQL,
+    "kvt_prefix_scan": KVT_PREFIX_SQL,
+    "kvt_delta_iterator": KVT_DELTA_SQL,
+}

@@ -1,0 +1,409 @@
+"""Text-analysis + deduplication operators over the ``documents`` table.
+
+LLM-data-pipeline layer (BASELINE.json north star): token counting,
+quality scoring, language-ID heuristic, document fingerprinting, exact
+dedup, MinHash near-dup with LSH banding + exact-Jaccard verification.
+
+All implementations are JVM-side built-ins (split/transform/filter/md5 —
+no Python UDFs), so they whole-stage-codegen and scale linearly; the
+shuffle pattern is groupBy(doc) for signatures then a band-bucket join
+for candidates, which is the standard LSH scale-out shape (band join
+cardinality stays near-linear while brute-force pairs are quadratic).
+
+The test tables have no natural duplicates, so the dedup fixtures adjoin
+deterministic mutated copies (doc_id + 1_000_000) inside the query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pravega_spark.sources import load_table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _tokens(col):
+    return F.split(F.trim(col), " +")
+
+
+# ---------------------------------------------------------------- token stats
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language: docs, tokens, distinct sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", F.size(_tokens(F.col("text"))))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS total_tokens,
+       max(len(string_split_regex(trim(text), ' +'))) AS max_tokens,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------- quality score
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token count, stopword ratio, mean word
+    length, and a composite keep/drop bucket (pipeline-filter shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_len = F.round((F.length(F.col("text")) - n_tok + 1) / n_tok, 4)
+    stop_ratio = F.round(n_stop / n_tok, 4)
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            stop_ratio.alias("stopword_ratio"),
+            mean_len.alias("mean_word_len"),
+            ((n_tok >= 20) & (stop_ratio <= 0.5)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), ' +')) AS n_tokens,
+       round(len(list_filter(string_split_regex(trim(text), ' +'), t -> t IN ({_STOP_SQL})))
+             / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE), 4) AS stopword_ratio,
+       round((length(text) - len(string_split_regex(trim(text), ' +')) + 1)
+             / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE), 4) AS mean_word_len,
+       (len(string_split_regex(trim(text), ' +')) >= 20
+        AND len(list_filter(string_split_regex(trim(text), ' +'), t -> t IN ({_STOP_SQL})))
+            / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) <= 0.5) AS keep
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- language id
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+
+def _marker_hits(toks, markers):
+    # single-arg lambda: a second (defaulted) param would make F.filter
+    # pass the element index instead
+    def pred(t):
+        return t.isin(*markers)
+
+    return F.size(F.filter(toks, pred))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: hit counts per language's
+    marker set, argmax with 'en' fallback; accuracy vs the lang column.
+
+    (A real n-gram model is a drop-in: the operator shape — tokenize,
+    per-language score, argmax — is what the gate checks.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_marker_hits(toks, markers).alias(f"hits_{lg}") for lg, markers in _LANG_MARKERS.items()],
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in _LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("en"))
+    for lg in _LANG_MARKERS:  # first language (dict order) wins ties
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    scored = scored.withColumn("predicted", pred)
+    return (
+        scored.groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _langid_case_sql() -> str:
+    hits = {
+        lg: f"len(list_filter(string_split_regex(trim(text), ' +'), t -> t IN ({', '.join(chr(39) + m + chr(39) for m in markers)})))"
+        for lg, markers in _LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(hits.values())})"
+    whens = " ".join(f"WHEN {hits[lg]} = best THEN '{lg}'" for lg in _LANG_MARKERS)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {best} AS best, {', '.join(f'{e} AS hits_{lg}' for lg, e in hits.items())}
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN best = 0 THEN 'en' {" ".join(f"WHEN hits_{lg} = best THEN '{lg}'" for lg in _LANG_MARKERS)} END AS predicted,
+       count(*) AS n_docs
+FROM scored GROUP BY 1, 2 ORDER BY lang, predicted
+"""
+
+
+LANGID_SQL = _langid_case_sql()
+
+
+# ---------------------------------------------------------------- fingerprint
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (lower + whitespace-collapse → md5).
+
+    The content-defined identity used by exact dedup; first 16 hex chars
+    kept as the rolling-hash-sized fingerprint.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return (
+        docs.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, substr(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')), 1, 16) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- exact dedup
+# Fixture: adjoin verbatim copies of every 10th doc under doc_id+1_000_000.
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id (hash-groupBy —
+    the linear-scale exact strategy), report survivors that had dups."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    pool = docs.unionByName(dup)
+    return (
+        pool.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("kept_doc_id", "n_copies")
+        .orderBy("kept_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+WITH pool AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+FROM pool GROUP BY md5(text) HAVING count(*) > 1
+ORDER BY kept_doc_id
+"""
+
+
+# ---------------------------------------------------------------- minhash near-dup
+_N_HASHES = 4
+_JACCARD_THRESHOLD = 0.6
+
+_POOL_SPARK = None  # built inline below
+
+_DUCK_POOL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzduplicate marker' FROM documents WHERE doc_id % 10 = 0
+"""
+
+_DUCK_SHINGLES = f"""
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(trim(text), ' +')) - 1, 1)),
+             i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+2], ' ')))) AS shingle
+    FROM ({_DUCK_POOL})
+  )
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzduplicate marker")).alias("text"),
+    )
+    pool = docs.unionByName(dup)
+    words = _tokens(F.col("text"))
+    sh = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return pool.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: k=4 independent permutations via seeded md5 —
+    per doc, the minimum hash per seed (shingle → minhash stage)."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"seed{k}:"), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(_N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+MINHASH_SIG_SQL = f"""
+SELECT doc_id,
+       {", ".join(f"min(md5('seed{k}:' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+FROM ({_DUCK_SHINGLES})
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (band = single hash, any-band match) verified
+    with exact Jaccard over distinct shingle sets; pairs ≥ threshold.
+
+    Scale shape: band self-join is near-linear (buckets are small);
+    exact Jaccard runs only on candidates — never all-pairs.
+    """
+    sigs = dedup_minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"mh{k}") for k in range(_N_HASHES)])).alias("band"),
+    ).distinct()
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+MINHASH_PAIRS_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('seed{k}:' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id, unnest([{", ".join(f"mh{k}" for k in range(_N_HASHES))}]) AS band FROM sigs
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------- simhash
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: per-token 16-bit hash, bitwise
+    weighted majority, packed to an int. Relational formulation
+    (explode tokens × bit positions) — identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    h16 = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    bits = toks.select(
+        "doc_id",
+        h16.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1).alias("w"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (('0x' || substr(md5(tok), 1, 4))::INT >> b) & 1 = 1 THEN 1 ELSE -1 END AS w
+  FROM toks, (SELECT unnest(range(0, 16)) AS b)
+),
+sums AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality_score": QUALITY_SQL,
+    "text_langid": LANGID_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_signatures": MINHASH_SIG_SQL,
+    "dedup_minhash_pairs": MINHASH_PAIRS_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+}
