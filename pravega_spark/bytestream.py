@@ -1,0 +1,114 @@
+"""Byte streams: raw single-segment byte I/O (SURVEY §2.1 W8 / §2.2 R6).
+
+Reference: ``ByteStreamWriter`` (append/flush/closeAndSeal/
+truncateDataBefore, client/.../byteStream/ByteStreamWriter.java:58-130)
+and ``ByteStreamReader`` (seek/read/skip/available/fetchTailOffset,
+ByteStreamReader.java:40-149).
+
+Spark-native: bytes land as chunk files with a JSON manifest mapping
+``offset_start → chunk``; offsets are byte-exact. Chunks make the
+stream readable as a DataFrame via ``spark.read.format("binaryFile")``
+and give truncation a file-drop fast path (whole chunks below the new
+head are deleted; the head chunk keeps a logical head offset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pravega_spark.errors import StreamSealedException, TruncatedDataException
+
+
+class ByteStream:
+    def __init__(self, root: str, scope: str, name: str):
+        self.dir = os.path.join(root, "bytestreams", scope, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self.manifest_path = os.path.join(self.dir, "manifest.json")
+
+    def _manifest(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"chunks": [], "head": 0, "tail": 0, "sealed": False}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _save(self, m: dict) -> None:
+        tmp = f"{self.manifest_path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self.manifest_path)
+
+
+class ByteStreamWriter(ByteStream):
+    def write(self, data: bytes) -> int:
+        """Append; returns the offset of the first byte written."""
+        m = self._manifest()
+        if m["sealed"]:
+            raise StreamSealedException("byte stream sealed")
+        start = m["tail"]
+        chunk = f"chunk-{start:020d}-{uuid.uuid4().hex[:8]}.bin"
+        with open(os.path.join(self.dir, chunk), "wb") as f:
+            f.write(data)
+        m["chunks"].append({"start": start, "len": len(data), "file": chunk})
+        m["tail"] = start + len(data)
+        self._save(m)
+        return start
+
+    def flush(self) -> None:  # durability is per-write (atomic manifest)
+        pass
+
+    def close_and_seal(self) -> None:
+        m = self._manifest()
+        m["sealed"] = True
+        self._save(m)
+
+    def truncate_data_before(self, offset: int) -> None:
+        """Drop whole chunks below ``offset``; head becomes ``offset``."""
+        m = self._manifest()
+        keep = []
+        for c in m["chunks"]:
+            if c["start"] + c["len"] <= offset:
+                try:
+                    os.remove(os.path.join(self.dir, c["file"]))
+                except FileNotFoundError:
+                    pass
+            else:
+                keep.append(c)
+        m["chunks"] = keep
+        m["head"] = max(m["head"], offset)
+        self._save(m)
+
+
+class ByteStreamReader(ByteStream):
+    def fetch_tail_offset(self) -> int:
+        return self._manifest()["tail"]
+
+    def fetch_head_offset(self) -> int:
+        return self._manifest()["head"]
+
+    def available(self, offset: int) -> int:
+        return self.fetch_tail_offset() - offset
+
+    def read(self, offset: int, length: int) -> bytes:
+        """Read ``length`` bytes from ``offset`` (seek+read)."""
+        m = self._manifest()
+        if offset < m["head"]:
+            raise TruncatedDataException(f"offset {offset} < head {m['head']}")
+        end = min(offset + length, m["tail"])
+        out = bytearray()
+        for c in m["chunks"]:
+            lo, hi = c["start"], c["start"] + c["len"]
+            if hi <= offset or lo >= end:
+                continue
+            with open(os.path.join(self.dir, c["file"]), "rb") as f:
+                f.seek(max(0, offset - lo))
+                out += f.read(min(hi, end) - max(lo, offset))
+        return bytes(out)
+
+    def as_dataframe(self, spark: SparkSession) -> DataFrame:
+        """Chunks as a DataFrame (spark binaryFile source) for bulk
+        processing of the raw byte tier."""
+        return spark.read.format("binaryFile").load(os.path.join(self.dir, "chunk-*.bin"))

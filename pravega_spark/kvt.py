@@ -1,0 +1,253 @@
+"""Key-Value Tables: partitioned, versioned KV store with CAS updates.
+
+Reference surface (client/.../tables/KeyValueTable.java:119-216,
+KeyValueTableImpl.java:57; server table segments
+segmentstore/contracts/tables/TableStore.java:65-318):
+  - update(Insert/Put/Remove[, expected Version]) → new Version (K1)
+  - get/getAll/exists (K2)
+  - iterators: all / forPrefix / forRange / forPrimaryKey (K3)
+  - entryDeltaIterator from a position (K4)
+  - compaction dropping superseded versions (TableCompactor.java:71)
+
+Spark-native design: an append-only version log as Parquet partitioned
+by ``bucket = hash(pk) % partition_count`` (the reference's
+partitionCount), with a driver-held CAS gate. Reads resolve the latest
+version per key with a window (max-version row); ``compact()`` rewrites
+the log keeping only live heads — the lakehouse MERGE/OPTIMIZE pattern
+replacing the reference's hash-table segment + compactor. The version
+log doubles as the change feed (delta iterator) for free.
+
+At scale: point lookups prune to one bucket partition + parquet
+row-group stats on pk; range scans prune by min/max pk stats; the
+latest-version window shuffles only the touched buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pravega_spark.config import KeyValueTableConfiguration
+from pravega_spark.errors import BadKeyVersionException, NoSuchKeyException
+
+# Version sentinels mirroring tables.Version.NO_VERSION / NOT_EXISTS
+ANY_VERSION = -1
+MUST_NOT_EXIST = -2
+
+
+class KeyValueTable:
+    """One KVT instance rooted at ``<root>/kvt/<scope>/<name>``."""
+
+    def __init__(self, spark: SparkSession, root: str, scope: str, name: str,
+                 config: KeyValueTableConfiguration | None = None):
+        self.spark = spark
+        self.scope, self.name = scope, name
+        self.path = os.path.join(root, "kvt", scope, name)
+        self.meta_path = os.path.join(self.path, "_kvt_meta.json")
+        self.data_path = os.path.join(self.path, "log")
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                doc = json.load(f)
+            self.config = KeyValueTableConfiguration(**doc["config"])
+            self._next_version = doc["next_version"]
+        else:
+            self.config = config or KeyValueTableConfiguration()
+            self._next_version = 1
+            self._save_meta()
+
+    def _save_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{self.meta_path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"config": self.config.__dict__, "next_version": self._next_version, "updated": time.time()},
+                f,
+            )
+        os.replace(tmp, self.meta_path)
+
+    # ---------------- write path (K1) ----------------
+    def _log(self) -> DataFrame | None:
+        if not os.path.isdir(self.data_path):
+            return None
+        return self.spark.read.option("basePath", self.data_path).parquet(self.data_path)
+
+    def _latest(self) -> DataFrame | None:
+        log = self._log()
+        if log is None:
+            return None
+        w = Window.partitionBy("pk", "sk").orderBy(F.desc("version"))
+        return log.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+
+    def update(self, entries: list[tuple], kinds: list[str], expected_versions: list[int] | None = None) -> int:
+        """Atomic batch of Insert/Put/Remove modifications (one commit).
+
+        ``entries`` = [(pk, sk, value)] (value ignored for Remove);
+        ``kinds`` ∈ {insert, put, remove}; ``expected_versions`` aligns
+        with entries (ANY_VERSION = unconditional, MUST_NOT_EXIST =
+        insert-only). Raises BadKeyVersionException / NoSuchKeyException
+        and commits nothing on conditional failure — matching the
+        reference's all-or-nothing batch (KeyValueTable.java:173).
+        Returns the version assigned to this batch.
+        """
+        expected = expected_versions or [ANY_VERSION] * len(entries)
+        latest = self._latest()
+        current: dict[tuple, int] = {}
+        if latest is not None:
+            keys = {(e[0], e[1]) for e in entries}
+            pks = [k[0] for k in keys]
+            rows = latest.filter(F.col("pk").isin(pks)).select("pk", "sk", "version", "deleted").collect()
+            for r in rows:
+                if (r["pk"], r["sk"]) in keys and not r["deleted"]:
+                    current[(r["pk"], r["sk"])] = r["version"]
+        for (pk, sk, _), kind, exp in zip(entries, kinds, expected):
+            cur = current.get((pk, sk))
+            if kind == "insert" or exp == MUST_NOT_EXIST:
+                if cur is not None:
+                    raise BadKeyVersionException(f"key {pk!r}/{sk!r} exists at version {cur}")
+            elif exp != ANY_VERSION:
+                if cur is None:
+                    raise NoSuchKeyException(f"key {pk!r}/{sk!r} does not exist")
+                if cur != exp:
+                    raise BadKeyVersionException(f"key {pk!r}/{sk!r}: expected {exp}, found {cur}")
+            if kind == "remove" and cur is None and exp == ANY_VERSION:
+                # removing an absent key unconditionally is a no-op in the
+                # reference; keep the tombstone out of the log
+                continue
+        version = self._next_version
+        n_buckets = self.config.partition_count
+        rows = [
+            {
+                "pk": pk,
+                "sk": sk if sk is not None else "",
+                "value": value if kind != "remove" else None,
+                "version": version,
+                "deleted": kind == "remove",
+            }
+            for (pk, sk, value), kind in zip(entries, kinds)
+        ]
+        df = self.spark.createDataFrame(
+            rows, "pk string, sk string, value string, version long, deleted boolean"
+        ).withColumn("bucket", F.pmod(F.xxhash64("pk"), F.lit(n_buckets)))
+        df.write.mode("append").partitionBy("bucket").parquet(self.data_path)
+        self._next_version = version + 1
+        self._save_meta()
+        return version
+
+    def insert(self, pk: str, value: str, sk: str = "") -> int:
+        return self.update([(pk, sk, value)], ["insert"])
+
+    def put(self, pk: str, value: str, sk: str = "", expected_version: int = ANY_VERSION) -> int:
+        return self.update([(pk, sk, value)], ["put"], [expected_version])
+
+    def remove(self, pk: str, sk: str = "", expected_version: int = ANY_VERSION) -> int:
+        return self.update([(pk, sk, None)], ["remove"], [expected_version])
+
+    # ---------------- read path (K2/K3/K4) ----------------
+    def snapshot(self) -> DataFrame:
+        """Latest live entries as a DataFrame (the MERGE result)."""
+        latest = self._latest()
+        if latest is None:
+            return self.spark.createDataFrame([], "pk string, sk string, value string, version long")
+        return latest.filter(~F.col("deleted")).select("pk", "sk", "value", "version")
+
+    def get(self, pk: str, sk: str = "") -> tuple[str, int] | None:
+        rows = self.snapshot().filter((F.col("pk") == pk) & (F.col("sk") == sk)).collect()
+        return (rows[0]["value"], rows[0]["version"]) if rows else None
+
+    def get_all(self, keys: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[str, int]]:
+        pks = [k[0] for k in keys]
+        rows = self.snapshot().filter(F.col("pk").isin(pks)).collect()
+        want = set(keys)
+        return {
+            (r["pk"], r["sk"]): (r["value"], r["version"])
+            for r in rows
+            if (r["pk"], r["sk"]) in want
+        }
+
+    def exists(self, pk: str, sk: str = "") -> bool:
+        return self.get(pk, sk) is not None
+
+    def iterate_all(self) -> DataFrame:
+        return self.snapshot().orderBy("pk", "sk")
+
+    def iterate_prefix(self, prefix: str) -> DataFrame:
+        return self.snapshot().filter(F.col("pk").startswith(prefix)).orderBy("pk", "sk")
+
+    def iterate_range(self, from_pk: str, to_pk: str) -> DataFrame:
+        return (
+            self.snapshot()
+            .filter((F.col("pk") >= from_pk) & (F.col("pk") < to_pk))
+            .orderBy("pk", "sk")
+        )
+
+    def iterate_primary_key(self, pk: str, sk_from: str | None = None, sk_to: str | None = None) -> DataFrame:
+        df = self.snapshot().filter(F.col("pk") == pk)
+        if sk_from is not None:
+            df = df.filter(F.col("sk") >= sk_from)
+        if sk_to is not None:
+            df = df.filter(F.col("sk") < sk_to)
+        return df.orderBy("sk")
+
+    def entry_delta_iterator(self, from_version: int = 0) -> DataFrame:
+        """Change feed: every modification (incl. tombstones) after a
+        position (TableStore.entryDeltaIterator:311)."""
+        log = self._log()
+        if log is None:
+            return self.spark.createDataFrame(
+                [], "pk string, sk string, value string, version long, deleted boolean"
+            )
+        return (
+            log.filter(F.col("version") > from_version)
+            .select("pk", "sk", "value", "version", "deleted")
+            .orderBy("version", "pk", "sk")
+        )
+
+    # ---------------- maintenance ----------------
+    def compact(self) -> None:
+        """Drop superseded versions + tombstones (TableCompactor.java:71):
+        rewrite the log keeping only the live head per key."""
+        snap = self.snapshot()
+        tmp = f"{self.data_path}.compact.{uuid.uuid4().hex[:8]}"
+        (
+            snap.withColumn("deleted", F.lit(False))
+            .withColumn("bucket", F.pmod(F.xxhash64("pk"), F.lit(self.config.partition_count)))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        old = f"{self.data_path}.old.{uuid.uuid4().hex[:8]}"
+        os.replace(self.data_path, old)
+        os.replace(tmp, self.data_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+class KeyValueTableManager:
+    """KVT DDL (reference: KeyValueTableManager.java / D8)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def create_key_value_table(self, scope: str, name: str,
+                               config: KeyValueTableConfiguration | None = None) -> KeyValueTable:
+        return KeyValueTable(self.spark, self.root, scope, name, config)
+
+    def open(self, scope: str, name: str) -> KeyValueTable:
+        return KeyValueTable(self.spark, self.root, scope, name)
+
+    def list_key_value_tables(self, scope: str) -> list[str]:
+        d = os.path.join(self.root, "kvt", scope)
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def delete_key_value_table(self, scope: str, name: str) -> bool:
+        p = os.path.join(self.root, "kvt", scope, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            return True
+        return False

@@ -1,0 +1,149 @@
+"""Auto-scaling maintenance job (SURVEY §2.4 S1-S5).
+
+Reference pipeline: per-segment EWMA rate tracking
+(segmentstore/.../stat/SegmentAggregates.java:37-93, 2/5/10/20-minute
+rates, 5 s ticks) → threshold evaluation (AutoScaleProcessor.java:286-299:
+up if 2-min > 5× target after 2 min, or 5-min > 2×, or 10-min > 1×;
+down if 20-min < ½ target for a ≥20-min-old segment) → scale execution
+(AutoScaleTask.java:71-133: split into ``scale_factor`` successors /
+merge adjacent cold neighbors; epoch transition).
+
+Spark-native: rates come from a windowed aggregation over recent
+stream data (ingest_time buckets) instead of server-side tick counters;
+EWMAs are computed with the same half-life structure. The planner emits
+split/merge decisions; ``run()`` applies them via
+``StreamStore.scale_stream`` (metadata-only epoch transition — no data
+movement, exactly like the reference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from pravega_spark.config import ScaleType
+from pravega_spark.store import StreamStore
+
+TICK_SECONDS = 5  # SegmentAggregates tick
+WINDOWS_MIN = (2, 5, 10, 20)
+
+
+@dataclass
+class ScaleDecision:
+    segment_id: int
+    action: str  # "split" | "merge"
+    rate: float
+    merge_with: int | None = None
+
+
+class AutoScaler:
+    def __init__(self, store: StreamStore):
+        self.store = store
+
+    def segment_rates(self, scope: str, stream: str, now=None) -> dict[int, dict[int, float]]:
+        """events/sec per segment over trailing 2/5/10/20-minute windows
+        of ingest_time (the rate the reference tracks with EWMAs)."""
+        df = self.store._raw_read(scope, stream)
+        if "ingest_time" not in df.columns:
+            return {}
+        if now is None:
+            row = df.agg(F.max("ingest_time").alias("m")).collect()[0]
+            if row["m"] is None:
+                return {}
+            now = row["m"]
+        aggs = [
+            F.sum(
+                F.when(
+                    F.col("ingest_time") >= F.lit(now) - F.expr(f"INTERVAL {m} MINUTES"), 1
+                ).otherwise(0)
+            ).alias(f"n{m}")
+            for m in WINDOWS_MIN
+        ]
+        rows = df.groupBy("segment_id").agg(*aggs).collect()
+        return {
+            r["segment_id"]: {m: r[f"n{m}"] / (m * 60.0) for m in WINDOWS_MIN} for r in rows
+        }
+
+
+    def plan(self, scope: str, stream: str, rates: dict[int, dict[int, float]] | None = None,
+             segment_age_min: float | None = None) -> list[ScaleDecision]:
+        """Apply the reference thresholds to current rates.
+
+        ``segment_age_min`` lets tests bypass the age gates (reference
+        gates: 2-min rule needs a ≥2-min-old segment, scale-down needs
+        ≥20 min; our creation times come from the epoch records).
+        """
+        cfg = self.store.meta.get_config(scope, stream)
+        if cfg.scaling.scale_type == ScaleType.FIXED_NUM_SEGMENTS:
+            return []
+        target = max(cfg.scaling.target_rate, 1)
+        rates = rates if rates is not None else self.segment_rates(scope, stream)
+        epoch = self.store.meta.active_epoch(scope, stream)
+        import time as _time
+
+        now_ms = _time.time() * 1000
+        age_min = (
+            segment_age_min
+            if segment_age_min is not None
+            else (now_ms - epoch["creation_time"]) / 60000.0
+        )
+        decisions: list[ScaleDecision] = []
+        cold: list[tuple[float, int]] = []  # (key_start, segment_id) of cold segments
+        for seg in epoch["segments"]:
+            sid = seg["segment_id"]
+            r = rates.get(sid, {m: 0.0 for m in WINDOWS_MIN})
+            # AutoScaleProcessor.java:286-288
+            if (age_min >= 2 and r[2] > 5 * target) or (age_min >= 5 and r[5] > 2 * target) or (
+                age_min >= 10 and r[10] > target
+            ):
+                decisions.append(ScaleDecision(sid, "split", r[2]))
+            # AutoScaleProcessor.java:299
+            elif age_min >= 20 and r[20] < target / 2:
+                cold.append((seg["key_start"], sid))
+        cold.sort()
+        active = sorted(epoch["segments"], key=lambda s: s["key_start"])
+        cold_ids = {sid for _, sid in cold}
+        # a merge shrinks the segment set by one; allowed while the result
+        # stays at/above the policy minimum
+        if len(active) - 1 >= cfg.scaling.min_num_segments:
+            for i in range(len(active) - 1):
+                a, b = active[i], active[i + 1]
+                if a["segment_id"] in cold_ids and b["segment_id"] in cold_ids:
+                    decisions.append(
+                        ScaleDecision(a["segment_id"], "merge", 0.0, merge_with=b["segment_id"])
+                    )
+                    break  # one merge per cycle, like AutoScaleTask's single event
+        return decisions
+
+    def run(self, scope: str, stream: str, decisions: list[ScaleDecision] | None = None,
+            segment_age_min: float | None = None) -> list[dict]:
+        """Execute planned scale operations; returns new epoch records."""
+        cfg = self.store.meta.get_config(scope, stream)
+        decisions = decisions if decisions is not None else self.plan(
+            scope, stream, segment_age_min=segment_age_min
+        )
+        applied = []
+        for d in decisions:
+            epoch = self.store.meta.active_epoch(scope, stream)
+            seg = next((s for s in epoch["segments"] if s["segment_id"] == d.segment_id), None)
+            if seg is None:
+                continue  # already superseded this cycle
+            if d.action == "split":
+                n = max(cfg.scaling.scale_factor, 2)
+                lo, hi = seg["key_start"], seg["key_end"]
+                step = (hi - lo) / n
+                ranges = [(lo + i * step, lo + (i + 1) * step if i < n - 1 else hi) for i in range(n)]
+                applied.append(self.store.scale_stream(scope, stream, [d.segment_id], ranges))
+            else:
+                other = next(
+                    (s for s in epoch["segments"] if s["segment_id"] == d.merge_with), None
+                )
+                if other is None:
+                    continue
+                lo = min(seg["key_start"], other["key_start"])
+                hi = max(seg["key_end"], other["key_end"])
+                applied.append(
+                    self.store.scale_stream(scope, stream, [d.segment_id, d.merge_with], [(lo, hi)])
+                )
+        return applied

@@ -1,0 +1,94 @@
+"""KVT scenarios mirroring KeyValueTableTest: insert/put/remove with
+expected-version success + failure, getAll, iterators, delta feed,
+compaction."""
+
+import pytest
+
+from pravega_spark.config import KeyValueTableConfiguration
+from pravega_spark.errors import BadKeyVersionException, NoSuchKeyException
+from pravega_spark.kvt import ANY_VERSION, KeyValueTableManager
+
+
+@pytest.fixture()
+def kvt(spark, tmp_path):
+    mgr = KeyValueTableManager(spark, str(tmp_path))
+    return mgr.create_key_value_table("s", "t", KeyValueTableConfiguration(partition_count=4))
+
+
+def test_insert_get_put_remove(kvt):
+    v1 = kvt.insert("k1", "a")
+    assert kvt.get("k1") == ("a", v1)
+    v2 = kvt.put("k1", "b", expected_version=v1)
+    assert v2 > v1
+    assert kvt.get("k1") == ("b", v2)
+    kvt.remove("k1", expected_version=v2)
+    assert kvt.get("k1") is None
+    assert not kvt.exists("k1")
+
+
+def test_bad_version_raises(kvt):
+    v1 = kvt.insert("k", "a")
+    kvt.put("k", "b")  # unconditional bump
+    with pytest.raises(BadKeyVersionException):
+        kvt.put("k", "c", expected_version=v1)
+    with pytest.raises(BadKeyVersionException):
+        kvt.insert("k", "dup")
+    with pytest.raises(NoSuchKeyException):
+        kvt.put("nope", "x", expected_version=5)
+
+
+def test_batch_atomicity(kvt):
+    kvt.insert("a", "1")
+    # batch where the second entry fails its condition: nothing commits
+    with pytest.raises(BadKeyVersionException):
+        kvt.update(
+            [("b", "", "2"), ("a", "", "dup")],
+            ["insert", "insert"],
+        )
+    assert kvt.get("b") is None
+    assert kvt.get("a") == ("1", 1)
+
+
+def test_get_all_and_iterators(kvt):
+    for i in range(20):
+        kvt.insert(f"key{i:03d}", str(i))
+    got = kvt.get_all([("key001", ""), ("key015", ""), ("missing", "")])
+    assert set(got) == {("key001", ""), ("key015", "")}
+    rng = [r["pk"] for r in kvt.iterate_range("key005", "key010").collect()]
+    assert rng == [f"key{i:03d}" for i in range(5, 10)]
+    pre = [r["pk"] for r in kvt.iterate_prefix("key01").collect()]
+    assert pre == [f"key{i:03d}" for i in range(10, 20)]
+    assert kvt.iterate_all().count() == 20
+
+
+def test_secondary_keys(kvt):
+    kvt.insert("user1", "a", sk="2024-01")
+    kvt.insert("user1", "b", sk="2024-02")
+    kvt.insert("user1", "c", sk="2024-03")
+    rows = kvt.iterate_primary_key("user1", sk_from="2024-02").collect()
+    assert [r["sk"] for r in rows] == ["2024-02", "2024-03"]
+    assert kvt.get("user1", sk="2024-01") == ("a", 1)
+
+
+def test_delta_iterator_and_compaction(kvt):
+    kvt.insert("a", "1")
+    v = kvt.put("a", "2")
+    kvt.insert("b", "9")
+    kvt.remove("b")
+    delta = kvt.entry_delta_iterator(from_version=v).collect()
+    assert [(r["pk"], r["deleted"]) for r in delta] == [("b", False), ("b", True)]
+    # compaction keeps only live heads; snapshot unchanged
+    before = {(r["pk"], r["value"]) for r in kvt.snapshot().collect()}
+    kvt.compact()
+    after = {(r["pk"], r["value"]) for r in kvt.snapshot().collect()}
+    assert before == after == {("a", "2")}
+    assert kvt._log().count() == 1  # tombstones + old versions gone
+
+
+def test_manager_ddl(spark, tmp_path):
+    mgr = KeyValueTableManager(spark, str(tmp_path))
+    mgr.create_key_value_table("s", "t1")
+    mgr.create_key_value_table("s", "t2")
+    assert mgr.list_key_value_tables("s") == ["t1", "t2"]
+    assert mgr.delete_key_value_table("s", "t1")
+    assert mgr.list_key_value_tables("s") == ["t2"]
