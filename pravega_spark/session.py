@@ -35,6 +35,8 @@ def get_spark(app_name: str = "pravega_spark", shuffle_partitions: int | None = 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # micros (not INT96) so pyarrow executors read our own files cleanly
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         # testdata parquet carries TIMESTAMP(NANOS) which Spark lacks; read

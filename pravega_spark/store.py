@@ -282,7 +282,7 @@ class StreamStore:
         w = Window.partitionBy(SEGMENT_ID).orderBy("_seq")
         out = (
             staged.withColumn(SEGMENT_ID, segment_for_ranges(hash_to_range(F.col(ROUTING_KEY)), ranges))
-            .withColumn(OFFSET, F.row_number().over(w) - 1 + base[F.col(SEGMENT_ID)])
+            .withColumn(OFFSET, (F.row_number().over(w) - 1 + base[F.col(SEGMENT_ID)]).cast("long"))
             .withColumn(INGEST_TIME, F.current_timestamp())
             .drop("_seq")
         )

@@ -1,0 +1,213 @@
+"""Custom PySpark DataSource exposing streams to read/readStream.
+
+The Spark-4 Python data source API (pyspark.sql.datasource) is the
+idiomatic replacement for the reference's reader-group machinery
+(SURVEY §2.2 R1-R3):
+
+  - streaming offsets = StreamCut vectors ``{segment_id: offset}`` —
+    Structured Streaming checkpoints them exactly like the reference's
+    reader-group checkpoints persist positions;
+  - ``partitions(start, end)`` yields one InputPartition per segment
+    slice → Spark tasks ARE the reader group (exactly-one-task-per-
+    segment; rebalancing is the scheduler's job, replacing
+    ReaderGroupStateManager's distance-to-tail protocol);
+  - per-key order holds because a partition reads one segment in
+    offset order and a routing key lives in exactly one live segment.
+
+Reads go through pyarrow on the executors with offset-range filters —
+parquet row-group stats prune, so a tail read touches only recent
+files.
+
+Options: ``root``, ``scope``, ``stream``, optional ``start_cut`` /
+``end_cut`` (JSON StreamCuts — end_cut makes a *bounded* stream, the
+BoundedStreamReaderTest semantics), ``max_events_per_trigger`` (source
+rate limiting, the reference's read throttling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# fixed envelope the source exposes; payload carries the event bytes
+# (typed columns are lifted after read via serializers / from_json)
+ENVELOPE = StructType(
+    [
+        StructField("routing_key", StringType()),
+        StructField("segment_id", LongType()),
+        StructField("offset", LongType()),
+        StructField("event_time", TimestampType()),
+        StructField("ingest_time", TimestampType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+class SegmentSlice(InputPartition):
+    def __init__(self, path: str, segment_id: int, start: int, end: int):
+        self.path = path
+        self.segment_id = segment_id
+        self.start = start
+        self.end = end
+
+
+def _read_slice(sl: SegmentSlice):
+    """Executor-side: arrow-batched read of one segment's offset range."""
+    import pyarrow.dataset as ds
+
+    seg_dir = os.path.join(sl.path, f"segment_id={sl.segment_id}")
+    if not os.path.isdir(seg_dir):
+        return
+    dataset = ds.dataset(seg_dir, format="parquet")
+    flt = (ds.field("offset") >= sl.start) & (ds.field("offset") < sl.end)
+    names = [f.name for f in ENVELOPE.fields]
+    have = set(dataset.schema.names)
+    cols = [n for n in names if n in have and n != "segment_id"]
+    for batch in dataset.to_table(filter=flt, columns=cols).to_batches():
+        import pyarrow as pa
+
+        arrays, fields = [], []
+        for f in ENVELOPE.fields:
+            if f.name == "segment_id":
+                arrays.append(pa.array([sl.segment_id] * batch.num_rows, type=pa.int64()))
+                fields.append(pa.field("segment_id", pa.int64()))
+            elif f.name in batch.schema.names:
+                col = batch.column(batch.schema.get_field_index(f.name))
+                if f.name == "payload" and not pa.types.is_binary(col.type):
+                    col = col.cast(pa.binary())
+                if f.name in ("event_time", "ingest_time") and col.type != pa.timestamp("us"):
+                    col = col.cast(pa.timestamp("us"))
+                if f.name == "offset" and col.type != pa.int64():
+                    col = col.cast(pa.int64())
+                arrays.append(col)
+                fields.append(pa.field(f.name, col.type))
+            else:
+                typ = {
+                    "routing_key": pa.string(),
+                    "offset": pa.int64(),
+                    "event_time": pa.timestamp("us"),
+                    "ingest_time": pa.timestamp("us"),
+                    "payload": pa.binary(),
+                }[f.name]
+                arrays.append(pa.nulls(batch.num_rows, type=typ))
+                fields.append(pa.field(f.name, typ))
+        yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _load_tails(root: str, scope: str, stream: str) -> dict[int, int]:
+    p = os.path.join(root, "_metadata", scope, stream, "segments.json")
+    try:
+        with open(p) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        return {}
+    return {int(k): v["tail_offset"] for k, v in doc.items()}
+
+
+def _load_heads(root: str, scope: str, stream: str) -> dict[int, int]:
+    p = os.path.join(root, "_metadata", scope, stream, "segments.json")
+    try:
+        with open(p) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        return {}
+    return {int(k): v["head_offset"] for k, v in doc.items()}
+
+
+class PravegaStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.root = options["root"]
+        self.scope = options["scope"]
+        self.stream = options["stream"]
+        self.path = os.path.join(self.root, "streams", self.scope, self.stream)
+        self.max_per_trigger = int(options.get("max_events_per_trigger", 0) or 0)
+        self.start_cut = json.loads(options["start_cut"]) if options.get("start_cut") else None
+        self.end_cut = json.loads(options["end_cut"]) if options.get("end_cut") else None
+
+    # offsets are plain dicts {str(segment_id): offset} — Spark JSON-
+    # serializes them into the checkpoint (R3: checkpoint = StreamCut)
+    def initialOffset(self) -> dict:
+        if self.start_cut is not None:
+            return {str(k): v for k, v in self.start_cut.get("positions", {}).items()}
+        return {str(k): v for k, v in _load_heads(self.root, self.scope, self.stream).items()}
+
+    def latestOffset(self) -> dict:
+        tails = _load_tails(self.root, self.scope, self.stream)
+        if self.end_cut is not None:
+            ends = self.end_cut.get("positions", {})
+            tails = {k: min(v, int(ends.get(str(k), v))) for k, v in tails.items()}
+        return {str(k): v for k, v in tails.items()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out = []
+        for sid, hi in end.items():
+            lo = int(start.get(sid, 0))
+            hi = int(hi)
+            if self.max_per_trigger:
+                hi = min(hi, lo + self.max_per_trigger)
+            if hi > lo:
+                out.append(SegmentSlice(self.path, int(sid), lo, hi))
+        return out or [SegmentSlice(self.path, -1, 0, 0)]
+
+    def read(self, partition: SegmentSlice) -> Iterator:
+        if partition.segment_id < 0:
+            return iter(())
+        return _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # positions live in the Structured Streaming checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
+class PravegaBatchReader(DataSourceReader):
+    """Batch tier of the same source (R5): full or cut-bounded scan."""
+
+    def __init__(self, options: dict):
+        self.stream_reader = PravegaStreamReader(options)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        start = self.stream_reader.initialOffset()
+        end = self.stream_reader.latestOffset()
+        return self.stream_reader.partitions(start, end)
+
+    def read(self, partition: SegmentSlice) -> Iterator:
+        return self.stream_reader.read(partition)
+
+
+class PravegaStreamDataSource(DataSource):
+    """spark.read/readStream format ``pravega_stream``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pravega_stream"
+
+    def schema(self) -> StructType:
+        return ENVELOPE
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return PravegaBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return PravegaStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PravegaStreamDataSource)

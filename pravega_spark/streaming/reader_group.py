@@ -1,0 +1,117 @@
+"""Reader groups over the streaming source (SURVEY §2.2 R2-R3).
+
+The reference coordinates N readers over segments with a shared state
+synchronizer (ReaderGroupState.java, 1416 LoC of acquire/release/
+checkpoint protocol). On Spark, ONE streaming query per reader group is
+the whole story: tasks fan out per segment slice, the checkpoint
+location persists positions, and rebalancing is the scheduler's. This
+class packages that with the reference's surface:
+
+  - ``read_stream()`` → streaming DataFrame (readNextEvent plane)
+  - ``read_batch()`` → bounded DataFrame between the group's cuts
+  - ``initiate_checkpoint(name)`` → named StreamCut of current positions
+  - ``update_retention_stream_cut`` → publish subscriber position for
+    consumption-based retention (N3)
+  - ``get_stream_cuts()`` → current positions (lag introspection, M2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pravega_spark.config import ReaderGroupConfig
+from pravega_spark.store import StreamStore
+from pravega_spark.streamcut import StreamCut
+from pravega_spark.streaming.datasource import register
+
+
+class ReaderGroup:
+    def __init__(self, store: StreamStore, scope: str, stream: str, name: str,
+                 config: ReaderGroupConfig | None = None):
+        self.store = store
+        self.scope, self.stream, self.name = scope, stream, name
+        self.config = config or ReaderGroupConfig()
+        self.checkpoint_dir = os.path.join(store.root, "_reader_groups", scope, stream, name)
+        register(store.spark)
+
+    # ---------------- consumption plane ----------------
+    def _options(self) -> dict:
+        opts = {"root": self.store.root, "scope": self.scope, "stream": self.stream}
+        if self.config.start_cut is not None:
+            opts["start_cut"] = StreamCut.of(self.config.start_cut).to_json()
+        if self.config.end_cut is not None:
+            opts["end_cut"] = StreamCut.of(self.config.end_cut).to_json()
+        return opts
+
+    def read_stream(self, max_events_per_trigger: int | None = None) -> DataFrame:
+        reader = self.store.spark.readStream.format("pravega_stream")
+        for k, v in self._options().items():
+            reader = reader.option(k, v)
+        if max_events_per_trigger:
+            reader = reader.option("max_events_per_trigger", max_events_per_trigger)
+        return reader.load()
+
+    def read_batch(self) -> DataFrame:
+        reader = self.store.spark.read.format("pravega_stream")
+        for k, v in self._options().items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def start(self, sink_fn, trigger_available_now: bool = True, query_name: str | None = None):
+        """Run the group's query with its durable checkpoint (positions
+        survive restart = reader-group resume semantics)."""
+        q = (
+            self.read_stream()
+            .writeStream.foreachBatch(sink_fn)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(query_name or f"rg-{self.name}")
+        )
+        if trigger_available_now:
+            q = q.trigger(availableNow=True)
+        return q.start()
+
+    # ---------------- positions / checkpoints ----------------
+    def committed_positions(self) -> StreamCut:
+        """Positions from the query's checkpoint offset log (the reader
+        group's current StreamCut)."""
+        offsets_dir = os.path.join(self.checkpoint_dir, "offsets")
+        if not os.path.isdir(offsets_dir):
+            return StreamCut.of({})
+        batches = sorted(int(f) for f in os.listdir(offsets_dir) if f.isdigit())
+        if not batches:
+            return StreamCut.of({})
+        with open(os.path.join(offsets_dir, str(batches[-1]))) as f:
+            lines = [ln for ln in f.read().splitlines() if ln and not ln.startswith("v")]
+        # last line is this source's offset json
+        positions = json.loads(lines[-1])
+        return StreamCut.of({int(k): int(v) for k, v in positions.items()})
+
+    def initiate_checkpoint(self, name: str) -> StreamCut:
+        """Named checkpoint = persist current positions as a StreamCut
+        (ReaderGroup.initiateCheckpoint; completed checkpoint IS a cut)."""
+        cut = self.committed_positions()
+        self.store.save_stream_cut(self.scope, self.stream, f"rg-{self.name}-{name}", cut)
+        return cut
+
+    def get_stream_cuts(self) -> dict[str, StreamCut]:
+        return {self.stream: self.committed_positions()}
+
+    def unread_events(self) -> int:
+        """Distance to tail (ReaderGroupMetrics.unreadBytes analogue)."""
+        return self.committed_positions().distance_to(self.store.tail_stream_cut(self.scope, self.stream))
+
+    def update_retention_stream_cut(self, cut: StreamCut | None = None) -> None:
+        """Publish the group's position for consumption-based retention
+        (ReaderGroup.updateRetentionStreamCut → subscriber cuts)."""
+        cut = cut or self.committed_positions()
+        self.store.meta.update_subscriber_cut(self.scope, self.stream, f"rg-{self.name}", cut.to_json())
+
+    def reset(self) -> None:
+        """Drop the checkpoint → group restarts from its configured cut
+        (ReaderGroup.resetReaderGroup)."""
+        import shutil
+
+        shutil.rmtree(self.checkpoint_dir, ignore_errors=True)
