@@ -1,0 +1,189 @@
+"""Vector math over ``array<float>`` columns — the fast path.
+
+The oracle-parity queries (queries/similarity.py) use a relational
+explode-join formulation so DuckDB can verify them. THIS module is the
+performance path the engine actually recommends: JVM-side higher-order
+functions (``zip_with`` + ``aggregate``) that never explode rows and
+stay inside whole-stage codegen, plus an Arrow-batched Pandas-UDF
+variant (numpy matmul) for very wide corpora where per-element lambda
+evaluation loses to BLAS.
+
+Scale shape for top-k search: broadcast the (small) query set, compute
+per-row best-k with a window — corpus never shuffles; for all-pairs
+near-dup, LSH-bucket first (lsh_bucket) so the join is per-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """JVM-side dot product of two array columns (no UDF, no explode)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force exact top-k: broadcast queries × corpus, one window.
+
+    Returns (q_id, c_id, cosine, rk). The corpus side streams through
+    codegen without shuffling; the only shuffle is the per-query top-k
+    window over q_id (tiny: |queries| × |corpus| rows reduced map-side
+    is not possible for row_number, so keep |queries| modest or use
+    lsh_bucket first).
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
+    sims = pairs.select("q_id", "c_id", cosine("q_vec", "c_vec").alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS path: numpy matmul per Arrow batch via mapInPandas.
+
+    The query matrix rides inside the closure (broadcast pickle);
+    each partition computes a (batch × queries) similarity matrix and
+    emits its local top-k, then a global window finishes — a two-stage
+    top-k so only k·|queries| rows per partition shuffle.
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(c_mat) == 0:
+                continue
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            for qi, q_id in enumerate(q_ids):
+                col = sims[:, qi]
+                take = min(k + 1, len(col))
+                idx = np.argpartition(-col, take - 1)[:take]
+                out = pd.DataFrame(
+                    {
+                        "q_id": int(q_id),
+                        "c_id": pdf["_cid"].iloc[idx].to_numpy(),
+                        "cosine": col[idx],
+                    }
+                )
+                yield out[out.c_id != out.q_id]
+
+    prepped = corpus.select(F.col(id_col).alias("_cid"), vec_col)
+    local = prepped.mapInPandas(compute, schema="q_id long, c_id long, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return local.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def lsh_bucket(vec_col: Column | str, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-random-projection LSH bucket id (JVM-side, deterministic).
+
+    Hyperplane components are derived from md5(seed, plane, dim) — no
+    stored model, reproducible across engines/runs. Vectors in the same
+    bucket are cosine-similar candidates; join per bucket for near-dup.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # pseudo-random ±1 plane from hash of (seed, plane, index)
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda i: F.when(
+                        F.conv(
+                            F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.lit(p), i)), 1, 4),
+                            16,
+                            10,
+                        ).cast("int")
+                        % 2
+                        == 0,
+                        1.0,
+                    ).otherwise(-1.0),
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via banded LSH + exact verify inside buckets.
+
+    OR-construction: ``bands`` independent bucketings of ``n_planes``
+    hyperplanes each; a pair is a candidate if ANY band collides
+    (recall ≈ 1-(1-p^planes)^bands), then the exact cosine filters.
+    All-pairs is quadratic; the band join is per-bucket — the 100 TB
+    path (same shape as the MinHash band join for text).
+    """
+    with_buckets = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("#", F.lit(b), lsh_bucket(vec_col, n_planes, seed=42 + b))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = with_buckets.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = with_buckets.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .distinct()  # a pair may collide in several bands
+        .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

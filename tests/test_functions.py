@@ -1,0 +1,104 @@
+"""functions/: vector math fast path, serializers, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pravega_spark.functions import multimodal, serializers, vectors
+from pravega_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_dot_cosine_match_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.limit(10).collect()
+    got = (
+        emb.limit(10)
+        .select("vec_id", vectors.cosine(F.col("embedding"), F.col("embedding")).alias("self_cos"))
+        .collect()
+    )
+    for r in got:
+        assert r["self_cos"] == pytest.approx(1.0, abs=1e-9)
+    a, b = np.array(rows[0]["embedding"], dtype=float), np.array(rows[1]["embedding"], dtype=float)
+    want = float(a @ b)
+    pair = (
+        spark.createDataFrame(
+            [(rows[0]["embedding"], rows[1]["embedding"])], "x array<float>, y array<float>"
+        )
+        .select(vectors.dot("x", "y").alias("d"))
+        .collect()[0]["d"]
+    )
+    assert pair == pytest.approx(want, rel=1e-9)
+
+
+def test_topk_jvm_and_pandas_agree(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    jvm = {
+        (r["q_id"], r["rk"]): r["c_id"]
+        for r in vectors.cosine_topk(emb, queries, k=5).collect()
+    }
+    blas = {
+        (r["q_id"], r["rk"]): r["c_id"]
+        for r in vectors.cosine_topk_pandas(emb, queries, k=5).collect()
+    }
+    assert jvm == blas
+
+
+def test_lsh_near_dup_recall(spark, emb):
+    """LSH candidates must contain the truly-similar pairs that share a
+    bucket with high probability; verify against brute force at a
+    threshold where pairs exist."""
+    brute = vectors.cosine_topk(emb, emb.limit(30), k=1, exclude_self=True)
+    top_pairs = {(min(r["q_id"], r["c_id"]), max(r["q_id"], r["c_id"])) for r in brute.collect()}
+    lsh = vectors.embedding_near_dup_lsh(emb, threshold=0.0, n_planes=2, bands=4)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    # banded OR-construction: nearest neighbors collide in some band with
+    # high probability even on weakly-similar synthetic vectors
+    hits = len(top_pairs & lsh_pairs)
+    assert hits >= len(top_pairs) * 0.5
+    assert lsh.count() < 500 * 499 / 2  # far fewer than all pairs
+
+
+def test_json_serializer_roundtrip(spark):
+    df = spark.createDataFrame([(1, "a", 2.5)], "id long, name string, x double")
+    packed = df.select(serializers.json_serialize("id", "name", "x").alias("payload"))
+    lifted = serializers.lift_json(packed, "id long, name string, x double")
+    row = lifted.collect()[0]
+    assert (row["id"], row["name"], row["x"]) == (1, "a", 2.5)
+
+
+def test_utf8_serializer(spark):
+    df = spark.createDataFrame([("héllo",)], "s string")
+    rt = df.select(
+        serializers.utf8_deserialize(serializers.utf8_serialize("s")).alias("out")
+    ).collect()[0]["out"]
+    assert rt == "héllo"
+
+
+def test_multimodal_pipeline(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    media = multimodal.attach_media(
+        docs.withColumn("blob", F.col("text").cast("binary")), "doc_id", "blob", "image", "image/fake"
+    )
+    assert media.schema.simpleString().startswith("struct<media_id:bigint,modality:string")
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+        assert len(r["checksum"]) == 32
+    # deterministic: same input -> same checksum
+    again = {r["media_id"]: r["checksum"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["checksum"] for r in rows)
+    frames = multimodal.sample_frames(media, every_n_bytes=50)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in per_media)
+    resized = multimodal.resize_stub(media, 224, 224)
+    assert resized.select("width").distinct().collect()[0]["width"] == 224
