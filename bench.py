@@ -35,6 +35,34 @@ HEADLINE = [
 ]
 
 
+def _bench_stream_write(spark, sf_dir: str) -> float:
+    """Write-path throughput: the reference's own benchmark dimension
+    (pravega-benchmark, BASELINE.md) — ingest the events table through
+    the full engine write path (hash routing, offset assignment,
+    atomic metadata commit) into a throwaway store."""
+    import shutil
+    import tempfile
+
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+    from pravega_spark.sources import load_table
+    from pravega_spark.store import StreamStore
+
+    root = tempfile.mkdtemp(prefix="pvs_bench_")
+    try:
+        store = StreamStore(spark, root)
+        store.create_scope("bench")
+        store.create_stream("bench", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(8)))
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        t0 = time.perf_counter()
+        store.write_events("bench", "ev", ev, routing_key_col="user_id", event_time_col="ts")
+        dt = time.perf_counter() - t0
+        print(f"# stream_write_events: {dt:.3f}s rows={n} ({n/dt:,.0f} ev/s)", file=sys.stderr)
+        return round(dt, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pravega_spark.queries import queries
@@ -43,10 +71,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = queries()
 
-    # warm up the JVM / parquet footers outside the timed region
+    # warm up JVM/codegen/parquet-footer paths outside the timed region
     from pravega_spark.sources import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
+    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -56,6 +85,8 @@ def main() -> None:
         n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    timings["stream_write_events"] = _bench_stream_write(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

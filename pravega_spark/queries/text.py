@@ -276,7 +276,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: band self-join is near-linear (buckets are small);
     exact Jaccard runs only on candidates — never all-pairs.
     """
-    sigs = dedup_minhash_signatures(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).persist()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"seed{k}:"), F.col("shingle")))).alias(f"mh{k}")
+            for k in range(_N_HASHES)
+        ]
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(F.array(*[F.col(f"mh{k}") for k in range(_N_HASHES)])).alias("band"),
@@ -288,7 +294,6 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
@@ -350,22 +355,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode tokens × bit positions) — identical in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    # hash once per token; 16 conditional sums in ONE aggregation instead
+    # of a 16x row fanout (same values as the relational oracle twin)
     h16 = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
-    bits = toks.select(
-        "doc_id",
-        h16.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
-        F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1).alias("w"),
+    hashed = toks.select("doc_id", h16.alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(16)
+    ]
+    packed = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(16)),
+        F.lit(0),
     )
     return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("w").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+        hashed.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", packed.cast("bigint").alias("simhash"))
         .orderBy("doc_id")
     )
 
