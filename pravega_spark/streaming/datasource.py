@@ -139,28 +139,60 @@ class PravegaStreamReader(DataSourceStreamReader):
         self.max_per_trigger = int(options.get("max_events_per_trigger", 0) or 0)
         self.start_cut = json.loads(options["start_cut"]) if options.get("start_cut") else None
         self.end_cut = json.loads(options["end_cut"]) if options.get("end_cut") else None
+        # high-water mark of offsets this instance has handed to Spark;
+        # basis for rate limiting. MONOTONIC: only advanced via max-merge
+        # (_advance) — initialOffset can be called after latestOffset on
+        # the same instance, and overwriting with the (lower) head vector
+        # would make the next latestOffset regress below the committed
+        # position, which Spark then checkpoints → re-read duplicates.
+        # None until first observation: that first latestOffset is then
+        # uncapped (a safe catch-up batch). Capping must happen in
+        # latestOffset, never in partitions(), or Spark checkpoints the
+        # uncapped tail and the capped-out rows are silently lost.
+        self._pos: dict[str, int] | None = None
+
+    def _advance(self, off: dict) -> None:
+        if self._pos is None:
+            self._pos = {}
+        for k, v in off.items():
+            k = str(k)
+            v = int(v)
+            if v > self._pos.get(k, -1):
+                self._pos[k] = v
 
     # offsets are plain dicts {str(segment_id): offset} — Spark JSON-
     # serializes them into the checkpoint (R3: checkpoint = StreamCut)
     def initialOffset(self) -> dict:
         if self.start_cut is not None:
-            return {str(k): v for k, v in self.start_cut.get("positions", {}).items()}
-        return {str(k): v for k, v in _load_heads(self.root, self.scope, self.stream).items()}
+            off = {str(k): int(v) for k, v in self.start_cut.get("positions", {}).items()}
+        else:
+            off = {str(k): int(v) for k, v in _load_heads(self.root, self.scope, self.stream).items()}
+        self._advance(off)
+        return off
 
     def latestOffset(self) -> dict:
         tails = _load_tails(self.root, self.scope, self.stream)
         if self.end_cut is not None:
             ends = self.end_cut.get("positions", {})
             tails = {k: min(v, int(ends.get(str(k), v))) for k, v in tails.items()}
-        return {str(k): v for k, v in tails.items()}
+        latest = {str(k): int(v) for k, v in tails.items()}
+        if self.max_per_trigger and self._pos is not None:
+            base = self._pos
+            latest = {
+                sid: min(hi, int(base.get(sid, 0)) + self.max_per_trigger)
+                if hi > int(base.get(sid, 0))
+                else hi
+                for sid, hi in latest.items()
+            }
+        self._advance(latest)
+        return latest
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._advance(end)  # authoritative plan boundary
         out = []
         for sid, hi in end.items():
             lo = int(start.get(sid, 0))
             hi = int(hi)
-            if self.max_per_trigger:
-                hi = min(hi, lo + self.max_per_trigger)
             if hi > lo:
                 out.append(SegmentSlice(self.path, int(sid), lo, hi))
         return out or [SegmentSlice(self.path, -1, 0, 0)]
@@ -171,7 +203,7 @@ class PravegaStreamReader(DataSourceStreamReader):
         return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # positions live in the Structured Streaming checkpoint
+        self._advance(end)  # positions live in the streaming checkpoint
 
     def stop(self) -> None:
         pass
@@ -182,6 +214,7 @@ class PravegaBatchReader(DataSourceReader):
 
     def __init__(self, options: dict):
         self.stream_reader = PravegaStreamReader(options)
+        self.stream_reader.max_per_trigger = 0  # rate limit is stream-only
 
     def partitions(self) -> Sequence[InputPartition]:
         start = self.stream_reader.initialOffset()
