@@ -21,7 +21,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
     "q10_returned_items",
+    "q18_large_volume_customers",
     "events_hourly_agg",
     "events_sessionization",
     "events_asof_purchase",
@@ -30,8 +32,11 @@ HEADLINE = [
     "kvt_latest_version",
     "text_quality_score",
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "multimodal_frame_samples",
 ]
 
 

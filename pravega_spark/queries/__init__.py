@@ -16,9 +16,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pravega_spark.queries import relational, similarity, stream_ops, text
+from pravega_spark.queries import multimodal, relational, similarity, stream_ops, text
 
-_MODULES = (relational, stream_ops, text, similarity)
+_MODULES = (relational, stream_ops, text, similarity, multimodal)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

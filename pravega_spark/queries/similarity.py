@@ -171,14 +171,98 @@ SELECT label, a_id, b_id, cosine FROM sims WHERE cosine >= 0.35 ORDER BY a_id, b
 """
 
 
+_LSH_DIMS = (0, 8, 16, 24)  # sign-bit hyperplanes (axis-aligned projections)
+
+
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the 100 TB scale path): vectors hash to a
+    16-cell bucket by the sign pattern of 4 fixed dimensions (random-
+    hyperplane LSH with axis-aligned planes — deterministic, so the
+    oracle can reproduce it). Top-k cosine runs only WITHIN the query's
+    bucket: the corpus-wide all-pairs shuffle becomes per-bucket joins
+    that stay co-partitioned at any scale. Approximate by construction —
+    candidates outside the bucket are unseen (recall < 1), which is the
+    documented LSH trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(F.col("embedding").getItem(d) >= 0, F.lit(1 << i)).otherwise(0)
+            for i, d in enumerate(_LSH_DIMS)
+        ),
+        F.lit(0),
+    ).alias("bucket")
+    with_b = emb.select("vec_id", "embedding", bucket)
+    queries_df = with_b.filter(F.col("vec_id") < _N_QUERIES)
+    q = queries_df.select(
+        F.col("vec_id").alias("q_id"), "bucket", F.posexplode("embedding").alias("pos", "q_val")
+    )
+    c = with_b.select(
+        F.col("vec_id").alias("c_id"), "bucket", F.posexplode("embedding").alias("pos", "c_val")
+    )
+    sims = (
+        q.join(c, ["bucket", "pos"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("bucket", "q_id", "c_id")
+        .agg(
+            F.sum(F.col("q_val").cast("double") * F.col("c_val").cast("double")).alias("dot"),
+            F.sum(F.col("q_val").cast("double") * F.col("q_val").cast("double")).alias("qq"),
+            F.sum(F.col("c_val").cast("double") * F.col("c_val").cast("double")).alias("cc"),
+        )
+        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("qq") * F.col("cc")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("q_id", "bucket", "c_id", "cosine", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+_LSH_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(_LSH_DIMS)
+)
+
+LSH_TOPK_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_LSH_BUCKET_SQL} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, bucket, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS q_val
+  FROM b WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS c_id, bucket, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS c_val
+  FROM b
+),
+sims AS (
+  SELECT q.bucket, q_id, c_id,
+         round(sum(q_val * c_val) / sqrt(sum(q_val * q_val) * sum(c_val * c_val)), 6) AS cosine
+  FROM q JOIN c ON q.bucket = c.bucket AND q.pos = c.pos AND q_id != c_id
+  GROUP BY 1, 2, 3
+)
+SELECT q_id, bucket, c_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM sims
+)
+WHERE rk <= {_TOP_K}
+ORDER BY q_id, rk
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_lsh_bucketed": similarity_lsh_bucketed,
     "similarity_label_centroids": similarity_label_centroids,
     "embedding_near_dup": embedding_near_dup,
 }
 
 ORACLES = {
     "similarity_topk_bruteforce": TOPK_SQL,
+    "similarity_lsh_bucketed": LSH_TOPK_SQL,
     "similarity_label_centroids": CENTROIDS_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
 }

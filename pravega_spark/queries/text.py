@@ -59,8 +59,8 @@ FROM documents GROUP BY lang ORDER BY lang
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features: token count, stopword ratio, mean word
     length, and a composite keep/drop bucket (pipeline-filter shape)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", _tokens(F.col("text")))
+    toks = F.col("w")  # split materialized once, not per reference
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     mean_len = F.round((F.length(F.col("text")) - n_tok + 1) / n_tok, 4)
@@ -117,8 +117,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A real n-gram model is a drop-in: the operator shape — tokenize,
     per-language score, argmax — is what the gate checks.)
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", _tokens(F.col("text")))
+    toks = F.col("w")  # split once; 5 marker filters reuse the array
     scored = docs.select(
         "doc_id",
         "lang",
@@ -238,15 +238,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzduplicate marker")).alias("text"),
     )
-    pool = docs.unionByName(dup)
-    words = _tokens(F.col("text"))
-    sh = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    # split materialized once (see dedup_ngram_jaccard: transform lambdas
+    # re-evaluate captured expressions per element)
+    pool = docs.unionByName(dup).withColumn("w", _tokens(F.col("text")))
+    sh = F.expr(
+        "CASE WHEN size(w) >= 3 "
+        "THEN transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])) "
+        "ELSE array(concat_ws(' ', w)) END"
+    )
     return pool.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
@@ -348,6 +347,112 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------- n-gram jaccard (exact, inverted-index)
+_DF_CAP = 25  # max docs sharing a shingle before it's dropped as non-discriminative
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: candidate pairs from an inverted
+    shingle index (docs sharing ≥1 bigram within the same language),
+    exact Jaccard ≥ 0.5 — the no-LSH exact twin of the MinHash path.
+
+    Scale shape: the shingle→doc inverted index turns all-pairs into a
+    per-shingle self-join; language is a blocking key so buckets stay
+    small. At 100 TB add a document-frequency cap on hot shingles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dup = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" tail variation")).alias("text"),
+    )
+    # materialize the split ONCE as a column: a split referenced inside a
+    # transform() lambda is re-evaluated per element (no CSE inside
+    # higher-order functions) — 8x slower measured
+    pool = docs.unionByName(dup).withColumn("w", _tokens(F.col("text")))
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 "
+        "THEN transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i])) "
+        "ELSE array(concat_ws(' ', w)) END"
+    )
+    all_sh = pool.select(
+        "doc_id", "lang", F.explode(F.array_distinct(bigrams)).alias("shingle")
+    )
+    # document-frequency cap: shingles shared by many docs are stopword
+    # bigrams — non-discriminative for jaccard>=0.5 pairs but quadratic
+    # in the index join. Dropping df>_DF_CAP keeps per-shingle join
+    # fan-out bounded at ANY corpus size (jaccard is then defined over
+    # the discriminative shingle sets; the oracle applies the same cap).
+    # One window over the (lang,shingle) shuffle computes df in-place —
+    # no second explode pass, no anti-join.
+    sh = (
+        all_sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("lang", "shingle"))
+        )
+        .filter(F.col("df") <= _DF_CAP)
+        .drop("df")
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), ["lang", "shingle"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_DUCK_NGRAM_POOL = """
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, lang, text || ' tail variation' FROM documents WHERE doc_id % 7 = 0
+"""
+
+NGRAM_JACCARD_SQL = f"""
+WITH pool AS ({_DUCK_NGRAM_POOL}),
+all_sh AS (
+  SELECT DISTINCT doc_id, lang, shingle FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(
+             range(1, greatest(len(string_split_regex(trim(text), ' +')), 2)),
+             i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+1], ' '))) AS shingle
+    FROM pool
+  )
+),
+hot AS (
+  SELECT lang, shingle FROM all_sh GROUP BY lang, shingle HAVING count(*) > {_DF_CAP}
+),
+sh AS (
+  SELECT a.* FROM all_sh a
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.lang = a.lang AND h.shingle = a.shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------- simhash
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: per-token 16-bit hash, bitwise
@@ -399,6 +504,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
 }
 
@@ -410,5 +516,6 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signatures": MINHASH_SIG_SQL,
     "dedup_minhash_pairs": MINHASH_PAIRS_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": SIMHASH_SQL,
 }
