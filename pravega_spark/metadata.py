@@ -193,11 +193,34 @@ class MetadataStore:
         self._write(self._doc_path(scope, stream, "epochs.json"), epochs)
         return new
 
+    def segments_doc(self, scope: str, stream: str) -> dict:
+        """Full segments document: the single atomic commit point of the
+        data plane. Shape: ``{"segments": {sid: {sealed, head_offset,
+        tail_offset, event_count, files}}, "writer_seqs": {...},
+        "committed_txns": [...]}``. ``files`` is the manifest — ONLY
+        listed parquet files are visible to readers, which is what makes
+        a crash between parquet append and this doc's write safe (orphan
+        files are invisible; a retry commits fresh files). writer_seqs /
+        committed_txns ride in the same doc so exactly-once markers are
+        atomic WITH visibility (no window where data is visible but the
+        dedup marker is missing)."""
+        doc = self._read(self._doc_path(scope, stream, "segments.json"), {})
+        if "segments" not in doc:  # migrate pre-manifest flat layout
+            doc = {"segments": doc}
+        doc.setdefault("writer_seqs", {})
+        doc.setdefault("committed_txns", [])
+        return doc
+
+    def put_segments_doc(self, scope: str, stream: str, doc: dict) -> None:
+        self._write(self._doc_path(scope, stream, "segments.json"), doc)
+
     def get_segments(self, scope: str, stream: str) -> dict[str, dict]:
-        return self._read(self._doc_path(scope, stream, "segments.json"), {})
+        return self.segments_doc(scope, stream)["segments"]
 
     def put_segments(self, scope: str, stream: str, segs: dict[str, dict]) -> None:
-        self._write(self._doc_path(scope, stream, "segments.json"), segs)
+        doc = self.segments_doc(scope, stream)
+        doc["segments"] = segs
+        self.put_segments_doc(scope, stream, doc)
 
     def tail_offsets(self, scope: str, stream: str) -> dict[int, int]:
         return {int(k): v["tail_offset"] for k, v in self.get_segments(scope, stream).items()}

@@ -134,13 +134,16 @@ class Transaction:
         if st != self.OPEN:
             raise TxnFailedException(f"txn {self.txn_id} is {st}")
         spark = self.store.spark
-        if doc[self.txn_id]["parts"] > 0:
+        already = self.txn_id in self.store.meta.segments_doc(self.scope, self.stream)["committed_txns"]
+        if doc[self.txn_id]["parts"] > 0 and not already:
             staged = spark.read.option("basePath", self.staging_path).parquet(
                 os.path.join(self.staging_path, "part=*")
             )
             # stable order: by write_events call, then arrival within call
             staged = staged.withColumn("_seq", F.col("part") * F.lit(1 << 40) + F.col("_seq")).drop("part")
-            self.store._commit_rows(self.scope, self.stream, staged)
+            # txn marker commits atomically with the data: a crash before
+            # the status flip can't double-apply on retry
+            self.store._commit_rows(self.scope, self.stream, staged, txn_marker=self.txn_id)
         doc[self.txn_id]["status"] = self.COMMITTED
         doc[self.txn_id]["commit_time"] = int(time.time() * 1000)
         self.store.meta.put_txn_doc(self.scope, self.stream, doc)
@@ -248,17 +251,17 @@ class StreamStore:
         info = self.meta.get_stream(scope, stream)
         if info["sealed"]:
             raise StreamSealedException(f"{scope}/{stream} is sealed")
+        writer_marker = None
         if writer_id is not None and batch_seq is not None:
             if batch_seq <= self._writer_seq(scope, stream).get(writer_id, -1):
                 return self.meta.tail_offsets(scope, stream)  # duplicate retry
+            writer_marker = (writer_id, batch_seq)
         staged = self._with_arrival_seq(df, routing_key_col)
         if event_time_col and event_time_col != EVENT_TIME:
             staged = staged.withColumn(EVENT_TIME, F.col(event_time_col).cast("timestamp"))
-        tails = self._commit_rows(scope, stream, staged)
-        if writer_id is not None and batch_seq is not None:
-            seqs = self._writer_seq(scope, stream)
-            seqs[writer_id] = batch_seq
-            self.meta._write(self.meta._doc_path(scope, stream, "writer_seqs.json"), seqs)
+        # the seq marker commits atomically WITH visibility (same doc), so
+        # a crash anywhere leaves either both or neither — retries dedup
+        tails = self._commit_rows(scope, stream, staged, writer_marker=writer_marker)
         if note_time and writer_id is not None and EVENT_TIME in staged.columns:
             row = staged.agg(F.max(EVENT_TIME).alias("m")).collect()[0]
             if row["m"] is not None:
@@ -266,15 +269,39 @@ class StreamStore:
         return tails
 
     def _writer_seq(self, scope: str, stream: str) -> dict:
-        return self.meta._read(self.meta._doc_path(scope, stream, "writer_seqs.json"), {})
+        return self.meta.segments_doc(scope, stream)["writer_seqs"]
 
-    def _commit_rows(self, scope: str, stream: str, staged: DataFrame) -> dict[int, int]:
+    @staticmethod
+    def _list_data_files(path: str) -> set[str]:
+        """Relative paths of parquet data files under a stream dir."""
+        out: set[str] = set()
+        if not os.path.isdir(path):
+            return out
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    out.add(os.path.relpath(os.path.join(dirpath, f), path))
+        return out
+
+    def _commit_rows(
+        self,
+        scope: str,
+        stream: str,
+        staged: DataFrame,
+        writer_marker: tuple[str, int] | None = None,
+        txn_marker: str | None = None,
+    ) -> dict[int, int]:
         """Assign segments + contiguous offsets and commit atomically.
 
-        Single commit point per batch (SURVEY §7 hard part 1): offsets =
-        base tail + row_number within segment ordered by arrival seq.
-        Visibility flips only when the metadata write lands, after the
-        Parquet append succeeded.
+        Single commit point per batch (SURVEY §7 hard parts 1+2): offsets
+        = base tail + row_number within segment ordered by arrival seq.
+        Visibility is manifest-based — the segments doc lists the
+        committed parquet files per segment, and that one atomic JSON
+        write (os.replace; on S3/HDFS a conditional-put manifest) flips
+        data + offsets + file manifest + exactly-once markers together.
+        A crash after the parquet append but before the doc write leaves
+        orphan files that no reader sees; a retry appends fresh files at
+        the SAME offsets without duplicates (fsck_stream reaps orphans).
         """
         ranges = self.meta.active_ranges(scope, stream)
         tails = self.meta.tail_offsets(scope, stream)
@@ -288,19 +315,49 @@ class StreamStore:
         )
         if EVENT_TIME not in out.columns:
             out = out.withColumn(EVENT_TIME, F.lit(None).cast("timestamp"))
+        path = self._stream_path(scope, stream)
+        before = self._list_data_files(path)
         out = out.persist()
         try:
             counts = {r[SEGMENT_ID]: r["n"] for r in out.groupBy(SEGMENT_ID).agg(F.count("*").alias("n")).collect()}
-            out.write.mode("append").partitionBy(SEGMENT_ID).parquet(self._stream_path(scope, stream))
+            out.write.mode("append").partitionBy(SEGMENT_ID).parquet(path)
         finally:
             out.unpersist()
-        segs = self.meta.get_segments(scope, stream)
+        new_files: dict[int, list[str]] = {}
+        for f in self._list_data_files(path) - before:
+            seg_part = f.split(os.sep, 1)[0]
+            if seg_part.startswith("segment_id="):
+                new_files.setdefault(int(seg_part.split("=", 1)[1]), []).append(f)
+        doc = self.meta.segments_doc(scope, stream)
+        segs = doc["segments"]
         for sid, n in counts.items():
-            s = segs.setdefault(str(sid), {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0})
+            s = segs.setdefault(
+                str(sid), {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0}
+            )
             s["tail_offset"] += n
             s["event_count"] += n
-        self.meta.put_segments(scope, stream, segs)
+            s["files"] = s.get("files", []) + sorted(new_files.get(sid, []))
+        if writer_marker is not None:
+            doc["writer_seqs"][writer_marker[0]] = writer_marker[1]
+        if txn_marker is not None:
+            doc["committed_txns"].append(txn_marker)
+        self.meta.put_segments_doc(scope, stream, doc)
         return {int(k): v["tail_offset"] for k, v in segs.items()}
+
+    def fsck_stream(self, scope: str, stream: str) -> list[str]:
+        """Reap orphan parquet files (crashed commits / compactions):
+        anything on disk that no manifest entry references."""
+        path = self._stream_path(scope, stream)
+        manifest = {
+            f for s in self.meta.get_segments(scope, stream).values() for f in s.get("files", [])
+        }
+        orphans = sorted(self._list_data_files(path) - manifest)
+        for f in orphans:
+            try:
+                os.remove(os.path.join(path, f))
+            except FileNotFoundError:
+                pass
+        return orphans
 
     # ================= transactions (X1-X2) =================
     def begin_txn(self, scope: str, stream: str, lease_ms: int = DEFAULT_TXN_LEASE_MS) -> Transaction:
@@ -344,12 +401,20 @@ class StreamStore:
     # ================= read path (R4-R8) =================
     def _raw_read(self, scope: str, stream: str) -> DataFrame:
         path = self._stream_path(scope, stream)
-        if not os.path.isdir(path):
+        segs = self.meta.get_segments(scope, stream)
+        manifest = [f for s in segs.values() for f in s.get("files", [])]
+        if manifest:
+            # manifest-based visibility: ONLY committed files are read, so
+            # orphans from crashed commits can never surface duplicates
+            return self.spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, f) for f in manifest]
+            )
+        if not os.path.isdir(path) or not any(s.get("tail_offset", 0) for s in segs.values()):
             # empty stream: synthesize empty frame with the envelope schema
             return self.spark.createDataFrame(
                 [], f"{ROUTING_KEY} string, {EVENT_TIME} timestamp, {INGEST_TIME} timestamp, {SEGMENT_ID} bigint, {OFFSET} bigint"
             )
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(path)  # pre-manifest layout
 
     def read(
         self,
@@ -482,18 +547,42 @@ class StreamStore:
         path = self._stream_path(scope, stream)
         if not os.path.isdir(path):
             return
-        df = self.spark.read.parquet(path)
+        df = self._raw_read(scope, stream)
         cond = None
         for sid, head in heads.items():
             c = (F.col(SEGMENT_ID) == sid) & (F.col(OFFSET) >= head) & (F.col(OFFSET) < tails.get(sid, 0))
             cond = c if cond is None else (cond | c)
         live = df.filter(cond) if cond is not None else df.limit(0)
+        # manifest-safe compaction: write rewritten files NEXT TO the old
+        # ones (unique names), then flip the manifest in one doc write —
+        # readers see either the old or the new file set, never neither.
+        # A crash before the flip leaves invisible orphans (fsck reaps).
         tmp = f"{path}.compact.{uuid.uuid4().hex[:8]}"
         live.repartition(SEGMENT_ID).write.mode("overwrite").partitionBy(SEGMENT_ID).parquet(tmp)
-        old = f"{path}.old.{uuid.uuid4().hex[:8]}"
-        os.replace(path, old)
-        os.replace(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        tag = uuid.uuid4().hex[:8]
+        new_files: dict[int, list[str]] = {}
+        for rel in sorted(self._list_data_files(tmp)):
+            seg_part = rel.split(os.sep, 1)[0]
+            if not seg_part.startswith("segment_id="):
+                continue
+            sid = int(seg_part.split("=", 1)[1])
+            dst_rel = os.path.join(seg_part, f"compact-{tag}-{os.path.basename(rel)}")
+            os.makedirs(os.path.join(path, seg_part), exist_ok=True)
+            os.replace(os.path.join(tmp, rel), os.path.join(path, dst_rel))
+            new_files.setdefault(sid, []).append(dst_rel)
+        shutil.rmtree(tmp, ignore_errors=True)
+        doc = self.meta.segments_doc(scope, stream)
+        old_files = []
+        for sid_str, s in doc["segments"].items():
+            old_files += s.get("files", [])
+            s["files"] = new_files.get(int(sid_str), [])
+            s["head_offset"] = max(s["head_offset"], heads.get(int(sid_str), 0))
+        self.meta.put_segments_doc(scope, stream, doc)  # visibility flip
+        for rel in old_files:  # now-invisible originals
+            try:
+                os.remove(os.path.join(path, rel))
+            except FileNotFoundError:
+                pass
 
     # ================= scaling (S4-S5) =================
     def scale_stream(

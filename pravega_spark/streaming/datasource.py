@@ -60,11 +60,15 @@ ENVELOPE = StructType(
 
 
 class SegmentSlice(InputPartition):
-    def __init__(self, path: str, segment_id: int, start: int, end: int):
+    def __init__(self, path: str, segment_id: int, start: int, end: int,
+                 files: list[str] | None = None):
         self.path = path
         self.segment_id = segment_id
         self.start = start
         self.end = end
+        # manifest: committed files for this segment (relative to path).
+        # None = pre-manifest stream (read the whole segment dir).
+        self.files = files
 
 
 def _read_slice(sl: SegmentSlice):
@@ -72,9 +76,15 @@ def _read_slice(sl: SegmentSlice):
     import pyarrow.dataset as ds
 
     seg_dir = os.path.join(sl.path, f"segment_id={sl.segment_id}")
-    if not os.path.isdir(seg_dir):
+    if sl.files is not None:
+        paths = [os.path.join(sl.path, f) for f in sl.files]
+        if not paths:
+            return
+        dataset = ds.dataset(paths, format="parquet")
+    elif os.path.isdir(seg_dir):
+        dataset = ds.dataset(seg_dir, format="parquet")
+    else:
         return
-    dataset = ds.dataset(seg_dir, format="parquet")
     flt = (ds.field("offset") >= sl.start) & (ds.field("offset") < sl.end)
     names = [f.name for f in ENVELOPE.fields]
     have = set(dataset.schema.names)
@@ -110,24 +120,29 @@ def _read_slice(sl: SegmentSlice):
         yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
 
-def _load_tails(root: str, scope: str, stream: str) -> dict[int, int]:
+def _load_segments(root: str, scope: str, stream: str) -> dict[str, dict]:
     p = os.path.join(root, "_metadata", scope, stream, "segments.json")
     try:
         with open(p) as f:
             doc = json.load(f)
     except FileNotFoundError:
         return {}
-    return {int(k): v["tail_offset"] for k, v in doc.items()}
+    return doc["segments"] if "segments" in doc else doc
+
+
+def _load_tails(root: str, scope: str, stream: str) -> dict[int, int]:
+    return {int(k): v["tail_offset"] for k, v in _load_segments(root, scope, stream).items()}
 
 
 def _load_heads(root: str, scope: str, stream: str) -> dict[int, int]:
-    p = os.path.join(root, "_metadata", scope, stream, "segments.json")
-    try:
-        with open(p) as f:
-            doc = json.load(f)
-    except FileNotFoundError:
-        return {}
-    return {int(k): v["head_offset"] for k, v in doc.items()}
+    return {int(k): v["head_offset"] for k, v in _load_segments(root, scope, stream).items()}
+
+
+def _load_files(root: str, scope: str, stream: str) -> dict[int, list[str] | None]:
+    """Per-segment committed-file manifest; None = pre-manifest stream."""
+    return {
+        int(k): v.get("files") for k, v in _load_segments(root, scope, stream).items()
+    }
 
 
 class PravegaStreamReader(DataSourceStreamReader):
@@ -189,12 +204,13 @@ class PravegaStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         self._advance(end)  # authoritative plan boundary
+        files = _load_files(self.root, self.scope, self.stream)
         out = []
         for sid, hi in end.items():
             lo = int(start.get(sid, 0))
             hi = int(hi)
             if hi > lo:
-                out.append(SegmentSlice(self.path, int(sid), lo, hi))
+                out.append(SegmentSlice(self.path, int(sid), lo, hi, files.get(int(sid))))
         return out or [SegmentSlice(self.path, -1, 0, 0)]
 
     def read(self, partition: SegmentSlice) -> Iterator:
