@@ -68,6 +68,48 @@ def _bench_stream_write(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
+    """Per-commit write latency distribution — the reference's own
+    benchmark dimension (BASELINE.md reports p50/p75/p95/p99 for
+    pravega-benchmark appends). One micro-batch here = one durable,
+    exactly-once commit (hash routing + offset assignment + manifest
+    flip), the engine's equivalent of a batched append ack."""
+    import shutil
+    import tempfile
+
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+    from pravega_spark.sources import load_table
+    from pravega_spark.store import StreamStore
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="pvs_lat_")
+    try:
+        store = StreamStore(spark, root)
+        store.create_scope("bench")
+        store.create_stream("bench", "lat", StreamConfiguration(scaling=ScalingPolicy.fixed(4)))
+        ev = load_table(spark, sf_dir, "events").limit(n_batches * 500).cache()
+        ev.count()
+        lats = []
+        for b in range(n_batches):
+            batch = ev.filter(F.col("event_id") % n_batches == b)
+            t0 = time.perf_counter()
+            store.write_events(
+                "bench", "lat", batch, routing_key_col="user_id",
+                event_time_col="ts", writer_id="lat", batch_seq=b,
+            )
+            lats.append((time.perf_counter() - t0) * 1000)
+        ev.unpersist()
+        lats.sort()
+        pct = lambda p: round(lats[min(len(lats) - 1, int(p * len(lats)))], 1)
+        out = {"p50_ms": pct(0.50), "p75_ms": pct(0.75), "p95_ms": pct(0.95),
+               "p99_ms": pct(0.99), "max_ms": round(lats[-1], 1),
+               "avg_ms": round(sum(lats) / len(lats), 1), "batches": n_batches}
+        print(f"# write_latency: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pravega_spark.queries import queries
@@ -92,6 +134,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     timings["stream_write_events"] = _bench_stream_write(spark, sf_dir)
+    latency = _bench_write_latency(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -105,6 +148,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "write_latency": latency,
                 "sf": sf_val,
             }
         )

@@ -1,0 +1,169 @@
+"""Filesystem adapter: the storage-binding layer.
+
+The reference ships long-term-storage bindings for filesystem, HDFS,
+S3, GCS and Azure (``bindings/src/main/java/io/pravega/storage/*``).
+Here the *data* plane already speaks any Hadoop-compatible URI through
+Spark itself; this module gives the *control* plane (metadata JSON
+documents, file manifests, fsck/compaction file ops) the same reach:
+
+- schemeless roots use the local filesystem via ``os``/stdlib (fast
+  path, what tests run on);
+- URI roots (``hdfs://``, ``s3://``/``s3a://``, ``gs://`` …) go through
+  ``pyarrow.fs`` — which is also importable inside Python data source
+  workers, where no JVM/py4j is available.
+
+Atomicity of the manifest write (the engine's single commit point,
+store.py ``_commit_rows``) per backend:
+- local/HDFS: write-temp + atomic rename;
+- S3/GCS: no rename, but a single-object PUT is itself atomic — the
+  manifest either lands in full or not at all, which is all the
+  protocol needs (readers never see a torn document).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}  # spark scheme -> pyarrow scheme
+
+
+def _split(path: str):
+    """Return (pyarrow_fs_or_None, normalized_path)."""
+    if "://" not in path:
+        return None, path
+    scheme, rest = path.split("://", 1)
+    scheme = _SCHEME_ALIASES.get(scheme, scheme)
+    # file:// intentionally goes through pyarrow too: it keeps the
+    # object-store code path exercised by ordinary local test runs
+    from pyarrow import fs as pafs
+
+    f, p = pafs.FileSystem.from_uri(f"{scheme}://{rest}")
+    return f, p
+
+
+def read_json(path: str, default):
+    f, p = _split(path)
+    if f is None:
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return default
+    try:
+        with f.open_input_stream(p) as fh:
+            return json.loads(fh.read().decode("utf-8"))
+    except FileNotFoundError:
+        return default
+
+
+def write_json_atomic(path: str, doc) -> None:
+    payload = json.dumps(doc).encode("utf-8")
+    f, p = _split(path)
+    if f is None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, p)  # atomic on POSIX
+        return
+    from pyarrow import fs as pafs
+
+    info = f.get_file_info(p.rsplit("/", 1)[0])
+    if info.type == pafs.FileType.NotFound:
+        f.create_dir(p.rsplit("/", 1)[0], recursive=True)
+    # object stores: single-object PUT is atomic; HDFS via pyarrow also
+    # exposes rename if ever needed, but a full-object write suffices
+    with f.open_output_stream(p) as fh:
+        fh.write(payload)
+
+
+def isdir(path: str) -> bool:
+    f, p = _split(path)
+    if f is None:
+        return os.path.isdir(p)
+    from pyarrow import fs as pafs
+
+    return f.get_file_info(p).type == pafs.FileType.Directory
+
+
+def list_files_recursive(path: str) -> set[str]:
+    """Relative paths of regular files under ``path`` (empty if absent)."""
+    f, p = _split(path)
+    out: set[str] = set()
+    if f is None:
+        if not os.path.isdir(p):
+            return out
+        for dirpath, _dirs, files in os.walk(p):
+            for name in files:
+                out.add(os.path.relpath(os.path.join(dirpath, name), p))
+        return out
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(p, recursive=True, allow_not_found=True)
+    for info in f.get_file_info(sel):
+        if info.type == pafs.FileType.File:
+            out.add(os.path.relpath(info.path, p))
+    return out
+
+
+def remove(path: str) -> None:
+    f, p = _split(path)
+    if f is None:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+        return
+    try:
+        f.delete_file(p)
+    except FileNotFoundError:
+        pass
+
+
+def move(src: str, dst: str) -> None:
+    f, p_src = _split(src)
+    f2, p_dst = _split(dst)
+    if f is None:
+        os.makedirs(os.path.dirname(p_dst), exist_ok=True)
+        os.replace(p_src, p_dst)
+        return
+    f.move(p_src, p_dst)
+
+
+def rmtree(path: str) -> None:
+    f, p = _split(path)
+    if f is None:
+        shutil.rmtree(p, ignore_errors=True)
+        return
+    try:
+        f.delete_dir(p)
+    except FileNotFoundError:
+        pass
+
+
+def makedirs(path: str) -> None:
+    f, p = _split(path)
+    if f is None:
+        os.makedirs(p, exist_ok=True)
+        return
+    f.create_dir(p, recursive=True)
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from the parquet footer — no Spark job, no data read."""
+    import pyarrow.parquet as pq
+
+    f, p = _split(path)
+    if f is None:
+        return pq.read_metadata(p).num_rows
+    return pq.read_metadata(p, filesystem=f).num_rows
+
+
+def join(*parts: str) -> str:
+    """Path join that leaves URI schemes intact ('/' separator)."""
+    if "://" in parts[0]:
+        return "/".join(s.strip("/") if i else s.rstrip("/") for i, s in enumerate(parts))
+    return os.path.join(*parts)

@@ -7,14 +7,17 @@ state, the epoch chain (segment key ranges and the successor graph),
 per-segment head/tail offsets, named StreamCuts, transactions, writer
 marks, watermarks, and subscriber cuts.
 
-Storage is small JSON documents under ``<root>/_metadata/`` written with
-write-temp-then-``os.replace`` so each document update is atomic. The
-control plane is driver-side by design: at 100 TB the *data* is big, the
+Storage is small JSON documents under ``<root>/_metadata/`` written
+atomically through :mod:`pravega_spark.fsio` (local: temp+rename;
+object stores: whole-object PUT — atomic per object). The control
+plane is driver-side by design: at 100 TB the *data* is big, the
 metadata is a few KB per stream — exactly how the reference separates
-controller (metadata) from segment store (data). On a real deployment
-this directory lives on shared storage (S3/HDFS); only the driver of a
-maintenance/writer job mutates a given stream's documents (the reference
-serializes stream mutations through its controller the same way).
+controller (metadata) from segment store (data). The root may be any
+URI both Spark and pyarrow.fs understand (``hdfs://``, ``s3a://`` …,
+mirroring the reference's storage bindings in ``bindings/.../storage``);
+only the driver of a maintenance/writer job mutates a given stream's
+documents (the reference serializes stream mutations through its
+controller the same way).
 """
 
 from __future__ import annotations
@@ -22,8 +25,8 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 
+from pravega_spark import fsio
 from pravega_spark.config import StreamConfiguration
 from pravega_spark.errors import ScopeNotFoundException, StreamNotFoundException
 
@@ -48,26 +51,18 @@ def _now_ms() -> int:
 class MetadataStore:
     def __init__(self, root: str):
         self.root = root
-        self.meta_root = os.path.join(root, "_metadata")
-        os.makedirs(self.meta_root, exist_ok=True)
+        self.meta_root = fsio.join(root, "_metadata")
+        fsio.makedirs(self.meta_root)
 
-    # ---------- low-level doc I/O ----------
+    # ---------- low-level doc I/O (local or object store, fsio.py) ----------
     def _doc_path(self, *parts: str) -> str:
-        return os.path.join(self.meta_root, *parts)
+        return fsio.join(self.meta_root, *parts)
 
     def _read(self, path: str, default):
-        try:
-            with open(path) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return default
+        return fsio.read_json(path, default)
 
     def _write(self, path: str, doc) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        os.replace(tmp, path)  # atomic on POSIX
+        fsio.write_json_atomic(path, doc)
 
     # ---------- scopes (StreamManager.createScope etc.) ----------
     def create_scope(self, scope: str) -> bool:
@@ -148,23 +143,22 @@ class MetadataStore:
         segs = self.get_segments(scope, stream)
         for s in segs.values():
             s["sealed"] = True
-        self._write(self._doc_path(scope, stream, "segments.json"), segs)
+        self.put_segments(scope, stream, segs)  # preserves manifest doc keys
 
     def delete_stream(self, scope: str, stream: str) -> None:
         doc = self.get_stream(scope, stream)
         if not doc["sealed"]:
             raise StreamNotFoundException(f"{scope}/{stream} must be sealed before delete")
-        import shutil
-
-        shutil.rmtree(os.path.dirname(self._stream_doc(scope, stream)), ignore_errors=True)
+        fsio.rmtree(self._doc_path(scope, stream))
 
     def list_streams(self, scope: str, tag: str | None = None) -> list[str]:
         d = self._doc_path(scope)
-        if not os.path.isdir(d):
-            return []
+        names = sorted(
+            {f.split(os.sep, 1)[0] for f in fsio.list_files_recursive(d) if os.sep in f}
+        )
         out = []
-        for name in sorted(os.listdir(d)):
-            doc = self._read(os.path.join(d, name, "stream.json"), None)
+        for name in names:
+            doc = self._read(fsio.join(d, name, "stream.json"), None)
             if doc is None:
                 continue
             if tag is None or tag in doc["config"].get("tags", []):

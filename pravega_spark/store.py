@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pravega_spark.config import StreamConfiguration
+from pravega_spark import fsio
 from pravega_spark.errors import (
     InvalidStreamCutException,
     StreamNotFoundException,
@@ -89,7 +90,7 @@ class Transaction:
 
     @property
     def staging_path(self) -> str:
-        return os.path.join(self.store.root, "_txn_staging", self.scope, self.stream, self.txn_id)
+        return fsio.join(self.store.root, "_txn_staging", self.scope, self.stream, self.txn_id)
 
     def _doc(self) -> dict:
         doc = self.store.meta.txn_doc(self.scope, self.stream)
@@ -115,7 +116,7 @@ class Transaction:
         staged = self.store._with_arrival_seq(df, routing_key_col)
         # one sub-dir per write_events call keeps arrival order across calls
         part = f"part={doc[self.txn_id]['parts']}"
-        staged.write.mode("append").parquet(os.path.join(self.staging_path, part))
+        staged.write.mode("append").parquet(fsio.join(self.staging_path, part))
         doc[self.txn_id]["parts"] += 1
         self.store.meta.put_txn_doc(self.scope, self.stream, doc)
 
@@ -137,7 +138,7 @@ class Transaction:
         already = self.txn_id in self.store.meta.segments_doc(self.scope, self.stream)["committed_txns"]
         if doc[self.txn_id]["parts"] > 0 and not already:
             staged = spark.read.option("basePath", self.staging_path).parquet(
-                os.path.join(self.staging_path, "part=*")
+                fsio.join(self.staging_path, "part=*")
             )
             # stable order: by write_events call, then arrival within call
             staged = staged.withColumn("_seq", F.col("part") * F.lit(1 << 40) + F.col("_seq")).drop("part")
@@ -150,7 +151,7 @@ class Transaction:
         if timestamp_ms is not None:
             # Transaction.commit(timestamp) also notes writer time (Transaction.java:97)
             self.store.note_time(self.scope, self.stream, f"txn-{self.txn_id}", timestamp_ms)
-        shutil.rmtree(self.staging_path, ignore_errors=True)
+        fsio.rmtree(self.staging_path)
 
     def abort(self) -> None:
         doc = self._doc()
@@ -161,7 +162,7 @@ class Transaction:
             raise TxnFailedException(f"txn {self.txn_id} is {st}")
         doc[self.txn_id]["status"] = self.ABORTED
         self.store.meta.put_txn_doc(self.scope, self.stream, doc)
-        shutil.rmtree(self.staging_path, ignore_errors=True)
+        fsio.rmtree(self.staging_path)
 
 
 class StreamStore:
@@ -170,7 +171,7 @@ class StreamStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        fsio.makedirs(root)
         self.meta = MetadataStore(root)
 
     # ================= DDL (D1-D7) =================
@@ -198,7 +199,7 @@ class StreamStore:
 
     def delete_stream(self, scope: str, stream: str) -> None:
         self.meta.delete_stream(scope, stream)
-        shutil.rmtree(self._stream_path(scope, stream), ignore_errors=True)
+        fsio.rmtree(self._stream_path(scope, stream))
 
     def list_streams(self, scope: str, tag: str | None = None) -> list[str]:
         return self.meta.list_streams(scope, tag)
@@ -211,7 +212,7 @@ class StreamStore:
 
     # ================= write path (W1-W4, G1) =================
     def _stream_path(self, scope: str, stream: str) -> str:
-        return os.path.join(self.root, "streams", scope, stream)
+        return fsio.join(self.root, "streams", scope, stream)
 
     @staticmethod
     def _with_arrival_seq(df: DataFrame, routing_key_col: str) -> DataFrame:
@@ -274,14 +275,11 @@ class StreamStore:
     @staticmethod
     def _list_data_files(path: str) -> set[str]:
         """Relative paths of parquet data files under a stream dir."""
-        out: set[str] = set()
-        if not os.path.isdir(path):
-            return out
-        for dirpath, _dirs, files in os.walk(path):
-            for f in files:
-                if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                    out.add(os.path.relpath(os.path.join(dirpath, f), path))
-        return out
+        return {
+            f
+            for f in fsio.list_files_recursive(path)
+            if f.endswith(".parquet") and not os.path.basename(f).startswith(("_", "."))
+        }
 
     def _commit_rows(
         self,
@@ -317,20 +315,25 @@ class StreamStore:
             out = out.withColumn(EVENT_TIME, F.lit(None).cast("timestamp"))
         path = self._stream_path(scope, stream)
         before = self._list_data_files(path)
-        out = out.persist()
-        try:
-            counts = {r[SEGMENT_ID]: r["n"] for r in out.groupBy(SEGMENT_ID).agg(F.count("*").alias("n")).collect()}
-            out.write.mode("append").partitionBy(SEGMENT_ID).parquet(path)
-        finally:
-            out.unpersist()
+        # ONE Spark job: the write itself. Per-segment row counts come
+        # from the new files' parquet footers afterwards (driver-side
+        # metadata reads, no second job / no persist) — halves the
+        # per-commit latency floor vs a count action + write action.
+        out.write.mode("append").partitionBy(SEGMENT_ID).parquet(path)
         new_files: dict[int, list[str]] = {}
         for f in self._list_data_files(path) - before:
             seg_part = f.split(os.sep, 1)[0]
             if seg_part.startswith("segment_id="):
                 new_files.setdefault(int(seg_part.split("=", 1)[1]), []).append(f)
+        counts = {
+            sid: sum(fsio.parquet_num_rows(fsio.join(path, f)) for f in files)
+            for sid, files in new_files.items()
+        }
         doc = self.meta.segments_doc(scope, stream)
         segs = doc["segments"]
         for sid, n in counts.items():
+            if n == 0:
+                continue
             s = segs.setdefault(
                 str(sid), {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0}
             )
@@ -353,10 +356,7 @@ class StreamStore:
         }
         orphans = sorted(self._list_data_files(path) - manifest)
         for f in orphans:
-            try:
-                os.remove(os.path.join(path, f))
-            except FileNotFoundError:
-                pass
+            fsio.remove(fsio.join(path, f))
         return orphans
 
     # ================= transactions (X1-X2) =================
@@ -407,9 +407,9 @@ class StreamStore:
             # manifest-based visibility: ONLY committed files are read, so
             # orphans from crashed commits can never surface duplicates
             return self.spark.read.option("basePath", path).parquet(
-                *[os.path.join(path, f) for f in manifest]
+                *[fsio.join(path, f) for f in manifest]
             )
-        if not os.path.isdir(path) or not any(s.get("tail_offset", 0) for s in segs.values()):
+        if not fsio.isdir(path) or not any(s.get("tail_offset", 0) for s in segs.values()):
             # empty stream: synthesize empty frame with the envelope schema
             return self.spark.createDataFrame(
                 [], f"{ROUTING_KEY} string, {EVENT_TIME} timestamp, {INGEST_TIME} timestamp, {SEGMENT_ID} bigint, {OFFSET} bigint"
@@ -545,7 +545,7 @@ class StreamStore:
         heads = self.meta.head_offsets(scope, stream)
         tails = self.meta.tail_offsets(scope, stream)
         path = self._stream_path(scope, stream)
-        if not os.path.isdir(path):
+        if not fsio.isdir(path):
             return
         df = self._raw_read(scope, stream)
         cond = None
@@ -567,10 +567,9 @@ class StreamStore:
                 continue
             sid = int(seg_part.split("=", 1)[1])
             dst_rel = os.path.join(seg_part, f"compact-{tag}-{os.path.basename(rel)}")
-            os.makedirs(os.path.join(path, seg_part), exist_ok=True)
-            os.replace(os.path.join(tmp, rel), os.path.join(path, dst_rel))
+            fsio.move(fsio.join(tmp, rel), fsio.join(path, dst_rel))
             new_files.setdefault(sid, []).append(dst_rel)
-        shutil.rmtree(tmp, ignore_errors=True)
+        fsio.rmtree(tmp)
         doc = self.meta.segments_doc(scope, stream)
         old_files = []
         for sid_str, s in doc["segments"].items():
@@ -579,10 +578,7 @@ class StreamStore:
             s["head_offset"] = max(s["head_offset"], heads.get(int(sid_str), 0))
         self.meta.put_segments_doc(scope, stream, doc)  # visibility flip
         for rel in old_files:  # now-invisible originals
-            try:
-                os.remove(os.path.join(path, rel))
-            except FileNotFoundError:
-                pass
+            fsio.remove(fsio.join(path, rel))
 
     # ================= scaling (S4-S5) =================
     def scale_stream(

@@ -121,12 +121,11 @@ def _read_slice(sl: SegmentSlice):
 
 
 def _load_segments(root: str, scope: str, stream: str) -> dict[str, dict]:
-    p = os.path.join(root, "_metadata", scope, stream, "segments.json")
-    try:
-        with open(p) as f:
-            doc = json.load(f)
-    except FileNotFoundError:
-        return {}
+    # fsio (local or pyarrow.fs) — this runs inside data source workers
+    # where no JVM is available, so object-store roots must not need py4j
+    from pravega_spark import fsio
+
+    doc = fsio.read_json(fsio.join(root, "_metadata", scope, stream, "segments.json"), {})
     return doc["segments"] if "segments" in doc else doc
 
 

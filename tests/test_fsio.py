@@ -1,0 +1,62 @@
+"""Storage-binding layer: the engine on a URI-rooted (pyarrow.fs) store.
+
+The reference ships LTS bindings for filesystem/HDFS/S3/GCS/Azure
+(bindings/src/main/java/io/pravega/storage/*); our equivalent is
+fsio.py. Running the full write→scale→read→truncate cycle against a
+``file://`` root drives the *object-store* code path (pyarrow
+FileSystem) end-to-end — the same calls an ``s3://`` root would make —
+while Spark reads the same URIs through Hadoop.
+"""
+
+from pyspark.sql import functions as F
+
+from pravega_spark import fsio
+from pravega_spark.config import ScalingPolicy, StreamConfiguration
+from pravega_spark.store import StreamStore
+
+
+def test_fsio_roundtrip(tmp_path):
+    root = f"file://{tmp_path}/fs"
+    fsio.makedirs(fsio.join(root, "a/b"))
+    fsio.write_json_atomic(fsio.join(root, "a/b/doc.json"), {"x": 1})
+    assert fsio.read_json(fsio.join(root, "a/b/doc.json"), None) == {"x": 1}
+    assert fsio.read_json(fsio.join(root, "a/b/missing.json"), "dflt") == "dflt"
+    assert fsio.list_files_recursive(fsio.join(root, "a")) == {"b/doc.json"}
+    fsio.move(fsio.join(root, "a/b/doc.json"), fsio.join(root, "a/b/doc2.json"))
+    assert fsio.list_files_recursive(fsio.join(root, "a")) == {"b/doc2.json"}
+    fsio.remove(fsio.join(root, "a/b/doc2.json"))
+    fsio.remove(fsio.join(root, "a/b/doc2.json"))  # idempotent
+    assert fsio.list_files_recursive(fsio.join(root, "a")) == set()
+    assert fsio.isdir(fsio.join(root, "a/b"))
+    fsio.rmtree(fsio.join(root, "a"))
+    assert not fsio.isdir(fsio.join(root, "a"))
+
+
+def test_store_on_uri_root(spark, events, tmp_path):
+    store = StreamStore(spark, f"file://{tmp_path}/store")
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(4)))
+    env = events.orderBy("event_id").limit(120).select(
+        F.col("user_id").cast("string").alias("routing_key"),
+        F.col("ts").alias("event_time"),
+        F.to_json(F.struct("event_id")).cast("binary").alias("payload"),
+    )
+    store.write_events("s", "ev", env)
+    assert store.read("s", "ev").count() == 120
+    # scale + continue writing: epoch chain on the URI store
+    seg0 = store.current_segments("s", "ev")[0]
+    store.scale_stream("s", "ev", [seg0["segment_id"]], [(0.0, 0.125), (0.125, 0.25)])
+    more = events.orderBy("event_id").filter(F.col("event_id").between(120, 149)).select(
+        F.col("user_id").cast("string").alias("routing_key"),
+        F.col("ts").alias("event_time"),
+        F.to_json(F.struct("event_id")).cast("binary").alias("payload"),
+    )
+    store.write_events("s", "ev", more)
+    assert store.read("s", "ev").count() == 150
+    # truncate + compact with the manifest flip through pyarrow.fs
+    cut = store.get_next_stream_cut("s", "ev", store.head_stream_cut("s", "ev"), 5)
+    store.truncate_stream("s", "ev", cut)
+    n_live = store.read("s", "ev").count()
+    store.compact_stream("s", "ev")
+    assert store.read("s", "ev").count() == n_live
+    assert store.fsck_stream("s", "ev") == []
