@@ -1,0 +1,163 @@
+"""Thin user CLI (SURVEY §2.11 M3 — cli/user scope/stream/kvs commands).
+
+Reference: ``cli/user/src/main/java/io/pravega/cli/user/{scope,stream,kvs}``.
+Mirrors the same command groups over the Spark-native engine:
+
+    python -m pravega_spark.cli --root /data/store scope create myscope
+    python -m pravega_spark.cli --root /data/store stream create myscope/s1 --segments 4
+    python -m pravega_spark.cli --root /data/store stream list myscope
+    python -m pravega_spark.cli --root /data/store stream info myscope/s1
+    python -m pravega_spark.cli --root /data/store stream read myscope/s1 --limit 10
+    python -m pravega_spark.cli --root /data/store kvt create myscope/t1
+    python -m pravega_spark.cli --root /data/store kvt put myscope/t1 k v
+    python -m pravega_spark.cli --root /data/store kvt get myscope/t1 k
+
+The SparkSession is created lazily — metadata-only commands (scope ops,
+stream list/info) never start a JVM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _split_qualified(name: str) -> tuple[str, str]:
+    if "/" not in name:
+        raise SystemExit(f"expected scope/name, got: {name}")
+    scope, rest = name.split("/", 1)
+    return scope, rest
+
+
+def _store(args):
+    from pravega_spark.session import get_spark
+    from pravega_spark.store import StreamStore
+
+    return StreamStore(get_spark("pravega-cli"), args.root)
+
+
+def _meta(args):
+    from pravega_spark.metadata import MetadataStore
+
+    return MetadataStore(args.root)
+
+
+def cmd_scope(args) -> int:
+    meta = _meta(args)
+    if args.action == "create":
+        print(json.dumps({"created": meta.create_scope(args.name)}))
+    elif args.action == "delete":
+        print(json.dumps({"deleted": meta.delete_scope(args.name, recursive=args.recursive)}))
+    elif args.action == "list":
+        for s in meta.list_scopes():
+            print(s)
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+
+    if args.action in ("list",):
+        meta = _meta(args)
+        for s in meta.list_streams(args.name, tag=args.tag):
+            print(s)
+        return 0
+    scope, stream = _split_qualified(args.name)
+    if args.action in ("create", "seal", "delete", "info"):
+        meta = _meta(args)
+        if args.action == "create":
+            cfg = StreamConfiguration(
+                scaling=ScalingPolicy.fixed(args.segments), tags=args.tag_values or []
+            )
+            print(json.dumps({"created": meta.create_stream(scope, stream, cfg)}))
+        elif args.action == "seal":
+            meta.seal_stream(scope, stream)
+            print(json.dumps({"sealed": True}))
+        elif args.action == "delete":
+            meta.delete_stream(scope, stream)
+            print(json.dumps({"deleted": True}))
+        elif args.action == "info":
+            doc = meta.get_stream(scope, stream)
+            doc["segments"] = meta.get_segments(scope, stream)
+            print(json.dumps(doc, indent=2))
+        return 0
+    store = _store(args)
+    if args.action == "read":
+        df = store.read(scope, stream)
+        for row in df.orderBy("segment_id", "offset").limit(args.limit).collect():
+            d = row.asDict()
+            if d.get("payload") is not None:
+                try:
+                    d["payload"] = bytes(d["payload"]).decode("utf-8")
+                except UnicodeDecodeError:
+                    d["payload"] = bytes(d["payload"]).hex()
+            print(json.dumps(d, default=str))
+    elif args.action == "append":
+        rows = [json.loads(ln) for ln in sys.stdin if ln.strip()]
+        df = store.spark.createDataFrame(
+            [(r["routing_key"], json.dumps(r.get("event", {})).encode()) for r in rows],
+            "routing_key string, payload binary",
+        )
+        tails = store.write_events(scope, stream, df)
+        print(json.dumps({"appended": len(rows), "tails": tails}))
+    return 0
+
+
+def cmd_kvt(args) -> int:
+    from pravega_spark.kvt import KeyValueTableManager
+
+    scope, name = _split_qualified(args.name)
+    mgr = KeyValueTableManager(_store(args).spark, args.root)
+    if args.action == "create":
+        print(json.dumps({"created": mgr.create_key_value_table(scope, name)}))
+        return 0
+    if args.action == "delete":
+        print(json.dumps({"deleted": mgr.delete_key_value_table(scope, name)}))
+        return 0
+    t = mgr.open(scope, name)
+    if args.action == "put":
+        v = t.put(args.key, args.value)
+        print(json.dumps({"version": v}))
+    elif args.action == "get":
+        got = t.get(args.key)
+        print(json.dumps({"value": got[0], "version": got[1]} if got else None))
+    elif args.action == "list":
+        for row in t.iterate_all().collect():
+            print(json.dumps({"key": row["primary_key"], "value": row["value"], "version": row["version"]}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pravega-spark", description=__doc__.splitlines()[0])
+    p.add_argument("--root", required=True, help="store root (local path or URI)")
+    sub = p.add_subparsers(dest="group", required=True)
+
+    ps = sub.add_parser("scope")
+    ps.add_argument("action", choices=["create", "delete", "list"])
+    ps.add_argument("name", nargs="?", default="")
+    ps.add_argument("--recursive", action="store_true")
+    ps.set_defaults(fn=cmd_scope)
+
+    pst = sub.add_parser("stream")
+    pst.add_argument("action", choices=["create", "seal", "delete", "list", "info", "read", "append"])
+    pst.add_argument("name", help="scope/stream (or scope for list)")
+    pst.add_argument("--segments", type=int, default=4)
+    pst.add_argument("--tag", default=None)
+    pst.add_argument("--tag-values", nargs="*", default=None)
+    pst.add_argument("--limit", type=int, default=20)
+    pst.set_defaults(fn=cmd_stream)
+
+    pk = sub.add_parser("kvt")
+    pk.add_argument("action", choices=["create", "delete", "put", "get", "list"])
+    pk.add_argument("name", help="scope/table")
+    pk.add_argument("key", nargs="?")
+    pk.add_argument("value", nargs="?")
+    pk.set_defaults(fn=cmd_kvt)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

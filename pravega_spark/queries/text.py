@@ -276,34 +276,41 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard runs only on candidates — never all-pairs.
     """
     sh = _shingles(spark, sf_dir).persist()
+    # one aggregation produces signatures AND set sizes; sizes then ride
+    # the band join so no join-back against a second aggregate is needed
+    # (two fewer shuffles than the naive sig/size/candidate composition)
     sigs = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
         *[
             F.min(F.md5(F.concat(F.lit(f"seed{k}:"), F.col("shingle")))).alias(f"mh{k}")
             for k in range(_N_HASHES)
-        ]
+        ],
     )
     bands = sigs.select(
         "doc_id",
+        "n_sh",
         F.explode(F.array(*[F.col(f"mh{k}") for k in range(_N_HASHES)])).alias("band"),
     ).distinct()
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), "band")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
         )
