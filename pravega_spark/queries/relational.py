@@ -929,6 +929,40 @@ ORDER BY p_partkey, s_suppkey
 """
 
 
+# ---------------------------------------------------------------- sketches
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counting (approx_count_distinct, rsd=1%) per
+    event type, cross-checked against the exact count in-query.
+
+    The sketch IS the 100 TB strategy (mergeable partial aggregates, no
+    distinct shuffle); the emitted columns are the exact count plus a
+    sketch-within-2% flag so the DuckDB oracle — whose own HLL would
+    differ bit-wise — can verify the guarantee rather than the sketch."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= F.greatest(F.lit(1), F.round(F.col("exact_users") * 0.02))
+            ).alias("sketch_within_2pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS sketch_within_2pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------- set operations
 def cust_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: customers with URGENT orders ∩ customers with
@@ -998,6 +1032,7 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "cust_segment_set_ops": cust_segment_set_ops,
+    "events_approx_distinct": events_approx_distinct,
     "cust_above_nation_avg": cust_above_nation_avg,
     "top_parts_per_brand": top_parts_per_brand,
     "revenue_rollup": revenue_rollup,
@@ -1027,6 +1062,7 @@ ORACLES = {
     "q18_large_volume_customers": Q18_SQL,
     "q19_disjunctive_predicates": Q19_SQL,
     "cust_segment_set_ops": SET_OPS_SQL,
+    "events_approx_distinct": APPROX_DISTINCT_SQL,
     "cust_above_nation_avg": ABOVE_AVG_SQL,
     "top_parts_per_brand": TOP_PARTS_SQL,
     "revenue_rollup": ROLLUP_SQL,
