@@ -14,32 +14,28 @@ head are deleted; the head chunk keeps a logical head offset).
 
 from __future__ import annotations
 
-import json
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pravega_spark import fsio
 
 from pravega_spark.errors import StreamSealedException, TruncatedDataException
 
 
 class ByteStream:
     def __init__(self, root: str, scope: str, name: str):
-        self.dir = os.path.join(root, "bytestreams", scope, name)
-        os.makedirs(self.dir, exist_ok=True)
-        self.manifest_path = os.path.join(self.dir, "manifest.json")
+        self.dir = fsio.join(root, "bytestreams", scope, name)
+        fsio.makedirs(self.dir)
+        self.manifest_path = fsio.join(self.dir, "manifest.json")
 
     def _manifest(self) -> dict:
-        if not os.path.exists(self.manifest_path):
-            return {"chunks": [], "head": 0, "tail": 0, "sealed": False}
-        with open(self.manifest_path) as f:
-            return json.load(f)
+        return fsio.read_json(
+            self.manifest_path, {"chunks": [], "head": 0, "tail": 0, "sealed": False}
+        )
 
     def _save(self, m: dict) -> None:
-        tmp = f"{self.manifest_path}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self.manifest_path)
+        fsio.write_json_atomic(self.manifest_path, m)
 
 
 class ByteStreamWriter(ByteStream):
@@ -50,8 +46,7 @@ class ByteStreamWriter(ByteStream):
             raise StreamSealedException("byte stream sealed")
         start = m["tail"]
         chunk = f"chunk-{start:020d}-{uuid.uuid4().hex[:8]}.bin"
-        with open(os.path.join(self.dir, chunk), "wb") as f:
-            f.write(data)
+        fsio.write_bytes(fsio.join(self.dir, chunk), data)
         m["chunks"].append({"start": start, "len": len(data), "file": chunk})
         m["tail"] = start + len(data)
         self._save(m)
@@ -71,10 +66,7 @@ class ByteStreamWriter(ByteStream):
         keep = []
         for c in m["chunks"]:
             if c["start"] + c["len"] <= offset:
-                try:
-                    os.remove(os.path.join(self.dir, c["file"]))
-                except FileNotFoundError:
-                    pass
+                fsio.remove(fsio.join(self.dir, c["file"]))
             else:
                 keep.append(c)
         m["chunks"] = keep
@@ -103,12 +95,12 @@ class ByteStreamReader(ByteStream):
             lo, hi = c["start"], c["start"] + c["len"]
             if hi <= offset or lo >= end:
                 continue
-            with open(os.path.join(self.dir, c["file"]), "rb") as f:
-                f.seek(max(0, offset - lo))
-                out += f.read(min(hi, end) - max(lo, offset))
+            out += fsio.read_bytes_range(
+                fsio.join(self.dir, c["file"]), max(0, offset - lo), min(hi, end) - max(lo, offset)
+            )
         return bytes(out)
 
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
         """Chunks as a DataFrame (spark binaryFile source) for bulk
         processing of the raw byte tier."""
-        return spark.read.format("binaryFile").load(os.path.join(self.dir, "chunk-*.bin"))
+        return spark.read.format("binaryFile").load(fsio.join(self.dir, "chunk-*.bin"))

@@ -152,6 +152,78 @@ def makedirs(path: str) -> None:
     f.create_dir(p, recursive=True)
 
 
+def exists(path: str) -> bool:
+    f, p = _split(path)
+    if f is None:
+        return os.path.exists(p)
+    from pyarrow import fs as pafs
+
+    return f.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def read_text(path: str) -> str | None:
+    """Whole-file text read; None if missing."""
+    f, p = _split(path)
+    if f is None:
+        try:
+            with open(p) as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+    try:
+        with f.open_input_stream(p) as fh:
+            return fh.read().decode("utf-8")
+    except FileNotFoundError:
+        return None
+
+
+def write_text_atomic(path: str, text: str) -> None:
+    payload = text.encode("utf-8")
+    f, p = _split(path)
+    if f is None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, p)
+        return
+    from pyarrow import fs as pafs
+
+    parent = p.rsplit("/", 1)[0]
+    if f.get_file_info(parent).type == pafs.FileType.NotFound:
+        f.create_dir(parent, recursive=True)
+    with f.open_output_stream(p) as fh:  # object PUT: atomic per object
+        fh.write(payload)
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    f, p = _split(path)
+    if f is None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as fh:
+            fh.write(data)
+        return
+    from pyarrow import fs as pafs
+
+    parent = p.rsplit("/", 1)[0]
+    if f.get_file_info(parent).type == pafs.FileType.NotFound:
+        f.create_dir(parent, recursive=True)
+    with f.open_output_stream(p) as fh:
+        fh.write(data)
+
+
+def read_bytes_range(path: str, start: int, length: int) -> bytes:
+    """Ranged read (seek+read) — maps to an object-store range GET."""
+    f, p = _split(path)
+    if f is None:
+        with open(p, "rb") as fh:
+            fh.seek(start)
+            return fh.read(length)
+    with f.open_input_file(p) as fh:
+        fh.seek(start)
+        return fh.read(length)
+
+
 def parquet_num_rows(path: str) -> int:
     """Row count from the parquet footer — no Spark job, no data read."""
     import pyarrow.parquet as pq

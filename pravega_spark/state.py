@@ -25,11 +25,10 @@ at revision R, then truncate the log before R.
 from __future__ import annotations
 
 import json
-import os
-import uuid
 from collections.abc import Callable
 from typing import Any
 
+from pravega_spark import fsio
 from pravega_spark.errors import ConditionalCheckFailedException
 
 
@@ -37,24 +36,19 @@ class RevisionedStreamClient:
     """Single-segment revisioned log with CAS appends."""
 
     def __init__(self, root: str, scope: str, name: str):
-        self.path = os.path.join(root, "revisioned", scope, f"{name}.jsonl")
+        self.path = fsio.join(root, "revisioned", scope, f"{name}.jsonl")
         self.mark_path = f"{self.path}.mark"
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        fsio.makedirs(fsio.join(root, "revisioned", scope))
 
     # ---------------- revisions ----------------
     def _base(self) -> int:
         """Revisions truncated away (compaction floor)."""
-        try:
-            with open(f"{self.path}.base") as f:
-                return int(f.read().strip() or 0)
-        except FileNotFoundError:
-            return 0
+        text = fsio.read_text(f"{self.path}.base")
+        return int(text.strip() or 0) if text is not None else 0
 
     def _lines(self) -> list[str]:
-        if not os.path.exists(self.path):
-            return []
-        with open(self.path) as f:
-            return f.readlines()
+        text = fsio.read_text(self.path)
+        return text.splitlines(keepends=True) if text else []
 
     def fetch_latest_revision(self) -> int:
         lines = self._lines()
@@ -84,13 +78,9 @@ class RevisionedStreamClient:
                 f"expected revision {expected_revision}, log is at {current}"
             )
         entry = json.dumps({"revision": current + 1, "value": value})
-        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.writelines(lines)
-            f.write(entry + "\n")
-        # atomic replace = the conditional commit point; a concurrent
+        # atomic replace/PUT = the conditional commit point; a concurrent
         # writer that also passed the check will overwrite, so re-verify
-        os.replace(tmp, self.path)
+        fsio.write_text_atomic(self.path, "".join(lines) + entry + "\n")
         if self.fetch_latest_revision() != current + 1:
             raise ConditionalCheckFailedException("lost append race")
         return current + 1
@@ -105,13 +95,10 @@ class RevisionedStreamClient:
     def read_from(self, revision: int) -> list[tuple[int, Any]]:
         """Entries with revision > ``revision`` (RevisionedStreamClient.readFrom)."""
         out = []
-        if not os.path.exists(self.path):
-            return out
-        with open(self.path) as f:
-            for line in f:
-                d = json.loads(line)
-                if d["revision"] > revision:
-                    out.append((d["revision"], d["value"]))
+        for line in self._lines():
+            d = json.loads(line)
+            if d["revision"] > revision:
+                out.append((d["revision"], d["value"]))
         return out
 
     def read_range(self, from_revision: int, to_revision: int) -> list[tuple[int, Any]]:
@@ -120,30 +107,20 @@ class RevisionedStreamClient:
     def truncate_to_revision(self, revision: int) -> None:
         """Drop entries at/below ``revision`` (compaction support)."""
         keep = self.read_from(revision)
-        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            for r, v in keep:
-                f.write(json.dumps({"revision": r, "value": v}) + "\n")
-        base_tmp = f"{self.path}.base.tmp.{uuid.uuid4().hex[:8]}"
-        with open(base_tmp, "w") as f:
-            f.write(str(max(self._base(), revision)))
-        os.replace(base_tmp, f"{self.path}.base")
-        os.replace(tmp, self.path)
+        fsio.write_text_atomic(f"{self.path}.base", str(max(self._base(), revision)))
+        fsio.write_text_atomic(
+            self.path, "".join(json.dumps({"revision": r, "value": v}) + "\n" for r, v in keep)
+        )
 
     # ---------------- mark (V4) ----------------
     def get_mark(self) -> int | None:
-        if not os.path.exists(self.mark_path):
-            return None
-        with open(self.mark_path) as f:
-            return json.load(f)["revision"]
+        doc = fsio.read_json(self.mark_path, None)
+        return doc["revision"] if doc is not None else None
 
     def compare_and_set_mark(self, expected: int | None, new: int) -> bool:
         if self.get_mark() != expected:
             return False
-        tmp = f"{self.mark_path}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"revision": new}, f)
-        os.replace(tmp, self.mark_path)
+        fsio.write_json_atomic(self.mark_path, {"revision": new})
         return True
 
 

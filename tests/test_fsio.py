@@ -60,3 +60,28 @@ def test_store_on_uri_root(spark, events, tmp_path):
     store.compact_stream("s", "ev")
     assert store.read("s", "ev").count() == n_live
     assert store.fsck_stream("s", "ev") == []
+
+
+def test_state_and_bytestream_on_uri_root(tmp_path):
+    from pravega_spark.bytestream import ByteStreamReader, ByteStreamWriter
+    from pravega_spark.state import RevisionedStreamClient, StateSynchronizer
+
+    root = f"file://{tmp_path}/store2"
+    rc = RevisionedStreamClient(root, "s", "log")
+    assert rc.write_conditionally(0, {"a": 1}) == 1
+    assert rc.write_conditionally(1, {"a": 2}) == 2
+    assert [r for r, _ in rc.read_from(0)] == [1, 2]
+    sync = StateSynchronizer(rc, 0, lambda st, u: st + u.get("a", 0))
+    assert sync.get_state() == 3
+    sync.compact()
+    assert sync.get_state() == 3
+    assert rc.compare_and_set_mark(None, 2)
+
+    w = ByteStreamWriter(root, "s", "raw")
+    assert w.write(b"hello ") == 0
+    assert w.write(b"world") == 6
+    r = ByteStreamReader(root, "s", "raw")
+    assert r.read(0, 11) == b"hello world"
+    assert r.read(6, 5) == b"world"
+    w.truncate_data_before(6)
+    assert r.fetch_head_offset() == 6

@@ -134,3 +134,52 @@ def test_streaming_windowed_agg_with_watermark(store, events):
     rows = store.spark.sql("select * from agg_out").collect()
     assert len(rows) > 0
     assert sum(r["n"] for r in rows) == 200
+
+
+def test_reader_group_across_scale_boundary(store, events):
+    """SURVEY §7 hard part 5: a streaming read that spans an epoch change
+    sees every event exactly once — old segments drain, successors are
+    picked up mid-query from the refreshed segment metadata."""
+    import time
+
+    _mk(store, events, n_events=100)
+    rg = ReaderGroup(store, "s", "ev", "rg-scale")
+    seen = []
+
+    def sink(df, bid):
+        seen.extend(
+            r[0] for r in df.select(
+                F.get_json_object(F.col("payload").cast("string"), "$.event_id").cast("long")
+            ).collect()
+        )
+
+    q = (
+        rg.read_stream().writeStream.foreachBatch(sink)
+        .option("checkpointLocation", rg.checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and len(seen) < 100:
+        time.sleep(1)
+    assert len(seen) == 100
+
+    # split the hottest segment -> new epoch; successors get the writes
+    segs = store.current_segments("s", "ev")
+    hot = max(segs, key=lambda s: store.meta.tail_offsets("s", "ev").get(s["segment_id"], 0))
+    lo, hi = hot["key_start"], hot["key_end"]
+    mid = (lo + hi) / 2
+    store.scale_stream("s", "ev", [hot["segment_id"]], [(lo, mid), (mid, hi)])
+    more = events.orderBy("event_id").filter(F.col("event_id").between(100, 199)).select(
+        F.col("user_id").cast("string").alias("routing_key"),
+        F.col("ts").alias("event_time"),
+        F.to_json(F.struct("event_id", "event_type", "value")).cast("binary").alias("payload"),
+    )
+    store.write_events("s", "ev", more)
+    deadline = time.time() + 120
+    while time.time() < deadline and len(seen) < 200:
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    assert sorted(seen) == list(range(200)), f"missing={set(range(200)) - set(seen)}"
+    assert len(seen) == len(set(seen))  # exactly once
