@@ -63,7 +63,22 @@ def _bench_stream_write(spark, sf_dir: str) -> float:
         store.write_events("bench", "ev", ev, routing_key_col="user_id", event_time_col="ts")
         dt = time.perf_counter() - t0
         print(f"# stream_write_events: {dt:.3f}s rows={n} ({n/dt:,.0f} ev/s)", file=sys.stderr)
-        return round(dt, 3)
+        # read plane: full bounded scan via the batch client (R5) — the
+        # native-parquet manifest-pruned path (the Python `pravega_stream`
+        # format covers the same read in tests; it pays the Arrow→Python
+        # worker tax and is the streaming-tier path, not the batch tier)
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        got = (
+            store.read("bench", "ev")
+            .agg(F.count("*").alias("n"), F.max("offset"), F.max("event_time"))
+            .collect()
+        )
+        assert got[0]["n"] == n, f"read {got[0]['n']} != written {n}"
+        dr = time.perf_counter() - t0
+        print(f"# stream_read_events: {dr:.3f}s rows={n} ({n/dr:,.0f} ev/s)", file=sys.stderr)
+        return round(dt, 3), round(dr, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -133,7 +148,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
-    timings["stream_write_events"] = _bench_stream_write(spark, sf_dir)
+    timings["stream_write_events"], timings["stream_read_events"] = _bench_stream_write(spark, sf_dir)
     latency = _bench_write_latency(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
