@@ -929,6 +929,57 @@ ORDER BY p_partkey, s_suppkey
 """
 
 
+# ---------------------------------------------------------------- percentiles
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous percentiles (median/p90/p99) of event value per type —
+    percentile_cont with linear interpolation, matching DuckDB's
+    quantile_cont semantics exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"), 6).alias("p50"),
+            F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)"), 6).alias("p90"),
+            F.round(F.expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY value)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------- cube
+def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(30,8)").alias("total"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(30,8)) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 # ---------------------------------------------------------------- sketches
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct counting (approx_count_distinct, rsd=1%) per
@@ -1033,6 +1084,8 @@ QUERIES = {
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "cust_segment_set_ops": cust_segment_set_ops,
     "events_approx_distinct": events_approx_distinct,
+    "events_value_percentiles": events_value_percentiles,
+    "orders_status_cube": orders_status_cube,
     "cust_above_nation_avg": cust_above_nation_avg,
     "top_parts_per_brand": top_parts_per_brand,
     "revenue_rollup": revenue_rollup,
@@ -1063,6 +1116,8 @@ ORACLES = {
     "q19_disjunctive_predicates": Q19_SQL,
     "cust_segment_set_ops": SET_OPS_SQL,
     "events_approx_distinct": APPROX_DISTINCT_SQL,
+    "events_value_percentiles": PERCENTILES_SQL,
+    "orders_status_cube": CUBE_SQL,
     "cust_above_nation_avg": ABOVE_AVG_SQL,
     "top_parts_per_brand": TOP_PARTS_SQL,
     "revenue_rollup": ROLLUP_SQL,
