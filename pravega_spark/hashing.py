@@ -53,6 +53,22 @@ def hash_to_range_py(key: str) -> float:
     return int(hashlib.md5(str(key).encode("utf-8")).hexdigest()[:8], 16) / TWO_32
 
 
+def hash_to_bucket(key: Column | str, n_buckets: int) -> Column:
+    """Spark column: deterministic bucket in [0, n_buckets) — same md5
+    basis as :func:`hash_to_range`, so the driver can compute the same
+    bucket (``bucket_for_key_py``) and point lookups prune partitions."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
+
+def bucket_for_key_py(key: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`hash_to_bucket`."""
+    import hashlib
+
+    return int(hashlib.md5(str(key).encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
 def segment_for_ranges(hash_col: Column, ranges: list[tuple[int, float, float]]) -> Column:
     """Map a [0,1) hash to a segment_id given active ``(segment_id,
     key_start, key_end)`` ranges — the Spark twin of

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pravega_spark.config import KeyValueTableConfiguration
+from pravega_spark.hashing import bucket_for_key_py, hash_to_bucket
 from pravega_spark.errors import BadKeyVersionException, NoSuchKeyException
 
 # Version sentinels mirroring tables.Version.NO_VERSION / NOT_EXISTS
@@ -96,14 +97,13 @@ class KeyValueTable:
         Returns the version assigned to this batch.
         """
         expected = expected_versions or [ANY_VERSION] * len(entries)
-        latest = self._latest()
+        keys = {(e[0], e[1]) for e in entries}
+        latest = self._bucket_pruned([k[0] for k in keys])  # CAS check reads only the keys' buckets
         current: dict[tuple, int] = {}
         if latest is not None:
-            keys = {(e[0], e[1]) for e in entries}
-            pks = [k[0] for k in keys]
-            rows = latest.filter(F.col("pk").isin(pks)).select("pk", "sk", "version", "deleted").collect()
+            rows = latest.filter(F.col("pk").isin([k[0] for k in keys])).select("pk", "sk", "version").collect()
             for r in rows:
-                if (r["pk"], r["sk"]) in keys and not r["deleted"]:
+                if (r["pk"], r["sk"]) in keys:
                     current[(r["pk"], r["sk"])] = r["version"]
         for (pk, sk, _), kind, exp in zip(entries, kinds, expected):
             cur = current.get((pk, sk))
@@ -133,7 +133,7 @@ class KeyValueTable:
         ]
         df = self.spark.createDataFrame(
             rows, "pk string, sk string, value string, version long, deleted boolean"
-        ).withColumn("bucket", F.pmod(F.xxhash64("pk"), F.lit(n_buckets)))
+        ).withColumn("bucket", hash_to_bucket("pk", n_buckets))
         df.write.mode("append").partitionBy("bucket").parquet(self.data_path)
         self._next_version = version + 1
         self._save_meta()
@@ -156,13 +156,36 @@ class KeyValueTable:
             return self.spark.createDataFrame([], "pk string, sk string, value string, version long")
         return latest.filter(~F.col("deleted")).select("pk", "sk", "value", "version")
 
+    def _bucket_pruned(self, pks: list[str]) -> DataFrame | None:
+        """Latest entries restricted to the pks' buckets — the bucket is
+        computed driver-side from the same md5 hash the writer used, so
+        the filter prunes whole ``bucket=N`` partitions before any scan
+        (the table-segment key-index lookup, Spark-shaped)."""
+        log = self._log()
+        if log is None:
+            return None
+        buckets = sorted({bucket_for_key_py(pk, self.config.partition_count) for pk in pks})
+        pruned = log.filter(F.col("bucket").isin(buckets))
+        w = Window.partitionBy("pk", "sk").orderBy(F.desc("version"))
+        return (
+            pruned.withColumn("_rk", F.row_number().over(w))
+            .filter((F.col("_rk") == 1) & ~F.col("deleted"))
+            .drop("_rk")
+        )
+
     def get(self, pk: str, sk: str = "") -> tuple[str, int] | None:
-        rows = self.snapshot().filter((F.col("pk") == pk) & (F.col("sk") == sk)).collect()
+        latest = self._bucket_pruned([pk])
+        if latest is None:
+            return None
+        rows = latest.filter((F.col("pk") == pk) & (F.col("sk") == sk)).collect()
         return (rows[0]["value"], rows[0]["version"]) if rows else None
 
     def get_all(self, keys: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[str, int]]:
         pks = [k[0] for k in keys]
-        rows = self.snapshot().filter(F.col("pk").isin(pks)).collect()
+        latest = self._bucket_pruned(pks)
+        if latest is None:
+            return {}
+        rows = latest.filter(F.col("pk").isin(pks)).collect()
         want = set(keys)
         return {
             (r["pk"], r["sk"]): (r["value"], r["version"])
@@ -216,7 +239,7 @@ class KeyValueTable:
         tmp = f"{self.data_path}.compact.{uuid.uuid4().hex[:8]}"
         (
             snap.withColumn("deleted", F.lit(False))
-            .withColumn("bucket", F.pmod(F.xxhash64("pk"), F.lit(self.config.partition_count)))
+            .withColumn("bucket", hash_to_bucket("pk", self.config.partition_count))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(tmp)
