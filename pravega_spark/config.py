@@ -46,11 +46,11 @@ class ScalingPolicy:
         return ScalingPolicy(ScaleType.FIXED_NUM_SEGMENTS, 0, 0, num_segments)
 
     @staticmethod
-    def by_event_rate(target_rate: int, scale_factor: int, min_num_segments: int) -> "ScalingPolicy":
+    def by_event_rate(target_rate: int, scale_factor: int = 2, min_num_segments: int = 1) -> "ScalingPolicy":
         return ScalingPolicy(ScaleType.BY_RATE_IN_EVENTS_PER_SEC, target_rate, scale_factor, min_num_segments)
 
     @staticmethod
-    def by_data_rate(target_kbps: int, scale_factor: int, min_num_segments: int) -> "ScalingPolicy":
+    def by_data_rate(target_kbps: int, scale_factor: int = 2, min_num_segments: int = 1) -> "ScalingPolicy":
         return ScalingPolicy(ScaleType.BY_RATE_IN_KBYTES_PER_SEC, target_kbps, scale_factor, min_num_segments)
 
 
