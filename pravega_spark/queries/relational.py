@@ -402,6 +402,49 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------- events: native session windows
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-min gap) per user — the operator
+    Structured Streaming uses for streaming sessionization; here run on
+    the batch tier with the window bounds surfaced. The oracle rebuilds
+    identical bounds from the gap-and-running-sum formulation:
+    start = min(ts), end = max(ts) + gap per merged session."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------- events: json lifting
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serializer-equivalent payload lifting: JSON props → typed column.
@@ -1093,6 +1136,7 @@ QUERIES = {
     "order_priority_pivot": order_priority_pivot,
     "events_hourly_agg": events_hourly_agg,
     "events_sessionization": events_sessionization,
+    "events_session_window": events_session_window,
     "events_json_extract": events_json_extract,
     "events_asof_purchase": events_asof_purchase,
     "events_running_value": events_running_value,
@@ -1125,6 +1169,7 @@ ORACLES = {
     "order_priority_pivot": PRIORITY_PIVOT_SQL,
     "events_hourly_agg": EVENTS_HOURLY_SQL,
     "events_sessionization": SESSIONIZATION_SQL,
+    "events_session_window": SESSION_WINDOW_SQL,
     "events_json_extract": JSON_EXTRACT_SQL,
     "events_asof_purchase": ASOF_SQL,
     "events_running_value": RUNNING_SQL,
