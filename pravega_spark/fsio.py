@@ -130,6 +130,11 @@ def move(src: str, dst: str) -> None:
         os.makedirs(os.path.dirname(p_dst), exist_ok=True)
         os.replace(p_src, p_dst)
         return
+    from pyarrow import fs as pafs
+
+    parent = p_dst.rsplit("/", 1)[0]
+    if f.get_file_info(parent).type == pafs.FileType.NotFound:
+        f.create_dir(parent, recursive=True)
     f.move(p_src, p_dst)
 
 

@@ -314,21 +314,32 @@ class StreamStore:
         if EVENT_TIME not in out.columns:
             out = out.withColumn(EVENT_TIME, F.lit(None).cast("timestamp"))
         path = self._stream_path(scope, stream)
-        before = self._list_data_files(path)
-        # ONE Spark job: the write itself. Per-segment row counts come
-        # from the new files' parquet footers afterwards (driver-side
-        # metadata reads, no second job / no persist) — halves the
-        # per-commit latency floor vs a count action + write action.
-        out.write.mode("append").partitionBy(SEGMENT_ID).parquet(path)
+        # ONE Spark job (the write) into a PRIVATE temp dir: discovering
+        # the batch's files lists O(batch), never O(stream) — a full
+        # stream-dir LIST per commit would be the scaling bottleneck at
+        # ~10^5 live files. Files then move into the segment dirs under
+        # unique names (invisible until the manifest flip). Per-segment
+        # row counts come from the moved files' parquet footers
+        # (driver-side metadata reads — no second job, no persist).
+        tag = uuid.uuid4().hex[:8]
+        tmp = f"{path}.commit.{tag}"
+        out.write.mode("overwrite").partitionBy(SEGMENT_ID).parquet(tmp)
         new_files: dict[int, list[str]] = {}
-        for f in self._list_data_files(path) - before:
-            seg_part = f.split(os.sep, 1)[0]
-            if seg_part.startswith("segment_id="):
-                new_files.setdefault(int(seg_part.split("=", 1)[1]), []).append(f)
-        counts = {
-            sid: sum(fsio.parquet_num_rows(fsio.join(path, f)) for f in files)
-            for sid, files in new_files.items()
-        }
+        counts: dict[int, int] = {}
+        for rel in sorted(self._list_data_files(tmp)):
+            seg_part = rel.split(os.sep, 1)[0]
+            if not seg_part.startswith("segment_id="):
+                continue
+            sid = int(seg_part.split("=", 1)[1])
+            dst_rel = os.path.join(seg_part, f"commit-{tag}-{os.path.basename(rel)}")
+            fsio.move(fsio.join(tmp, rel), fsio.join(path, dst_rel))
+            n = fsio.parquet_num_rows(fsio.join(path, dst_rel))
+            if n == 0:
+                fsio.remove(fsio.join(path, dst_rel))
+                continue
+            new_files.setdefault(sid, []).append(dst_rel)
+            counts[sid] = counts.get(sid, 0) + n
+        fsio.rmtree(tmp)
         doc = self.meta.segments_doc(scope, stream)
         segs = doc["segments"]
         for sid, n in counts.items():
