@@ -73,17 +73,61 @@ class ReaderGroup:
             q = q.trigger(availableNow=True)
         return q.start()
 
+    def drain(self, sink_fn, timeout_s: float = 300.0, poll_s: float = 1.0):
+        """Process everything currently in the stream, then stop — exact
+        bounded-drain semantics (the reference's readNextEvent-until-
+        end-of-data loop; Spark's Trigger.AvailableNow, which the Python
+        data source API doesn't support, would fall back to a SINGLE
+        micro-batch and silently stop early under a rate limit).
+
+        Runs a processing-time trigger and stops once the checkpointed
+        positions reach the tail observed at call time. Returns the
+        number of events that were pending at start."""
+        import time
+
+        target = self.store.tail_stream_cut(self.scope, self.stream)
+        pending = self.committed_positions().distance_to(target)
+        q = (
+            self.read_stream()
+            .writeStream.foreachBatch(sink_fn)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"rg-{self.name}-drain")
+            .trigger(processingTime=f"{poll_s} seconds")
+            .start()
+        )
+        deadline = time.time() + timeout_s
+        try:
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                pos = self.committed_positions()
+                # explicit per-segment check — covers_before compares only
+                # SHARED segments and is vacuously true against an empty cut
+                if all(pos.offset_for(sid, 0) >= off for sid, off in target.positions.items()):
+                    break
+                time.sleep(poll_s)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        return pending
+
     # ---------------- positions / checkpoints ----------------
     def committed_positions(self) -> StreamCut:
-        """Positions from the query's checkpoint offset log (the reader
-        group's current StreamCut)."""
+        """Positions of the last COMMITTED micro-batch (the reader
+        group's durable StreamCut).
+
+        Spark writes ``offsets/N`` when batch N is *planned* and
+        ``commits/N`` only after it completes — reading the offsets log
+        alone would report data as consumed while the batch is still
+        in flight (and drain() would stop the query mid-batch)."""
         offsets_dir = os.path.join(self.checkpoint_dir, "offsets")
-        if not os.path.isdir(offsets_dir):
+        commits_dir = os.path.join(self.checkpoint_dir, "commits")
+        if not os.path.isdir(offsets_dir) or not os.path.isdir(commits_dir):
             return StreamCut.of({})
-        batches = sorted(int(f) for f in os.listdir(offsets_dir) if f.isdigit())
-        if not batches:
+        committed = sorted(int(f) for f in os.listdir(commits_dir) if f.isdigit())
+        if not committed:
             return StreamCut.of({})
-        with open(os.path.join(offsets_dir, str(batches[-1]))) as f:
+        with open(os.path.join(offsets_dir, str(committed[-1]))) as f:
             lines = [ln for ln in f.read().splitlines() if ln and not ln.startswith("v")]
         # last line is this source's offset json
         positions = json.loads(lines[-1])

@@ -183,3 +183,20 @@ def test_reader_group_across_scale_boundary(store, events):
     q.awaitTermination(60)
     assert sorted(seen) == list(range(200)), f"missing={set(range(200)) - set(seen)}"
     assert len(seen) == len(set(seen))  # exactly once
+
+
+def test_reader_group_drain_with_rate_limit(store, events):
+    """drain() processes the full backlog under max_events_per_trigger
+    rate limiting and stops at the start-time tail (AvailableNow
+    semantics the python source can't express natively)."""
+    _mk(store, events, n_events=180)
+    rg = ReaderGroup(store, "s", "ev", "rg-drain")
+    got = []
+    pending = rg.drain(lambda df, b: got.append(df.count()))
+    assert pending == 180
+    assert sum(got) == 180
+    assert rg.unread_events() == 0
+    # second drain: nothing pending, returns immediately
+    got.clear()
+    assert rg.drain(lambda df, b: got.append(df.count()), timeout_s=60) == 0
+    assert sum(got) == 0
