@@ -701,6 +701,37 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------- q13
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count-per-customer histogram (left outer join so
+    zero-order customers appear, then a second aggregation)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 # ---------------------------------------------------------------- q14
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promo revenue share in one month (conditional ratio)."""
@@ -1119,6 +1150,7 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_part_counts": q16_supplier_part_counts,
@@ -1152,6 +1184,7 @@ ORACLES = {
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q10_returned_items": Q10_SQL,
+    "q13_customer_distribution": Q13_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q15_top_supplier": Q15_SQL,
     "q16_supplier_part_counts": Q16_SQL,
