@@ -139,6 +139,10 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
     qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
+    # latency first, on a quiet JVM — measured after the 20-query loop it
+    # picks up ~2x GC noise
+    latency = _bench_write_latency(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -149,7 +153,6 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     timings["stream_write_events"], timings["stream_read_events"] = _bench_stream_write(spark, sf_dir)
-    latency = _bench_write_latency(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
