@@ -286,11 +286,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_N_HASHES)
         ],
     )
+    # no distinct here: duplicate (doc,band) rows (two hashes colliding
+    # on one doc) only produce duplicate candidates, which cand's
+    # distinct already removes — one less shuffle
     bands = sigs.select(
         "doc_id",
         "n_sh",
         F.explode(F.array(*[F.col(f"mh{k}") for k in range(_N_HASHES)])).alias("band"),
-    ).distinct()
+    )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), "band")
