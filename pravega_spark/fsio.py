@@ -157,6 +157,37 @@ def makedirs(path: str) -> None:
     f.create_dir(p, recursive=True)
 
 
+def create_exclusive(path: str, data: bytes) -> bool:
+    """Atomically create ``path`` with ``data`` iff it does not exist.
+
+    Local: O_CREAT|O_EXCL — a true atomic winner-selection primitive.
+    pyarrow filesystems: best effort (probe + write) — object stores
+    need a conditional-put (If-None-Match) client for hard exclusivity;
+    callers on such roots should treat CAS as advisory or front it with
+    an external lock.
+    """
+    f, p = _split(path)
+    if f is None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        return True
+    from pyarrow import fs as pafs
+
+    if f.get_file_info(p).type != pafs.FileType.NotFound:
+        return False
+    parent = p.rsplit("/", 1)[0]
+    if f.get_file_info(parent).type == pafs.FileType.NotFound:
+        f.create_dir(parent, recursive=True)
+    with f.open_output_stream(p) as fh:
+        fh.write(data)
+    return True
+
+
 def exists(path: str) -> bool:
     f, p = _split(path)
     if f is None:

@@ -8,15 +8,17 @@ Reference:
     (client/.../state/StateSynchronizer.java:44-180,
     StateSynchronizerImpl.java)
 
-Spark-native: a revisioned stream is a single-segment JSON log on disk
-with optimistic concurrency — conditional append succeeds only when the
-expected revision equals the current tail. This matches the reference's
-single-segment conditional-append semantics (WireCommands
-ConditionalAppend:633). State = driver-side fold (the state object is
-small control-plane data — reader-group membership, checkpoints — not
-data-plane scale); the *read model* of big event-sourced state lives in
-the stream layer (see events_running_value / applyInPandasWithState in
-streaming/).
+Spark-native: a revisioned stream is a directory of one-file-per-
+revision JSON documents. The conditional append (the reference's
+``ConditionalAppend`` wire op, WireCommands.java:633) maps to an
+ATOMIC exclusive create of ``rev-<n>.json`` — exactly one concurrent
+writer can create a given revision, so the CAS contract holds under
+races (local: O_CREAT|O_EXCL; object stores need a conditional-put
+client, see fsio.create_exclusive). State = driver-side fold (the
+state object is small control-plane data — reader-group membership,
+checkpoints — not data-plane scale); the *read model* of big
+event-sourced state lives in the stream layer (events_running_value /
+applyInPandasWithState in streaming/).
 
 Compaction mirrors StateSynchronizer.compact: write one snapshot update
 at revision R, then truncate the log before R.
@@ -32,57 +34,56 @@ from pravega_spark import fsio
 from pravega_spark.errors import ConditionalCheckFailedException
 
 
+def _rev_file(n: int) -> str:
+    return f"rev-{n:012d}.json"
+
+
 class RevisionedStreamClient:
-    """Single-segment revisioned log with CAS appends."""
+    """Single-segment revisioned log with atomic CAS appends."""
 
     def __init__(self, root: str, scope: str, name: str):
-        self.path = fsio.join(root, "revisioned", scope, f"{name}.jsonl")
-        self.mark_path = f"{self.path}.mark"
-        fsio.makedirs(fsio.join(root, "revisioned", scope))
+        self.dir = fsio.join(root, "revisioned", scope, name)
+        self.mark_path = fsio.join(self.dir, "_mark.json")
+        fsio.makedirs(self.dir)
 
     # ---------------- revisions ----------------
     def _base(self) -> int:
         """Revisions truncated away (compaction floor)."""
-        text = fsio.read_text(f"{self.path}.base")
+        text = fsio.read_text(fsio.join(self.dir, "_base"))
         return int(text.strip() or 0) if text is not None else 0
 
-    def _lines(self) -> list[str]:
-        text = fsio.read_text(self.path)
-        return text.splitlines(keepends=True) if text else []
+    def _revisions(self) -> list[int]:
+        out = []
+        for f in fsio.list_files_recursive(self.dir):
+            if f.startswith("rev-") and f.endswith(".json"):
+                out.append(int(f[4:-5]))
+        return sorted(out)
 
     def fetch_latest_revision(self) -> int:
-        lines = self._lines()
-        if not lines:
-            return self._base()
-        return json.loads(lines[-1])["revision"]
+        revs = self._revisions()
+        return revs[-1] if revs else self._base()
 
     def fetch_oldest_revision(self) -> int:
-        lines = self._lines()
-        if not lines:
-            return self._base()
-        return json.loads(lines[0])["revision"] - 1
+        revs = self._revisions()
+        return revs[0] - 1 if revs else self._base()
 
     def write_conditionally(self, expected_revision: int, value: Any) -> int:
         """CAS append: commit iff the log tail is exactly
         ``expected_revision``; returns the new revision.
 
-        Single-writer-wins via atomic rename of the whole log file —
-        correct for control-plane logs (small); raises
-        ConditionalCheckFailedException on lost race like the reference
-        returning null from writeConditionally.
+        The exclusive create of ``rev-<expected+1>`` IS the commit
+        point — of N racing writers exactly one creates the file; the
+        rest raise, like the reference returning null from
+        writeConditionally.
         """
-        lines = self._lines()
-        current = json.loads(lines[-1])["revision"] if lines else self._base()
+        current = self.fetch_latest_revision()
         if current != expected_revision:
             raise ConditionalCheckFailedException(
                 f"expected revision {expected_revision}, log is at {current}"
             )
-        entry = json.dumps({"revision": current + 1, "value": value})
-        # atomic replace/PUT = the conditional commit point; a concurrent
-        # writer that also passed the check will overwrite, so re-verify
-        fsio.write_text_atomic(self.path, "".join(lines) + entry + "\n")
-        if self.fetch_latest_revision() != current + 1:
-            raise ConditionalCheckFailedException("lost append race")
+        payload = json.dumps({"revision": current + 1, "value": value}).encode("utf-8")
+        if not fsio.create_exclusive(fsio.join(self.dir, _rev_file(current + 1)), payload):
+            raise ConditionalCheckFailedException(f"lost append race at revision {current + 1}")
         return current + 1
 
     def write_unconditionally(self, value: Any) -> int:
@@ -95,10 +96,11 @@ class RevisionedStreamClient:
     def read_from(self, revision: int) -> list[tuple[int, Any]]:
         """Entries with revision > ``revision`` (RevisionedStreamClient.readFrom)."""
         out = []
-        for line in self._lines():
-            d = json.loads(line)
-            if d["revision"] > revision:
-                out.append((d["revision"], d["value"]))
+        for n in self._revisions():
+            if n > revision:
+                doc = fsio.read_json(fsio.join(self.dir, _rev_file(n)), None)
+                if doc is not None:
+                    out.append((n, doc["value"]))
         return out
 
     def read_range(self, from_revision: int, to_revision: int) -> list[tuple[int, Any]]:
@@ -106,11 +108,10 @@ class RevisionedStreamClient:
 
     def truncate_to_revision(self, revision: int) -> None:
         """Drop entries at/below ``revision`` (compaction support)."""
-        keep = self.read_from(revision)
-        fsio.write_text_atomic(f"{self.path}.base", str(max(self._base(), revision)))
-        fsio.write_text_atomic(
-            self.path, "".join(json.dumps({"revision": r, "value": v}) + "\n" for r, v in keep)
-        )
+        fsio.write_text_atomic(fsio.join(self.dir, "_base"), str(max(self._base(), revision)))
+        for n in self._revisions():
+            if n <= revision:
+                fsio.remove(fsio.join(self.dir, _rev_file(n)))
 
     # ---------------- mark (V4) ----------------
     def get_mark(self) -> int | None:

@@ -69,3 +69,36 @@ def test_bytestream_write_read_seek(tmp_path, spark):
 
     with pytest.raises(StreamSealedException):
         w.write(b"!")
+
+
+def test_revisioned_cas_race(tmp_path):
+    """Two writers racing the same expected revision: exactly one wins
+    per revision; the log is a gap-free sequence (optimistic-concurrency
+    contract of RevisionedStreamClient.writeConditionally)."""
+    import threading
+
+    from pravega_spark.errors import ConditionalCheckFailedException
+    from pravega_spark.state import RevisionedStreamClient
+
+    rc = RevisionedStreamClient(str(tmp_path / "st"), "s", "race")
+    wins, losses = [], []
+
+    def writer(tag):
+        for _ in range(20):
+            try:
+                rev = rc.write_conditionally(rc.fetch_latest_revision(), tag)
+                wins.append((rev, tag))
+            except ConditionalCheckFailedException:
+                losses.append(tag)
+
+    ts = [threading.Thread(target=writer, args=(f"w{i}",)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    revisions = sorted(r for r, _ in wins)
+    # no duplicate revision ever acked to two writers
+    assert len(revisions) == len(set(revisions))
+    # the surviving log is exactly the acked sequence, in order
+    log = rc.read_from(0)
+    assert [r for r, _ in log] == list(range(1, rc.fetch_latest_revision() + 1))
