@@ -200,3 +200,38 @@ def test_reader_group_drain_with_rate_limit(store, events):
     got.clear()
     assert rg.drain(lambda df, b: got.append(df.count()), timeout_s=60) == 0
     assert sum(got) == 0
+
+
+def test_streaming_across_truncation(store, events):
+    """Truncation under a reader group: positions before the new head
+    resume at next-available data (the failOnDataLoss=false semantics;
+    the reference's batch API raises TruncatedDataException, which
+    store.read does — the streaming source resumes silently)."""
+    _mk(store, events, n_events=100)
+    rg = ReaderGroup(store, "s", "ev", "rg-trunc")
+    got = []
+    rg.drain(lambda df, b: got.append(df.count()))
+    assert sum(got) == 100
+
+    # truncate + physically drop everything consumed so far
+    store.truncate_stream("s", "ev", store.tail_stream_cut("s", "ev"))
+    store.compact_stream("s", "ev")
+
+    more = events.orderBy("event_id").filter(F.col("event_id").between(100, 139)).select(
+        F.col("user_id").cast("string").alias("routing_key"),
+        F.col("ts").alias("event_time"),
+        F.to_json(F.struct("event_id")).cast("binary").alias("payload"),
+    )
+    store.write_events("s", "ev", more)
+    got.clear()
+    rg.drain(lambda df, b: got.append(df.count()))
+    assert sum(got) == 40  # exactly the post-truncation tail, no replay
+
+    # the batch API surfaces truncation explicitly (TruncatedDataException)
+    import pytest as _pytest
+
+    from pravega_spark.errors import TruncatedDataException
+    from pravega_spark.streamcut import StreamCut
+
+    with _pytest.raises(TruncatedDataException):
+        store.read("s", "ev", from_cut=StreamCut.of({0: 0}))
