@@ -139,11 +139,12 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
     qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
-    # latency first, on a quiet JVM — measured after the 20-query loop it
-    # picks up ~2x GC noise
+    # write-path benches first, on a quiet JVM — measured after the
+    # 20-query loop they pick up ~2-4x GC noise from accumulated caches
     latency = _bench_write_latency(spark, sf_dir)
-
     timings: dict[str, float] = {}
+    timings["stream_write_events"], timings["stream_read_events"] = _bench_stream_write(spark, sf_dir)
+
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
@@ -151,8 +152,9 @@ def main() -> None:
         n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-
-    timings["stream_write_events"], timings["stream_read_events"] = _bench_stream_write(spark, sf_dir)
+        # each query pays its own cache-population cost inside the timed
+        # region; drop leftovers so later queries aren't taxed by GC
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
