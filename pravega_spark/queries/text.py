@@ -239,8 +239,13 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" zzduplicate marker")).alias("text"),
     )
     # split materialized once (see dedup_ngram_jaccard: transform lambdas
-    # re-evaluate captured expressions per element)
-    pool = docs.unionByName(dup).withColumn("w", _tokens(F.col("text")))
+    # re-evaluate captured expressions per element); the documents table
+    # arrives in O(file-count) partitions, far fewer than cores at small
+    # SF — spread the CPU-heavy tokenize/shingle stage across the cluster
+    # (at 100 TB the scan already has enough partitions; the cheap
+    # doc-level shuffle is still dwarfed by the shingle explosion)
+    par = spark.sparkContext.defaultParallelism
+    pool = docs.unionByName(dup).repartition(par).withColumn("w", _tokens(F.col("text")))
     sh = F.expr(
         "CASE WHEN size(w) >= 3 "
         "THEN transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])) "
@@ -298,6 +303,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.alias("a")
         .join(bands.alias("b"), "band")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # size prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose
+        # set sizes differ by more than the threshold ratio can never
+        # verify — result-preserving, and it shrinks both the distinct
+        # shuffle and the exact-Jaccard join fan-out
+        .filter(
+            F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            >= F.lit(_JACCARD_THRESHOLD) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
