@@ -151,6 +151,7 @@ class PravegaStreamReader(DataSourceStreamReader):
         self.stream = options["stream"]
         self.path = os.path.join(self.root, "streams", self.scope, self.stream)
         self.max_per_trigger = int(options.get("max_events_per_trigger", 0) or 0)
+        self.checkpoint_dir = options.get("checkpoint_dir")
         self.start_cut = json.loads(options["start_cut"]) if options.get("start_cut") else None
         self.end_cut = json.loads(options["end_cut"]) if options.get("end_cut") else None
         # high-water mark of offsets this instance has handed to Spark;
@@ -184,7 +185,28 @@ class PravegaStreamReader(DataSourceStreamReader):
         self._advance(off)
         return off
 
+    def _seed_from_checkpoint(self) -> None:
+        """On restart Spark never tells a fresh reader where the query
+        left off (initialOffset is skipped, partitions() comes after
+        latestOffset), so without this the first latestOffset plans an
+        unbounded catch-up batch. Seed the high-water mark from the
+        newest entry in the query's own offsets log (last line = this
+        source's JSON offset dict, same format committed_positions
+        parses)."""
+        offsets_dir = os.path.join(self.checkpoint_dir, "offsets")
+        try:
+            batches = sorted(int(f) for f in os.listdir(offsets_dir) if f.isdigit())
+            if not batches:
+                return
+            with open(os.path.join(offsets_dir, str(batches[-1]))) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            self._advance(json.loads(lines[-1]))
+        except (OSError, ValueError, json.JSONDecodeError):
+            return  # no/partial checkpoint: first batch stays uncapped
+
     def latestOffset(self) -> dict:
+        if self._pos is None and self.max_per_trigger and self.checkpoint_dir:
+            self._seed_from_checkpoint()
         tails = _load_tails(self.root, self.scope, self.stream)
         if self.end_cut is not None:
             ends = self.end_cut.get("positions", {})

@@ -39,7 +39,12 @@ class ReaderGroup:
 
     # ---------------- consumption plane ----------------
     def _options(self) -> dict:
-        opts = {"root": self.store.root, "scope": self.scope, "stream": self.stream}
+        # checkpoint_dir lets a restarted source seed its rate-limit
+        # high-water mark from the offsets log, so the first post-restart
+        # batch honors max_events_per_trigger instead of catching up in
+        # one unbounded batch
+        opts = {"root": self.store.root, "scope": self.scope, "stream": self.stream,
+                "checkpoint_dir": self.checkpoint_dir}
         if self.config.start_cut is not None:
             opts["start_cut"] = StreamCut.of(self.config.start_cut).to_json()
         if self.config.end_cut is not None:

@@ -202,6 +202,73 @@ def test_reader_group_drain_with_rate_limit(store, events):
     assert sum(got) == 0
 
 
+def test_rate_limit_cap_seeds_from_checkpoint(store, events, tmp_path):
+    """A fresh (restarted) source instance seeds its rate-limit base from
+    the query's offsets log: the first catch-up batch is capped per
+    segment instead of replaying the whole backlog unbounded."""
+    import json
+
+    from pravega_spark.streaming.datasource import PravegaStreamReader
+
+    _mk(store, events)  # 200 events over 4 segments (~50 each)
+    committed = {str(s["segment_id"]): 5 for s in store.current_segments("s", "ev")}
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "offsets" / "0").write_text("v1\n{}\n" + json.dumps(committed))
+    opts = {
+        "root": store.root, "scope": "s", "stream": "ev",
+        "max_events_per_trigger": "10", "checkpoint_dir": str(ckpt),
+    }
+    latest = PravegaStreamReader(opts).latestOffset()
+    tails = store.tail_stream_cut("s", "ev").positions
+    assert latest  # all segments present, capped relative to the seed
+    for sid, off in latest.items():
+        want = min(tails[int(sid)], 15)  # seed(5) + cap(10), clamped to tail
+        assert off == want, f"segment {sid}: {off} != {want}"
+    # without a checkpoint to seed from, the first batch is the
+    # documented uncapped catch-up (reaches the ~50-event tails)
+    uncapped = PravegaStreamReader({k: v for k, v in opts.items() if k != "checkpoint_dir"}).latestOffset()
+    assert sum(uncapped.values()) == 200
+
+
+def test_rate_limit_cap_survives_restart(store, events):
+    """End-to-end restart: same rate-limited plan resumed on its real
+    Spark checkpoint keeps every post-restart batch within the per-
+    segment cap (pre-fix the first batch replayed the backlog whole)."""
+    import time
+
+    _mk(store, events, n_events=80)
+    rg = ReaderGroup(store, "s", "ev", "rg-cap")
+    sizes = []
+
+    def run_until(total):
+        q = (
+            rg.read_stream(max_events_per_trigger=10)
+            .writeStream.foreachBatch(lambda df, b: sizes.append(df.count()))
+            .option("checkpointLocation", rg.checkpoint_dir)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and sum(sizes) < total:
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+
+    run_until(80)
+    assert sum(sizes) == 80
+    more = events.orderBy("event_id").filter(F.col("event_id").between(80, 199)).select(
+        F.col("user_id").cast("string").alias("routing_key"),
+        F.col("ts").alias("event_time"),
+        F.to_json(F.struct("event_id")).cast("binary").alias("payload"),
+    )
+    store.write_events("s", "ev", more)  # 120 events land while down
+    sizes.clear()
+    run_until(120)
+    assert sum(sizes) == 120
+    assert max(sizes) <= 40, f"post-restart batch exceeded 4 segments x cap 10: {sizes}"
+
+
 def test_streaming_across_truncation(store, events):
     """Truncation under a reader group: positions before the new head
     resume at next-available data (the failOnDataLoss=false semantics;
