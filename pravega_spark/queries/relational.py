@@ -56,12 +56,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("charge", (F.col("disc_price") * (1 + F.col("l_tax").cast(d12))))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # sums stay at their natural scale: exact + order-independent,
-            # no post-sum rounding that could differ between engines
-            F.sum("qty").cast("decimal(24,4)").alias("sum_qty"),
-            F.sum("price").cast("decimal(24,4)").alias("sum_base_price"),
-            F.sum("disc_price").cast("decimal(30,8)").alias("sum_disc_price"),
-            F.sum("charge").cast("decimal(38,12)").alias("sum_charge"),
+            # sums are exact decimals internally (order-independent); the
+            # final cast to double is the canonical gate representation —
+            # both engines convert the identical decimal, bit-identically
+            F.sum("qty").cast("decimal(24,4)").cast("double").alias("sum_qty"),
+            F.sum("price").cast("decimal(24,4)").cast("double").alias("sum_base_price"),
+            F.round(F.sum("disc_price"), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum("charge"), 4).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -73,10 +74,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(24,4)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(24,4)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(30,8)) AS sum_disc_price,
-       CAST(sum((CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(38,12)) AS sum_charge,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum((CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) * (1 + CAST(l_tax AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 2) AS avg_qty,
        round(avg(l_extendedprice), 2) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
@@ -99,8 +100,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC)))
-            .cast("decimal(30,8)")
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))), 4)
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -110,7 +111,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,8)) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -145,8 +146,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC)))
-            .cast("decimal(30,8)")
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))), 4)
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -155,7 +156,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,8)) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -181,8 +182,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC)))
-            .cast("decimal(30,8)")
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))), 4)
+            .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -193,7 +194,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,8)) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -214,13 +215,13 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("p_brand", "p_partkey", "p_name", F.col("p_retailprice").cast(DEC).alias("price"), "rk")
+        .select("p_brand", "p_partkey", "p_name", F.col("p_retailprice").alias("price"), "rk")
         .orderBy("p_brand", "rk")
     )
 
 
 TOP_PARTS_SQL = """
-SELECT p_brand, p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,4)) AS price, rk
+SELECT p_brand, p_partkey, p_name, p_retailprice AS price, rk
 FROM (
   SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
   FROM part
@@ -242,13 +243,13 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
-        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("decimal(24,4)").alias("revenue"))
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"))
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
 
 
 ROLLUP_SQL = """
-SELECT r_name, n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(30,8)) AS revenue
+SELECT r_name, n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
@@ -327,7 +328,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).cast("double").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("hour", "event_type")
@@ -337,7 +338,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
@@ -397,7 +398,7 @@ WITH flagged AS (
   FROM sessions GROUP BY user_id, session_id
 )
 SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-       sum(n_events) AS total_events
+       CAST(sum(n_events) AS BIGINT) AS total_events
 FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
@@ -460,8 +461,8 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
         )
         .orderBy("event_type")
     )
@@ -469,9 +470,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_EXTRACT_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -540,7 +541,7 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("revision", F.row_number().over(w))
         .withColumn(
             "running_value",
-            F.sum(F.col("value").cast(DEC)).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(DEC),
+            F.sum(F.col("value").cast(DEC)).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(DEC).cast("double"),
         )
         .filter(F.col("revision") <= 5)
         .select("user_id", "event_id", "revision", "running_value")
@@ -549,7 +550,7 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RUNNING_SQL = """
-SELECT user_id, event_id, revision, CAST(running_value AS DECIMAL(18,4)) AS running_value
+SELECT user_id, event_id, revision, CAST(CAST(running_value AS DECIMAL(18,4)) AS DOUBLE) AS running_value
 FROM (
   SELECT user_id, event_id,
          row_number() OVER w AS revision,
@@ -576,15 +577,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
-            .cast("decimal(30,8)")
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)), 4)
+            .cast("double")
             .alias("revenue")
         )
     )
 
 
 Q6_SQL = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8)) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -619,8 +620,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC)))
-            .cast("decimal(30,8)")
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))), 4)
+            .cast("double")
             .alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -630,7 +631,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,8)) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -782,7 +783,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == F.col("m"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", F.round(F.col("total_revenue"), 4).cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -795,7 +796,7 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(round(total_revenue, 4) AS DOUBLE) AS total_revenue
 FROM revenue JOIN supplier ON supplier_no = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -870,7 +871,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").cast(DEC).alias("total_qty"))
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
         .filter(F.col("total_qty") > 200)
     )
     orders = _t(spark, sf_dir, "orders")
@@ -880,7 +881,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
-            F.col("o_totalprice").cast(DEC).alias("o_totalprice"), "total_qty",
+            "o_totalprice", F.col("total_qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
@@ -889,10 +890,10 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-       CAST(o_totalprice AS DECIMAL(18,4)) AS o_totalprice, total_qty
+       o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
 FROM orders
-JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS DECIMAL(18,4)) AS total_qty
-      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200) big
+JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 200) big
   ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
@@ -913,15 +914,15 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(20, 30)))
     )
     return j.filter(cond).agg(
-        F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC)))
-        .cast("decimal(30,8)")
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))), 4)
+        .cast("double")
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
 
 Q19_SQL = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,8)) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
@@ -982,7 +983,7 @@ def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("p_partkey"),
             "s_suppkey",
             "s_name",
-            F.col("best_price").alias("min_price"),
+            F.col("best_price").cast("double").alias("min_price"),
         )
         .orderBy("p_partkey", "s_suppkey")
     )
@@ -995,7 +996,7 @@ WITH offer AS (
   WHERE p_type LIKE '%ECONOMY'
   GROUP BY l_partkey, l_suppkey
 )
-SELECT o.l_partkey AS p_partkey, s_suppkey, s_name, o.best_price AS min_price
+SELECT o.l_partkey AS p_partkey, s_suppkey, s_name, CAST(o.best_price AS DOUBLE) AS min_price
 FROM offer o
 JOIN supplier ON o.l_suppkey = s_suppkey
 WHERE o.best_price = (SELECT min(best_price) FROM offer o2 WHERE o2.l_partkey = o.l_partkey)
@@ -1037,7 +1038,7 @@ def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(30,8)").alias("total"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
         )
         .orderBy(
             F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
@@ -1047,7 +1048,7 @@ def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(30,8)) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST

@@ -93,14 +93,14 @@ def streamcut_bounded_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         env.filter((F.col("offset") >= 10) & (F.col("offset") < 200))
         .groupBy("segment_id", "event_type")
-        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"))
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast(DEC)).cast(DEC).cast("double").alias("total_value"))
         .orderBy("segment_id", "event_type")
     )
 
 
 BOUNDED_READ_SQL = f"""
 SELECT segment_id, event_type, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
 FROM ({_DUCK_ENVELOPE})
 WHERE "offset" >= 10 AND "offset" < 200
 GROUP BY segment_id, event_type ORDER BY segment_id, event_type
@@ -306,13 +306,13 @@ def kvt_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         kvt.withColumn("rk", F.row_number().over(w))
         .filter((F.col("rk") == 1) & (~F.col("deleted")))
-        .select("pk", "val_name", "val_acctbal", "version")
+        .select("pk", "val_name", F.col("val_acctbal").cast("double").alias("val_acctbal"), "version")
         .orderBy("pk")
     )
 
 
 KVT_LATEST_SQL = f"""
-SELECT pk, val_name, val_acctbal, version
+SELECT pk, val_name, CAST(val_acctbal AS DOUBLE) AS val_acctbal, version
 FROM (
   SELECT *, row_number() OVER (PARTITION BY pk ORDER BY version DESC) AS rk
   FROM ({_DUCK_KVT})
@@ -358,13 +358,13 @@ def kvt_delta_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     kvt = _kvt(spark, sf_dir)
     return (
         kvt.filter(F.col("version") > 1)
-        .select("pk", "version", "deleted", "val_acctbal")
+        .select("pk", "version", "deleted", F.col("val_acctbal").cast("double").alias("val_acctbal"))
         .orderBy("pk", "version")
     )
 
 
 KVT_DELTA_SQL = f"""
-SELECT pk, version, deleted, val_acctbal
+SELECT pk, version, deleted, CAST(val_acctbal AS DOUBLE) AS val_acctbal
 FROM ({_DUCK_KVT}) WHERE version > 1 ORDER BY pk, version
 """
 

@@ -1,10 +1,20 @@
-"""Local stand-in for the driver's correctness gate.
+"""Local stand-in for the driver's correctness gate — STRICT edition.
 
-Runs every registry query through Spark AND its DuckDB oracle on the
-same parquet tables, then compares row count, column names, and
-order-insensitive values (columns sorted by name, rows sorted, cells
-normalized). Exact comparison for ints/strings/timestamps/decimals;
-floats must match to 1e-9 relative (queries are expected to round).
+The driver compares the Spark result and the DuckDB oracle as dataframes
+(columns sorted by name, rows sorted, values hashed). Round-1 showed the
+hash is sensitive to *representation*, not just value: DuckDB's pandas
+conversion turns DECIMAL and HUGEINT (integer SUM) columns into float64
+while Spark's ``toPandas`` yields ``decimal.Decimal`` objects and int64 —
+value-equal, hash-different. This checker therefore enforces the
+canonical output contract every gated query must satisfy:
+
+  * only BIGINT / DOUBLE / VARCHAR / TIMESTAMP / BOOLEAN output columns
+    (compute exactly in decimal *internally*, cast to double at the end);
+  * dtypes must agree between the two pandas frames (int with int,
+    float with float, ...); timestamps may differ in unit (ns vs us)
+    but not value;
+  * float cells must match BIT-EXACTLY (repr round-trip equality);
+  * Decimal / bytes / bytearray cells are a hard failure on either side.
 
 Usage: python scripts/check_parity.py [sf_dir] [query ...]
 """
@@ -15,34 +25,85 @@ import math
 import os
 import sys
 import time
-from datetime import datetime
-from decimal import Decimal
+from datetime import date, datetime
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_FORBIDDEN = "FORBIDDEN-TYPE"
+
 
 def _norm_cell(v):
-    if v is None:
+    """Canonical string for a cell; forbidden representations poison the row."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, Decimal):
-        return f"{v.normalize():f}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
+    if isinstance(v, (decimal.Decimal, bytes, bytearray, memoryview)):
+        return f"{_FORBIDDEN}:{type(v).__name__}:{v!r}"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (np.floating, float)):
+        # repr is shortest-round-trip: equal strings <=> equal bits
+        return repr(float(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, date):
+        return v.isoformat()
     return str(v)
 
 
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out)
+def _dtype_class(dt) -> str:
+    import pandas as pd
+
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "timestamp"
+    return "object"
+
+
+def _canon(pdf):
+    """(sorted col names, dtype classes, sorted normalized rows)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    classes = [_dtype_class(pdf[c].dtype) for c in cols]
+    rows = sorted(
+        tuple(_norm_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)
+    )
+    return cols, classes, rows
+
+
+def compare_frames(name: str, spark_pdf, duck_pdf) -> list[str]:
+    """Return a list of problems (empty = strict pass)."""
+    problems: list[str] = []
+    sc, scls, sr = _canon(spark_pdf)
+    dc, dcls, dr = _canon(duck_pdf)
+    if sc != dc:
+        return [f"columns differ: spark={sc} duckdb={dc}"]
+    for c, a, b in zip(sc, scls, dcls):
+        if a != b:
+            problems.append(f"dtype mismatch col={c}: spark={a} duckdb={b}")
+    if len(sr) != len(dr):
+        problems.append(f"row counts spark={len(sr)} duckdb={len(dr)}")
+        return problems
+    forb = [cell for row in (sr[:1000] + dr[:1000]) for cell in row if cell.startswith(_FORBIDDEN)]
+    if forb:
+        problems.append(f"forbidden output type (decimal/bytes): {forb[0][:120]}")
+    bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+    if bad:
+        problems.append(f"{len(bad)}/{len(sr)} rows differ; first: spark={bad[0][0]} duckdb={bad[0][1]}")
+    return problems
 
 
 def main() -> int:
@@ -64,49 +125,41 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     n_pass = n_fail = 0
+    failed: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok   {name}: rows={len(s_rows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            print(f"ok   {name}: rows={len(spdf)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             n_pass += 1
             continue
         try:
-            rel = con.sql(sql)
-            d_cols = list(rel.columns)
-            d_rows = rel.fetchall()
+            dpdf = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
             n_fail += 1
             continue
-        sc, sr = _norm_rows(s_cols, s_rows)
-        dc, dr = _norm_rows(d_cols, d_rows)
-        if sc != dc:
-            print(f"FAIL {name}: columns differ spark={sc} duckdb={dc}")
+        problems = compare_frames(name, spdf, dpdf)
+        if problems:
+            print(f"FAIL {name}: " + " | ".join(problems))
+            failed.append(name)
             n_fail += 1
-            continue
-        if len(sr) != len(dr):
-            print(f"FAIL {name}: row counts spark={len(sr)} duckdb={len(dr)}")
-            n_fail += 1
-            continue
-        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
-        if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first: spark={bad[0][0]} duckdb={bad[0][1]}")
-            n_fail += 1
-            continue
-        print(f"PASS {name}: rows={len(sr)} [{time.time()-t0:.1f}s]")
-        n_pass += 1
+        else:
+            print(f"PASS {name}: rows={len(spdf)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if failed:
+        print("failed:", " ".join(failed))
     return 1 if n_fail else 0
 
 
