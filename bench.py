@@ -83,12 +83,28 @@ def _bench_stream_write(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _pcts(lats: list[float], extra: dict) -> dict:
+    lats = sorted(lats)
+    pct = lambda p: round(lats[min(len(lats) - 1, int(p * len(lats)))], 1)
+    return {"p50_ms": pct(0.50), "p75_ms": pct(0.75), "p95_ms": pct(0.95),
+            "p99_ms": pct(0.99), "max_ms": round(lats[-1], 1),
+            "avg_ms": round(sum(lats) / len(lats), 1), **extra}
+
+
 def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
-    """Per-commit write latency distribution — the reference's own
-    benchmark dimension (BASELINE.md reports p50/p75/p95/p99 for
-    pravega-benchmark appends). One micro-batch here = one durable,
-    exactly-once commit (hash routing + offset assignment + manifest
-    flip), the engine's equivalent of a batched append ack."""
+    """Write-latency distributions — the reference's own benchmark
+    dimension (BASELINE.md reports p50/p75/p95/p99 for pravega-benchmark
+    event appends).
+
+    ``write_latency`` (headline, apples-to-apples with the reference's
+    writeEvent acks): the hot-tier append path — rows in, durable
+    manifest-flip ack out, no Spark job (StreamStore.append_events,
+    mirroring AppendProcessor's ack path).
+
+    ``microbatch`` additionally reports the Structured-Streaming-tier
+    commit: a full DataFrame micro-batch through hash routing + offset
+    assignment + manifest flip (one commit per foreachBatch).
+    """
     import shutil
     import tempfile
 
@@ -104,6 +120,23 @@ def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
         store.create_stream("bench", "lat", StreamConfiguration(scaling=ScalingPolicy.fixed(4)))
         ev = load_table(spark, sf_dir, "events").limit(n_batches * 500).cache()
         ev.count()
+
+        # --- event-append acks (the reference's measured dimension) ---
+        rows = [r.asDict() for r in ev.limit(n_batches * 500).collect()]
+        store.create_stream("bench", "app", StreamConfiguration(scaling=ScalingPolicy.fixed(4)))
+        app_lats = []
+        for b in range(n_batches * 5):
+            chunk = rows[b * 100:(b + 1) * 100]
+            if not chunk:
+                break
+            t0 = time.perf_counter()
+            store.append_events("bench", "app", chunk, routing_key="user_id",
+                                event_time_key="ts", writer_id="app", batch_seq=b)
+            app_lats.append((time.perf_counter() - t0) * 1000)
+        append = _pcts(app_lats, {"batches": len(app_lats), "events_per_batch": 100})
+        print(f"# write_latency(append): {append}", file=sys.stderr)
+
+        # --- micro-batch commit (streaming-sink tier) ---
         lats = []
         for b in range(n_batches):
             batch = ev.filter(F.col("event_id") % n_batches == b)
@@ -114,13 +147,9 @@ def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
             )
             lats.append((time.perf_counter() - t0) * 1000)
         ev.unpersist()
-        lats.sort()
-        pct = lambda p: round(lats[min(len(lats) - 1, int(p * len(lats)))], 1)
-        out = {"p50_ms": pct(0.50), "p75_ms": pct(0.75), "p95_ms": pct(0.95),
-               "p99_ms": pct(0.99), "max_ms": round(lats[-1], 1),
-               "avg_ms": round(sum(lats) / len(lats), 1), "batches": n_batches}
-        print(f"# write_latency: {out}", file=sys.stderr)
-        return out
+        micro = _pcts(lats, {"batches": n_batches})
+        print(f"# microbatch_commit: {micro}", file=sys.stderr)
+        return {**append, "microbatch": micro}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -260,6 +260,25 @@ def read_bytes_range(path: str, start: int, length: int) -> bytes:
         return fh.read(length)
 
 
+def parquet_write_table(table, path: str, use_deprecated_int96: bool = False) -> None:
+    """Write an Arrow table as one parquet file (driver-side hot tier)."""
+    import pyarrow.parquet as pq
+
+    f, p = _split(path)
+    if f is None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(table, p, compression="snappy",
+                       use_deprecated_int96_timestamps=use_deprecated_int96)
+        return
+    parent = p.rsplit("/", 1)[0]
+    from pyarrow import fs as pafs
+
+    if f.get_file_info(parent).type == pafs.FileType.NotFound:
+        f.create_dir(parent, recursive=True)
+    pq.write_table(table, p, compression="snappy", filesystem=f,
+                   use_deprecated_int96_timestamps=use_deprecated_int96)
+
+
 def parquet_num_rows(path: str) -> int:
     """Row count from the parquet footer — no Spark job, no data read."""
     import pyarrow.parquet as pq

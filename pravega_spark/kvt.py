@@ -11,11 +11,22 @@ segmentstore/contracts/tables/TableStore.java:65-318):
 
 Spark-native design: an append-only version log as Parquet partitioned
 by ``bucket = hash(pk) % partition_count`` (the reference's
-partitionCount), with a driver-held CAS gate. Reads resolve the latest
-version per key with a window (max-version row); ``compact()`` rewrites
-the log keeping only live heads — the lakehouse MERGE/OPTIMIZE pattern
-replacing the reference's hash-table segment + compactor. The version
-log doubles as the change feed (delta iterator) for free.
+partitionCount), committed through a MANIFEST: data files are staged
+under unique names and become visible only when the meta document —
+which carries the file list AND the next version counter in one atomic
+JSON write — lands. A crash between the parquet write and the meta
+write leaves invisible orphans and an unconsumed version number, so
+latest-version resolution (row_number over desc(version)) stays
+deterministic and CAS checks can never observe a half-applied batch
+(the same data+marker atomicity ``store.py _commit_rows`` provides for
+streams). All file operations go through ``fsio`` so KVTs work on
+object-store roots like the rest of the engine.
+
+Reads resolve the latest version per key with a window (max-version
+row); ``compact()`` rewrites the log keeping only live heads — the
+lakehouse MERGE/OPTIMIZE pattern replacing the reference's hash-table
+segment + compactor. The version log doubles as the change feed (delta
+iterator) for free.
 
 At scale: point lookups prune to one bucket partition + parquet
 row-group stats on pk; range scans prune by min/max pk stats; the
@@ -24,15 +35,14 @@ latest-version window shuffles only the touched buckets.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pravega_spark import fsio
 from pravega_spark.config import KeyValueTableConfiguration
 from pravega_spark.hashing import bucket_for_key_py, hash_to_bucket
 from pravega_spark.errors import BadKeyVersionException, NoSuchKeyException
@@ -49,34 +59,51 @@ class KeyValueTable:
                  config: KeyValueTableConfiguration | None = None):
         self.spark = spark
         self.scope, self.name = scope, name
-        self.path = os.path.join(root, "kvt", scope, name)
-        self.meta_path = os.path.join(self.path, "_kvt_meta.json")
-        self.data_path = os.path.join(self.path, "log")
-        if os.path.exists(self.meta_path):
-            with open(self.meta_path) as f:
-                doc = json.load(f)
+        self.path = fsio.join(root, "kvt", scope, name)
+        self.meta_path = fsio.join(self.path, "_kvt_meta.json")
+        self.data_path = fsio.join(self.path, "log")
+        doc = fsio.read_json(self.meta_path, None)
+        if doc is not None:
             self.config = KeyValueTableConfiguration(**doc["config"])
             self._next_version = doc["next_version"]
+            if "files" in doc:
+                self._files = list(doc["files"])
+            else:
+                # pre-manifest layout: adopt whatever is on disk once
+                self._files = sorted(self._list_data_files())
+                self._save_meta()
         else:
             self.config = config or KeyValueTableConfiguration()
             self._next_version = 1
+            self._files = []
             self._save_meta()
 
+    def _list_data_files(self) -> set[str]:
+        return {
+            f
+            for f in fsio.list_files_recursive(self.data_path)
+            if f.endswith(".parquet") and not os.path.basename(f).startswith(("_", "."))
+        }
+
     def _save_meta(self) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = f"{self.meta_path}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"config": self.config.__dict__, "next_version": self._next_version, "updated": time.time()},
-                f,
-            )
-        os.replace(tmp, self.meta_path)
+        # the single atomic commit point: file manifest + version counter
+        fsio.write_json_atomic(
+            self.meta_path,
+            {
+                "config": self.config.__dict__,
+                "next_version": self._next_version,
+                "files": sorted(self._files),
+                "updated": time.time(),
+            },
+        )
 
     # ---------------- write path (K1) ----------------
     def _log(self) -> DataFrame | None:
-        if not os.path.isdir(self.data_path):
+        if not self._files:
             return None
-        return self.spark.read.option("basePath", self.data_path).parquet(self.data_path)
+        return self.spark.read.option("basePath", self.data_path).parquet(
+            *[fsio.join(self.data_path, f) for f in self._files]
+        )
 
     def _latest(self) -> DataFrame | None:
         log = self._log()
@@ -134,9 +161,25 @@ class KeyValueTable:
         df = self.spark.createDataFrame(
             rows, "pk string, sk string, value string, version long, deleted boolean"
         ).withColumn("bucket", hash_to_bucket("pk", n_buckets))
-        df.write.mode("append").partitionBy("bucket").parquet(self.data_path)
+        # stage → move under unique names → manifest flip (atomic commit)
+        tag = uuid.uuid4().hex[:8]
+        tmp = f"{self.data_path}.commit.{tag}"
+        df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        new_files: list[str] = []
+        for rel in sorted(
+            f for f in fsio.list_files_recursive(tmp)
+            if f.endswith(".parquet") and not os.path.basename(f).startswith(("_", "."))
+        ):
+            part = rel.split(os.sep, 1)[0]
+            if not part.startswith("bucket="):
+                continue
+            dst_rel = os.path.join(part, f"v{version}-{tag}-{os.path.basename(rel)}")
+            fsio.move(fsio.join(tmp, rel), fsio.join(self.data_path, dst_rel))
+            new_files.append(dst_rel)
+        fsio.rmtree(tmp)
+        self._files = sorted(self._files + new_files)
         self._next_version = version + 1
-        self._save_meta()
+        self._save_meta()  # data + version become visible together
         return version
 
     def insert(self, pk: str, value: str, sk: str = "") -> int:
@@ -234,9 +277,11 @@ class KeyValueTable:
     # ---------------- maintenance ----------------
     def compact(self) -> None:
         """Drop superseded versions + tombstones (TableCompactor.java:71):
-        rewrite the log keeping only the live head per key."""
+        rewrite the log keeping only the live head per key, manifest-safe
+        (readers see the old or the new file set, never neither)."""
         snap = self.snapshot()
-        tmp = f"{self.data_path}.compact.{uuid.uuid4().hex[:8]}"
+        tag = uuid.uuid4().hex[:8]
+        tmp = f"{self.data_path}.compact.{tag}"
         (
             snap.withColumn("deleted", F.lit(False))
             .withColumn("bucket", hash_to_bucket("pk", self.config.partition_count))
@@ -244,10 +289,30 @@ class KeyValueTable:
             .partitionBy("bucket")
             .parquet(tmp)
         )
-        old = f"{self.data_path}.old.{uuid.uuid4().hex[:8]}"
-        os.replace(self.data_path, old)
-        os.replace(tmp, self.data_path)
-        shutil.rmtree(old, ignore_errors=True)
+        new_files: list[str] = []
+        for rel in sorted(
+            f for f in fsio.list_files_recursive(tmp)
+            if f.endswith(".parquet") and not os.path.basename(f).startswith(("_", "."))
+        ):
+            part = rel.split(os.sep, 1)[0]
+            if not part.startswith("bucket="):
+                continue
+            dst_rel = os.path.join(part, f"compact-{tag}-{os.path.basename(rel)}")
+            fsio.move(fsio.join(tmp, rel), fsio.join(self.data_path, dst_rel))
+            new_files.append(dst_rel)
+        fsio.rmtree(tmp)
+        old_files = self._files
+        self._files = sorted(new_files)
+        self._save_meta()  # visibility flip
+        for rel in old_files:  # now-invisible originals
+            fsio.remove(fsio.join(self.data_path, rel))
+
+    def fsck(self) -> list[str]:
+        """Reap orphan parquet files from crashed commits/compactions."""
+        orphans = sorted(self._list_data_files() - set(self._files))
+        for rel in orphans:
+            fsio.remove(fsio.join(self.data_path, rel))
+        return orphans
 
 
 class KeyValueTableManager:
@@ -265,12 +330,20 @@ class KeyValueTableManager:
         return KeyValueTable(self.spark, self.root, scope, name)
 
     def list_key_value_tables(self, scope: str) -> list[str]:
-        d = os.path.join(self.root, "kvt", scope)
-        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+        d = fsio.join(self.root, "kvt", scope)
+        if not fsio.isdir(d):
+            return []
+        # a KVT exists iff its meta doc does; derive names from file paths
+        names = {
+            rel.split(os.sep, 1)[0]
+            for rel in fsio.list_files_recursive(d)
+            if os.sep in rel and rel.split(os.sep, 1)[1].startswith("_kvt_meta.json")
+        }
+        return sorted(names)
 
     def delete_key_value_table(self, scope: str, name: str) -> bool:
-        p = os.path.join(self.root, "kvt", scope, name)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+        p = fsio.join(self.root, "kvt", scope, name)
+        if fsio.isdir(p):
+            fsio.rmtree(p)
             return True
         return False

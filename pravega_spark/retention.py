@@ -37,8 +37,14 @@ class RetentionJob:
         boundary = now - timedelta(milliseconds=horizon_ms)
         df = self.store._raw_read(scope, stream)
         tails = self.store.meta.tail_offsets(scope, stream)
+        # events written without an event_time_col have NULL event_time;
+        # falling back to ingest_time (always populated by _commit_rows)
+        # keeps them retained — otherwise one TIME-retention run would
+        # cut every such segment to tail and silently drop all data.
+        # Reference time retention works off StreamCutRecord history, not
+        # per-event times, and can never skip events that way.
         rows = (
-            df.filter(F.col("event_time") >= F.lit(boundary))
+            df.filter(F.coalesce(F.col("event_time"), F.col("ingest_time")) >= F.lit(boundary))
             .groupBy("segment_id")
             .agg(F.min("offset").alias("o"))
             .collect()

@@ -53,7 +53,7 @@ from pravega_spark.errors import (
     TruncatedDataException,
     TxnFailedException,
 )
-from pravega_spark.hashing import hash_to_range, segment_for_ranges
+from pravega_spark.hashing import hash_to_range, segment_for_key_py, segment_for_ranges
 from pravega_spark.metadata import MetadataStore, make_segment_id, segment_epoch
 from pravega_spark.streamcut import StreamCut
 
@@ -66,6 +66,14 @@ INGEST_TIME = "ingest_time"
 ENVELOPE_COLS = (ROUTING_KEY, SEGMENT_ID, OFFSET, EVENT_TIME, INGEST_TIME)
 
 DEFAULT_TXN_LEASE_MS = 599_999  # EventWriterConfig.java:132
+
+# Batches whose Catalyst size estimate is at or below this commit through
+# the driver-side hot tier (single collect, no distributed write job):
+# the Spark analogue of the reference's DurableLog fast append ack
+# (DurableLog.java:67) vs async LTS tiering. The estimate is free (plan
+# statistics, no job); a wrong estimate only changes latency, never
+# correctness — both tiers end at the same manifest flip. 0 disables.
+HOT_MAX_EST_BYTES = int(os.environ.get("PRAVEGA_SPARK_HOT_MAX_EST_BYTES", str(2 << 20)))
 
 
 @dataclass
@@ -140,8 +148,12 @@ class Transaction:
             staged = spark.read.option("basePath", self.staging_path).parquet(
                 fsio.join(self.staging_path, "part=*")
             )
-            # stable order: by write_events call, then arrival within call
-            staged = staged.withColumn("_seq", F.col("part") * F.lit(1 << 40) + F.col("_seq")).drop("part")
+            # stable order: by write_events call, then arrival within call.
+            # Kept as a (part, seq) PAIR: collapsing into part*2^40+seq
+            # breaks once _seq (partitionId<<33 | row) reaches 2^40 —
+            # i.e. ≥128 input partitions — and bleeds into the next
+            # part's range, reordering events across write_events calls.
+            staged = staged.withColumnRenamed("part", "_part")
             # txn marker commits atomically with the data: a crash before
             # the status flip can't double-apply on retry
             self.store._commit_rows(self.scope, self.stream, staged, txn_marker=self.txn_id)
@@ -269,6 +281,70 @@ class StreamStore:
                 self.note_time(scope, stream, writer_id, int(row["m"].timestamp() * 1000))
         return tails
 
+    def append_events(
+        self,
+        scope: str,
+        stream: str,
+        events: list[dict],
+        routing_key: str = ROUTING_KEY,
+        event_time_key: str | None = None,
+        writer_id: str | None = None,
+        batch_seq: int | None = None,
+    ) -> dict[int, int]:
+        """writeEvent/writeEvents hot append (W1/W2): rows in, durable
+        ack out, ZERO Spark jobs — the per-event client append path
+        (EventStreamWriterImpl.writeEvent → AppendProcessor ack), where
+        the reference measures its millisecond latencies. Events are a
+        list of dicts sharing one schema; list order is arrival order
+        (the per-key order contract). The same manifest flip as
+        ``write_events`` makes it durable, atomic, and exactly-once
+        under (writer_id, batch_seq) retry dedup; hot files and
+        distributed files interleave freely in one stream.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        info = self.meta.get_stream(scope, stream)
+        if info["sealed"]:
+            raise StreamSealedException(f"{scope}/{stream} is sealed")
+        writer_marker = None
+        if writer_id is not None and batch_seq is not None:
+            if batch_seq <= self._writer_seq(scope, stream).get(writer_id, -1):
+                return self.meta.tail_offsets(scope, stream)  # duplicate retry
+            writer_marker = (writer_id, batch_seq)
+        tbl = pa.Table.from_pylist(events)
+        ts_us = pa.timestamp("us", tz="UTC")
+        if routing_key != ROUTING_KEY:
+            tbl = tbl.append_column(ROUTING_KEY, pc.cast(tbl[routing_key], pa.string()))
+        elif not pa.types.is_string(tbl[ROUTING_KEY].type):
+            idx = tbl.column_names.index(ROUTING_KEY)
+            tbl = tbl.set_column(idx, ROUTING_KEY, pc.cast(tbl[ROUTING_KEY], pa.string()))
+        if event_time_key is not None:
+            col = pc.cast(tbl[event_time_key], ts_us)
+            if EVENT_TIME in tbl.column_names:
+                tbl = tbl.set_column(tbl.column_names.index(EVENT_TIME), EVENT_TIME, col)
+            else:
+                tbl = tbl.append_column(EVENT_TIME, col)
+        ranges = self.meta.active_ranges(scope, stream)
+        tails = self.meta.tail_offsets(scope, stream)
+        path = self._stream_path(scope, stream)
+        tag = uuid.uuid4().hex[:8]
+        new_files, counts = self._write_hot_batch(tbl, ranges, tails, [], path, tag)
+        return self._publish_manifest(scope, stream, new_files, counts, writer_marker, txn_marker=None)
+
+    def write_event(
+        self,
+        scope: str,
+        stream: str,
+        routing_key: str,
+        event: dict,
+        **kw,
+    ) -> dict[int, int]:
+        """Single-event append (EventStreamWriter.writeEvent, W1)."""
+        return self.append_events(
+            scope, stream, [{**event, ROUTING_KEY: routing_key}], **kw
+        )
+
     def _writer_seq(self, scope: str, stream: str) -> dict:
         return self.meta.segments_doc(scope, stream)["writer_seqs"]
 
@@ -300,46 +376,158 @@ class StreamStore:
         A crash after the parquet append but before the doc write leaves
         orphan files that no reader sees; a retry appends fresh files at
         the SAME offsets without duplicates (fsck_stream reaps orphans).
+
+        Two tiers, reference-shaped (DurableLog fast ack vs StorageWriter
+        tiering): small batches (by Catalyst size estimate) commit
+        driver-side via pyarrow — one collect, zero distributed jobs;
+        larger batches run the distributed write with per-segment offset
+        windows. Both end at the same manifest flip.
         """
         ranges = self.meta.active_ranges(scope, stream)
         tails = self.meta.tail_offsets(scope, stream)
+        path = self._stream_path(scope, stream)
+        order_cols = [c for c in ("_part", "_seq") if c in staged.columns]
+        tag = uuid.uuid4().hex[:8]
+
+        hot = None
+        if 0 < HOT_MAX_EST_BYTES >= self._estimate_bytes(staged):
+            hot = staged.toArrow()
+        if hot is not None:
+            new_files, counts = self._write_hot_batch(hot, ranges, tails, order_cols, path, tag)
+        else:
+            new_files, counts = self._write_distributed_batch(
+                staged, ranges, tails, order_cols, path, tag
+            )
+        return self._publish_manifest(scope, stream, new_files, counts, writer_marker, txn_marker)
+
+    @staticmethod
+    def _estimate_bytes(df: DataFrame) -> int:
+        """Catalyst plan-statistics size estimate — no job. Conservative
+        failure mode: if the internal API moves, route to the distributed
+        tier (always correct)."""
+        try:
+            return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            return 1 << 62
+
+    def _write_hot_batch(
+        self,
+        tbl,
+        ranges,
+        tails: dict[int, int],
+        order_cols: list[str],
+        path: str,
+        tag: str,
+    ) -> tuple[dict[int, list[str]], dict[int, int]]:
+        """Driver-side commit of a small Arrow batch: segment routing via
+        the scalar twin of the JVM hash, offsets by arrival order, one
+        parquet file per touched segment — the hot-tier append ack.
+
+        Pure-Arrow on purpose: a pandas round-trip would upconvert the
+        µs timestamps Spark emitted to ns, and this session reads
+        TIMESTAMP(NANOS) parquet as LONG (nanosAsLong) — the hot files
+        must carry exactly the types the distributed writer produces.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if tbl.num_rows == 0:
+            return {}, {}
+        if order_cols:
+            # _seq (and _part) are unique, so sort order is total
+            tbl = tbl.sort_by([(c, "ascending") for c in order_cols])
+            tbl = tbl.drop_columns(order_cols)
+        keys = tbl[ROUTING_KEY].to_pylist()
+        uniq = {k: segment_for_key_py(k, ranges) for k in set(keys)}
+        seg_arr = pa.array((uniq[k] for k in keys), type=pa.int64())
+        ts_us = pa.timestamp("us", tz="UTC")
+        now = pa.scalar(int(time.time() * 1_000_000)).cast(ts_us)
+        new_files: dict[int, list[str]] = {}
+        counts: dict[int, int] = {}
+        for sid in sorted(set(uniq.values())):
+            seg = tbl.filter(pc.equal(seg_arr, sid))
+            n = seg.num_rows
+            if n == 0:
+                continue
+            base = tails.get(sid, 0)
+            seg = seg.append_column(OFFSET, pa.array(range(base, base + n), type=pa.int64()))
+            seg = seg.append_column(INGEST_TIME, pa.array([now.as_py()] * n, type=ts_us))
+            if EVENT_TIME not in seg.column_names:
+                seg = seg.append_column(EVENT_TIME, pa.nulls(n, type=ts_us))
+            dst_rel = os.path.join(f"segment_id={sid}", f"commit-{tag}-hot.parquet")
+            fsio.parquet_write_table(seg, fsio.join(path, dst_rel))
+            new_files[sid] = [dst_rel]
+            counts[sid] = n
+        return new_files, counts
+
+    def _write_distributed_batch(
+        self,
+        staged: DataFrame,
+        ranges,
+        tails: dict[int, int],
+        order_cols: list[str],
+        path: str,
+        tag: str,
+    ) -> tuple[dict[int, list[str]], dict[int, int]]:
         base = F.create_map(*[x for sid in [r[0] for r in ranges] for x in (F.lit(sid), F.lit(tails.get(sid, 0)))])
-        w = Window.partitionBy(SEGMENT_ID).orderBy("_seq")
+        # arrival order: optional txn part number first, then intra-part seq
+        w = Window.partitionBy(SEGMENT_ID).orderBy(*[F.col(c) for c in order_cols])
         out = (
             staged.withColumn(SEGMENT_ID, segment_for_ranges(hash_to_range(F.col(ROUTING_KEY)), ranges))
             .withColumn(OFFSET, (F.row_number().over(w) - 1 + base[F.col(SEGMENT_ID)]).cast("long"))
             .withColumn(INGEST_TIME, F.current_timestamp())
-            .drop("_seq")
+            .drop(*order_cols)
         )
         if EVENT_TIME not in out.columns:
             out = out.withColumn(EVENT_TIME, F.lit(None).cast("timestamp"))
-        path = self._stream_path(scope, stream)
         # ONE Spark job (the write) into a PRIVATE temp dir: discovering
         # the batch's files lists O(batch), never O(stream) — a full
         # stream-dir LIST per commit would be the scaling bottleneck at
         # ~10^5 live files. Files then move into the segment dirs under
         # unique names (invisible until the manifest flip). Per-segment
         # row counts come from the moved files' parquet footers
-        # (driver-side metadata reads — no second job, no persist).
-        tag = uuid.uuid4().hex[:8]
+        # (driver-side metadata reads — no second job, no persist);
+        # moves + footer reads fan out over a thread pool since each is
+        # an independent rename + metadata GET.
         tmp = f"{path}.commit.{tag}"
         out.write.mode("overwrite").partitionBy(SEGMENT_ID).parquet(tmp)
-        new_files: dict[int, list[str]] = {}
-        counts: dict[int, int] = {}
-        for rel in sorted(self._list_data_files(tmp)):
+
+        def _promote(rel: str) -> tuple[int, str, int] | None:
             seg_part = rel.split(os.sep, 1)[0]
             if not seg_part.startswith("segment_id="):
-                continue
+                return None
             sid = int(seg_part.split("=", 1)[1])
             dst_rel = os.path.join(seg_part, f"commit-{tag}-{os.path.basename(rel)}")
             fsio.move(fsio.join(tmp, rel), fsio.join(path, dst_rel))
             n = fsio.parquet_num_rows(fsio.join(path, dst_rel))
             if n == 0:
                 fsio.remove(fsio.join(path, dst_rel))
-                continue
+                return None
+            return sid, dst_rel, n
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        rels = sorted(self._list_data_files(tmp))
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(rels)))) as pool:
+            promoted = [r for r in pool.map(_promote, rels) if r is not None]
+        fsio.rmtree(tmp)
+        new_files: dict[int, list[str]] = {}
+        counts: dict[int, int] = {}
+        for sid, dst_rel, n in promoted:
             new_files.setdefault(sid, []).append(dst_rel)
             counts[sid] = counts.get(sid, 0) + n
-        fsio.rmtree(tmp)
+        return new_files, counts
+
+    def _publish_manifest(
+        self,
+        scope: str,
+        stream: str,
+        new_files: dict[int, list[str]],
+        counts: dict[int, int],
+        writer_marker: tuple[str, int] | None,
+        txn_marker: str | None,
+    ) -> dict[int, int]:
+        """The single atomic commit point: files + offsets + markers."""
         doc = self.meta.segments_doc(scope, stream)
         segs = doc["segments"]
         for sid, n in counts.items():
@@ -362,9 +550,13 @@ class StreamStore:
         """Reap orphan parquet files (crashed commits / compactions):
         anything on disk that no manifest entry references."""
         path = self._stream_path(scope, stream)
-        manifest = {
-            f for s in self.meta.get_segments(scope, stream).values() for f in s.get("files", [])
-        }
+        segs = self.meta.get_segments(scope, stream)
+        if any(s.get("tail_offset", 0) and "files" not in s for s in segs.values()):
+            # pre-manifest layout (_raw_read still supports it): the
+            # manifest is empty, so "disk minus manifest" would be EVERY
+            # data file — reaping here would delete the whole stream.
+            return []
+        manifest = {f for s in segs.values() for f in s.get("files", [])}
         orphans = sorted(self._list_data_files(path) - manifest)
         for f in orphans:
             fsio.remove(fsio.join(path, f))
