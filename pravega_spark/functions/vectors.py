@@ -60,8 +60,19 @@ def cosine_topk(
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
     sims = pairs.select("q_id", "c_id", cosine("q_vec", "c_vec").alias("cosine"))
+    # two-stage top-k: per-(query, input-partition) local top-k first, so
+    # the big shuffle spreads over |queries|×P keys and the final window
+    # over q_id alone sees only k×P rows per query — a handful of query
+    # ids never becomes the reducer bottleneck at corpus scale.
+    w_local = Window.partitionBy("q_id", "_pid").orderBy(F.desc("cosine"), F.asc("c_id"))
+    local = (
+        sims.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+        .drop("_pid", "_lrk")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return local.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 def cosine_topk_pandas(

@@ -4,15 +4,18 @@ LLM-pipeline operators: brute-force cosine top-k (the exactness
 baseline), LSH-bucketed near-duplicate detection (the scale path), and
 an IVF-style partitioned search using centroid pre-assignment.
 
-Dot products use the *relational* formulation — explode with position,
-join, sum of double products — because it is expressible identically in
-Spark and DuckDB (hash-stable after rounding). The engine ALSO ships a
-vectorized ``F.aggregate``/``zip_with`` form (functions/vectors.py) used
-by bench, where the oracle parity constraint doesn't apply.
+Dot products run the VECTORIZED kernels (functions/vectors.py:
+``zip_with``/``aggregate`` higher-order functions — JVM-side, inside
+whole-stage codegen, no explode). The DuckDB oracles keep the
+positional-unnest formulation, which computes the same doubles; both
+sides round to 6 dp so summation-order noise (~1e-15 relative) cannot
+flip the hash.
 
-Scale notes: queries broadcast (small side), corpus never shuffles for
-brute force; LSH buckets / IVF cells turn all-pairs into per-bucket
-joins — the 100 TB strategy.
+Scale notes: queries broadcast (small side), so the corpus NEVER
+shuffles for brute force — top-k uses a two-stage window (local per
+partition, then global over k×P survivors); LSH buckets / label cells
+turn all-pairs into per-bucket joins carrying whole vectors (64× less
+shuffle volume than a positional explode) — the 100 TB strategy.
 """
 
 from __future__ import annotations
@@ -26,41 +29,19 @@ _TOP_K = 3
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 
 
-def _pairs_cosine(spark: SparkSession, sf_dir: str, queries_df: DataFrame, corpus_df: DataFrame) -> DataFrame:
-    """Cosine similarity for (query × corpus) via positional explode-join.
-
-    One shuffle on (vec pair); products summed as double.
-    """
-    q = queries_df.select(
-        F.col("vec_id").alias("q_id"),
-        F.posexplode(F.col("embedding")).alias("pos", "q_val"),
-    )
-    c = corpus_df.select(
-        F.col("vec_id").alias("c_id"),
-        F.posexplode(F.col("embedding")).alias("pos", "c_val"),
-    )
-    return (
-        q.join(c, "pos")
-        .groupBy("q_id", "c_id")
-        .agg(
-            F.sum(F.col("q_val").cast("double") * F.col("c_val").cast("double")).alias("dot"),
-            F.sum(F.col("q_val").cast("double") * F.col("q_val").cast("double")).alias("qq"),
-            F.sum(F.col("c_val").cast("double") * F.col("c_val").cast("double")).alias("cc"),
-        )
-        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("qq") * F.col("cc")), 6))
-    )
-
-
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k: for each query vector, the 3 nearest corpus vectors
-    by cosine (excluding itself), rounded for hash stability."""
+    by cosine (excluding itself), rounded for hash stability.
+
+    Runs the vectorized kernel (broadcast queries × streaming corpus,
+    two-stage top-k window) — zero corpus shuffle, no explode."""
+    from pravega_spark.functions.vectors import cosine_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
-    sims = _pairs_cosine(spark, sf_dir, queries_df, emb).filter(F.col("q_id") != F.col("c_id"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    topk = cosine_topk(emb, queries_df, k=_TOP_K, exclude_self=True)
     return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOP_K)
+        topk.withColumn("cosine", F.round("cosine", 6))
         .select("q_id", "c_id", "cosine", "rk")
         .orderBy("q_id", "rk")
     )
@@ -137,20 +118,20 @@ ORDER BY n.label
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: within each label cell (the bucketed /
-    IVF-style candidate set), pairs with cosine ≥ 0.35."""
+    IVF-style candidate set), pairs with cosine ≥ 0.35.
+
+    The label join carries WHOLE vectors through the vectorized cosine —
+    64× less shuffle volume than a positional explode; AQE skew-join
+    splits any hot label cell."""
+    from pravega_spark.functions.vectors import cosine as v_cosine
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("label"), F.posexplode("embedding").alias("pos", "a_val"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("label"), F.posexplode("embedding").alias("pos", "b_val"))
+    a = emb.select(F.col("vec_id").alias("a_id"), "label", F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("b_id"), "label", F.col("embedding").alias("vec_b"))
     sims = (
-        a.join(b, ["label", "pos"])
+        a.join(b, "label")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("label", "a_id", "b_id")
-        .agg(
-            F.sum(F.col("a_val").cast("double") * F.col("b_val").cast("double")).alias("dot"),
-            F.sum(F.col("a_val").cast("double") * F.col("a_val").cast("double")).alias("aa"),
-            F.sum(F.col("b_val").cast("double") * F.col("b_val").cast("double")).alias("bb"),
-        )
-        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("aa") * F.col("bb")), 6))
+        .select("label", "a_id", "b_id", F.round(v_cosine("vec_a", "vec_b"), 6).alias("cosine"))
     )
     return sims.filter(F.col("cosine") >= 0.35).select("label", "a_id", "b_id", "cosine").orderBy("a_id", "b_id")
 
@@ -191,24 +172,22 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     ).alias("bucket")
+    from pravega_spark.functions.vectors import cosine as v_cosine
+
     with_b = emb.select("vec_id", "embedding", bucket)
     queries_df = with_b.filter(F.col("vec_id") < _N_QUERIES)
     q = queries_df.select(
-        F.col("vec_id").alias("q_id"), "bucket", F.posexplode("embedding").alias("pos", "q_val")
+        F.col("vec_id").alias("q_id"), "bucket", F.col("embedding").alias("q_vec")
     )
     c = with_b.select(
-        F.col("vec_id").alias("c_id"), "bucket", F.posexplode("embedding").alias("pos", "c_val")
+        F.col("vec_id").alias("c_id"), "bucket", F.col("embedding").alias("c_vec")
     )
+    # broadcast the query side: the corpus streams through its bucket
+    # filter + vectorized cosine without ever shuffling
     sims = (
-        q.join(c, ["bucket", "pos"])
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("bucket", "q_id", "c_id")
-        .agg(
-            F.sum(F.col("q_val").cast("double") * F.col("c_val").cast("double")).alias("dot"),
-            F.sum(F.col("q_val").cast("double") * F.col("q_val").cast("double")).alias("qq"),
-            F.sum(F.col("c_val").cast("double") * F.col("c_val").cast("double")).alias("cc"),
-        )
-        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("qq") * F.col("cc")), 6))
+        .select("bucket", "q_id", "c_id", F.round(v_cosine("q_vec", "c_vec"), 6).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
