@@ -154,6 +154,42 @@ def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_streaming_roundtrip(spark, sf_dir: str) -> float:
+    """Streaming-plane round trip: events → stream → ``pravega_stream``
+    source (Python data source, Arrow-batched) → exactly-once sink →
+    second stream. Measures the full Structured-Streaming tier including
+    the Python-worker read tax, vs the JVM batch tier measured by
+    stream_read_events."""
+    import shutil
+    import tempfile
+
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+    from pravega_spark.sources import load_table
+    from pravega_spark.store import StreamStore
+    from pravega_spark.streaming import ReaderGroup, write_stream_batch
+
+    root = tempfile.mkdtemp(prefix="pvs_rt_")
+    try:
+        store = StreamStore(spark, root)
+        store.create_scope("bench")
+        store.create_stream("bench", "src", StreamConfiguration(scaling=ScalingPolicy.fixed(8)))
+        store.create_stream("bench", "dst", StreamConfiguration(scaling=ScalingPolicy.fixed(8)))
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        store.write_events("bench", "src", ev, routing_key_col="user_id", event_time_col="ts")
+        rg = ReaderGroup(store, "bench", "src", "rt")
+        sink = write_stream_batch(store, "bench", "dst", writer_id="rt-sink")
+        t0 = time.perf_counter()
+        rg.drain(sink)
+        dt = time.perf_counter() - t0
+        got = store.read("bench", "dst").count()
+        assert got == n, f"round trip {got} != {n}"
+        print(f"# streaming_roundtrip: {dt:.3f}s rows={n} ({n/dt:,.0f} ev/s)", file=sys.stderr)
+        return round(dt, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pravega_spark.queries import queries
@@ -173,6 +209,7 @@ def main() -> None:
     latency = _bench_write_latency(spark, sf_dir)
     timings: dict[str, float] = {}
     timings["stream_write_events"], timings["stream_read_events"] = _bench_stream_write(spark, sf_dir)
+    timings["streaming_roundtrip"] = _bench_streaming_roundtrip(spark, sf_dir)
 
     for name in HEADLINE:
         fn = qs[name]

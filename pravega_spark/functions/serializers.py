@@ -43,20 +43,55 @@ def lift_json(df: DataFrame, schema: StructType | str, payload_col: str = "paylo
     return df.withColumn("data", json_deserialize(payload_col, schema)).select("*", "data.*").drop("data")
 
 
-# ---------------- Avro (gated: spark-avro jar may be absent locally)
-def avro_deserialize(payload: Column | str, json_schema: str) -> Column:
+# ---------------- Avro (gated: the spark-avro CONNECTOR jar may be absent)
+# Note the failure mode: ``pyspark.sql.avro.functions`` always imports
+# (it's part of pyspark), but without the spark-avro connector on the
+# session classpath the expression fails at ANALYSIS time
+# (AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE). avro_available() probes the
+# JVM up front so callers get a decision, not a deferred blow-up.
+
+
+def avro_available(spark) -> bool:
+    """True iff the spark-avro connector classes are on the classpath."""
     try:
-        from pyspark.sql.avro.functions import from_avro
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("spark-avro not on classpath in this build") from e
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return True
+    except Exception:
+        return False
+
+
+def avro_deserialize(payload: Column | str, json_schema: str) -> Column:
+    from pyspark.sql.avro.functions import from_avro
+
     c = F.col(payload) if isinstance(payload, str) else payload
     return from_avro(c, json_schema)
 
 
 def avro_serialize(col: Column | str) -> Column:
-    try:
-        from pyspark.sql.avro.functions import to_avro
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("spark-avro not on classpath in this build") from e
+    from pyspark.sql.avro.functions import to_avro
+
     c = F.col(col) if isinstance(col, str) else col
     return to_avro(c)
+
+
+def typed_serializer(spark, schema: StructType | str, prefer: str = "avro"):
+    """Best available typed payload codec: ``(format, ser_fn, de_fn)``.
+
+    The reference ships Serializer impls per format and callers pick one
+    (Serializer.java); here the engine degrades gracefully — if the
+    spark-avro connector isn't loaded, the JSON codec (always present,
+    same struct-in/struct-out contract, self-describing payloads) is
+    returned instead of an analysis-time failure. ``format`` tells the
+    caller which wire format their payloads actually carry.
+    """
+    if prefer == "avro" and avro_available(spark):
+        return (
+            "avro",
+            lambda struct_col: avro_serialize(struct_col),
+            lambda payload, json_schema: avro_deserialize(payload, json_schema),
+        )
+    return (
+        "json",
+        lambda struct_col: F.to_json(struct_col).cast("binary"),
+        lambda payload, _schema=None, __s=schema: json_deserialize(payload, __s),
+    )

@@ -400,29 +400,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_sh = pool.select(
         "doc_id", "lang", F.explode(F.array_distinct(bigrams)).alias("shingle")
     )
-    # document-frequency cap: shingles shared by many docs are stopword
-    # bigrams — non-discriminative for jaccard>=0.5 pairs but quadratic
-    # in the index join. Dropping df>_DF_CAP keeps per-shingle join
-    # fan-out bounded at ANY corpus size (jaccard is then defined over
-    # the discriminative shingle sets; the oracle applies the same cap).
-    # One window over the (lang,shingle) shuffle computes df in-place —
-    # no second explode pass, no anti-join.
-    sh = (
-        all_sh.withColumn(
-            "df", F.count("*").over(Window.partitionBy("lang", "shingle"))
-        )
-        .filter(F.col("df") <= _DF_CAP)
-        .drop("df")
-        .persist()
+    # Inverted index in ONE map-side-combined aggregation: posting list +
+    # document frequency per (lang, shingle). The df cap (shingles shared
+    # by many docs are stopword bigrams — non-discriminative for
+    # jaccard>=0.5 but quadratic in candidate fan-out) is a filter on the
+    # aggregate, so the old full-sort window AND the index self-join are
+    # both gone: candidate pairs come straight out of each posting list
+    # (≤ C(_DF_CAP, 2) per shingle — bounded at ANY corpus size; the
+    # oracle applies the same cap).
+    idx = (
+        all_sh.groupBy("lang", "shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= _DF_CAP)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), ["lang", "shingle"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+    sizes = (
+        idx.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
     )
+    pairs = idx.filter(F.size("docs") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(slice(docs, i + 2, size(docs)), y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
     return (
         inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")

@@ -102,3 +102,27 @@ def test_multimodal_pipeline(spark):
     assert all(r["count"] >= 1 for r in per_media)
     resized = multimodal.resize_stub(media, 224, 224)
     assert resized.select("width").distinct().collect()[0]["width"] == 224
+
+
+def test_typed_serializer_degrades_to_json(spark):
+    """Avro connector absent in this build -> typed_serializer must hand
+    back the JSON codec (same struct contract) instead of deferring an
+    analysis-time failure; if the connector IS present, the avro path
+    must round-trip."""
+    from pyspark.sql import functions as F
+
+    schema = "id long, name string"
+    fmt, ser, de = serializers.typed_serializer(spark, schema)
+    assert fmt == ("avro" if serializers.avro_available(spark) else "json")
+    df = spark.createDataFrame([(7, "seven")], schema)
+    packed = df.select(ser(F.struct("id", "name")).alias("payload"))
+    assert packed.schema["payload"].dataType.typeName() == "binary"
+    if fmt == "json":
+        out = packed.select(de("payload").alias("d")).select("d.*").collect()[0]
+    else:
+        avro_schema = (
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"id","type":"long"},{"name":"name","type":"string"}]}'
+        )
+        out = packed.select(de("payload", avro_schema).alias("d")).select("d.*").collect()[0]
+    assert (out["id"], out["name"]) == (7, "seven")
