@@ -63,3 +63,13 @@ class ConditionalCheckFailedException(PravegaSparkError):
 
 class InvalidStreamCutException(PravegaSparkError):
     """StreamCut does not cover the stream's key space or is out of range."""
+
+
+class ConcurrentModificationException(PravegaSparkError):
+    """Version-conditional metadata write observed a concurrent commit.
+
+    Raised when a writer's cached document version no longer matches the
+    stored one — e.g. a fenced-out lock holder whose lease expired
+    mid-commit. The commit is abandoned (its staged files stay invisible
+    and are fsck-reapable); the caller may retry from a fresh read.
+    """

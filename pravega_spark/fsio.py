@@ -188,6 +188,46 @@ def create_exclusive(path: str, data: bytes) -> bool:
     return True
 
 
+def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 60_000,
+                 poll_s: float = 0.05) -> str:
+    """Lease-based mutual exclusion via exclusive file create.
+
+    Returns an owner token. Liveness: a crashed holder's lock expires
+    after ``lease_ms`` and the next contender reaps it (the remove +
+    re-create race is decided by create_exclusive — exactly one wins).
+    Safety against a paused holder outliving its lease is NOT the
+    lock's job — writers pair the lock with a version-checked document
+    write (conditional put), so a fenced-out holder fails its commit
+    instead of clobbering (the reference pairs store locks with
+    version-conditional metadata updates the same way).
+    """
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex
+    deadline = _time.time() + timeout_ms / 1000.0
+    while True:
+        payload = _json.dumps(
+            {"token": token, "expiry_ms": int(_time.time() * 1000) + lease_ms}
+        ).encode("utf-8")
+        if create_exclusive(path, payload):
+            return token
+        doc = read_json(path, None)
+        if doc is not None and doc.get("expiry_ms", 0) < int(_time.time() * 1000):
+            remove(path)  # stale; loop re-contends via create_exclusive
+            continue
+        if _time.time() > deadline:
+            raise TimeoutError(f"lock {path} not acquired within {timeout_ms}ms")
+        _time.sleep(poll_s)
+
+
+def release_lock(path: str, token: str) -> None:
+    doc = read_json(path, None)
+    if doc is not None and doc.get("token") == token:
+        remove(path)
+
+
 def exists(path: str) -> bool:
     f, p = _split(path)
     if f is None:

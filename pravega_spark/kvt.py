@@ -85,6 +85,30 @@ class KeyValueTable:
             if f.endswith(".parquet") and not os.path.basename(f).startswith(("_", "."))
         }
 
+    def _reload_meta(self) -> None:
+        """Adopt the latest committed state (files + version counter) —
+        called under the table lock so cross-process instances serialize
+        their CAS checks against fresh state, not a stale cache."""
+        doc = fsio.read_json(self.meta_path, None)
+        if doc is not None:
+            self._next_version = doc["next_version"]
+            self._files = list(doc.get("files", []))
+
+    def _lock(self):
+        from contextlib import contextmanager
+
+        path = fsio.join(self.path, "commit.lock")
+
+        @contextmanager
+        def _guard():
+            token = fsio.acquire_lock(path)
+            try:
+                yield
+            finally:
+                fsio.release_lock(path, token)
+
+        return _guard()
+
     def _save_meta(self) -> None:
         # the single atomic commit point: file manifest + version counter
         fsio.write_json_atomic(
@@ -99,6 +123,10 @@ class KeyValueTable:
 
     # ---------------- write path (K1) ----------------
     def _log(self) -> DataFrame | None:
+        # always adopt the latest committed manifest: reads must see
+        # other processes' commits (reference gets are server-side and
+        # always current), and the meta doc is one small JSON read
+        self._reload_meta()
         if not self._files:
             return None
         return self.spark.read.option("basePath", self.data_path).parquet(
@@ -123,6 +151,12 @@ class KeyValueTable:
         reference's all-or-nothing batch (KeyValueTable.java:173).
         Returns the version assigned to this batch.
         """
+        with self._lock():
+            self._reload_meta()  # serialize CAS against other processes
+            return self._update_locked(entries, kinds, expected_versions)
+
+    def _update_locked(self, entries: list[tuple], kinds: list[str],
+                       expected_versions: list[int] | None = None) -> int:
         expected = expected_versions or [ANY_VERSION] * len(entries)
         keys = {(e[0], e[1]) for e in entries}
         latest = self._bucket_pruned([k[0] for k in keys])  # CAS check reads only the keys' buckets
@@ -279,6 +313,11 @@ class KeyValueTable:
         """Drop superseded versions + tombstones (TableCompactor.java:71):
         rewrite the log keeping only the live head per key, manifest-safe
         (readers see the old or the new file set, never neither)."""
+        with self._lock():
+            self._reload_meta()
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
         snap = self.snapshot()
         tag = uuid.uuid4().hex[:8]
         tmp = f"{self.data_path}.compact.{tag}"

@@ -28,7 +28,11 @@ import time
 
 from pravega_spark import fsio
 from pravega_spark.config import StreamConfiguration
-from pravega_spark.errors import ScopeNotFoundException, StreamNotFoundException
+from pravega_spark.errors import (
+    ConcurrentModificationException,
+    ScopeNotFoundException,
+    StreamNotFoundException,
+)
 
 EPOCH_SHIFT = 32  # segment_id = epoch << 32 | segment_number (NameUtils.java:572-576)
 
@@ -189,24 +193,73 @@ class MetadataStore:
 
     def segments_doc(self, scope: str, stream: str) -> dict:
         """Full segments document: the single atomic commit point of the
-        data plane. Shape: ``{"segments": {sid: {sealed, head_offset,
-        tail_offset, event_count, files}}, "writer_seqs": {...},
-        "committed_txns": [...]}``. ``files`` is the manifest — ONLY
-        listed parquet files are visible to readers, which is what makes
-        a crash between parquet append and this doc's write safe (orphan
-        files are invisible; a retry commits fresh files). writer_seqs /
-        committed_txns ride in the same doc so exactly-once markers are
-        atomic WITH visibility (no window where data is visible but the
-        dedup marker is missing)."""
+        data plane. Shape: ``{"version": N, "segments": {sid: {sealed,
+        head_offset, tail_offset, event_count, manifest}}, "writer_seqs":
+        {...}, "committed_txns": [...]}``.
+
+        ``manifest`` is a per-segment pointer: the file list lives in a
+        SHARDED side document ``manifests/<sid>.<manifest>.json`` (see
+        ``segment_files``) written before the doc flip, so one commit
+        writes O(touched segments) manifest bytes while this doc stays a
+        few hundred bytes per segment forever — at 10^5-10^6 live files
+        an inline list would make every commit rewrite the whole stream's
+        file inventory (the reference keeps per-segment metadata records
+        for the same reason, PersistentStreamBase). Older docs with an
+        inline ``files`` list read transparently and migrate on the next
+        touch. ONLY manifest-listed parquet files are visible to
+        readers, which is what makes a crash between parquet append and
+        this doc's write safe (orphan files are invisible; a retry
+        commits fresh files). writer_seqs / committed_txns ride in the
+        same doc so exactly-once markers are atomic WITH visibility.
+        ``version`` makes the write conditional (lost-update detection
+        for cross-process writers)."""
         doc = self._read(self._doc_path(scope, stream, "segments.json"), {})
         if "segments" not in doc:  # migrate pre-manifest flat layout
             doc = {"segments": doc}
+        doc.setdefault("version", 0)
         doc.setdefault("writer_seqs", {})
         doc.setdefault("committed_txns", [])
         return doc
 
-    def put_segments_doc(self, scope: str, stream: str, doc: dict) -> None:
+    def put_segments_doc(self, scope: str, stream: str, doc: dict,
+                         expected_version: int | None = None) -> None:
+        """Write the commit-point doc; with ``expected_version`` the
+        write is CONDITIONAL: it verifies the stored version still
+        matches before replacing (under the stream commit lock this
+        detects a fenced-out holder whose lease expired mid-commit)."""
+        if expected_version is not None:
+            current = self.segments_doc(scope, stream)["version"]
+            if current != expected_version:
+                raise ConcurrentModificationException(
+                    f"{scope}/{stream} segments doc at version {current}, "
+                    f"expected {expected_version} — concurrent commit won"
+                )
+            doc["version"] = expected_version + 1
+        else:
+            doc["version"] = doc.get("version", 0) + 1
         self._write(self._doc_path(scope, stream, "segments.json"), doc)
+
+    # ---------- sharded per-segment file manifests ----------
+    def _manifest_path(self, scope: str, stream: str, sid: str, version: int) -> str:
+        return self._doc_path(scope, stream, "manifests", f"{sid}.{version}.json")
+
+    def write_segment_manifest(self, scope: str, stream: str, sid: str,
+                               version: int, files: list[str]) -> None:
+        self._write(self._manifest_path(scope, stream, sid, version), {"files": files})
+
+    def drop_segment_manifest(self, scope: str, stream: str, sid: str, version: int) -> None:
+        fsio.remove(self._manifest_path(scope, stream, sid, version))
+
+    def segment_files(self, scope: str, stream: str, sid: str, entry: dict) -> list[str]:
+        """Resolve a segment's committed file list: inline (legacy) or
+        from its sharded manifest pointer."""
+        if "files" in entry:
+            return list(entry["files"])
+        v = entry.get("manifest")
+        if v is None:
+            return []
+        doc = self._read(self._manifest_path(scope, stream, sid, v), None)
+        return list(doc["files"]) if doc else []
 
     def get_segments(self, scope: str, stream: str) -> dict[str, dict]:
         return self.segments_doc(scope, stream)["segments"]

@@ -207,7 +207,8 @@ class StreamStore:
         self.meta.update_stream(scope, stream, config)
 
     def seal_stream(self, scope: str, stream: str) -> None:
-        self.meta.seal_stream(scope, stream)
+        with self._commit_lock(scope, stream):
+            self.meta.seal_stream(scope, stream)
 
     def delete_stream(self, scope: str, stream: str) -> None:
         self.meta.delete_stream(scope, stream)
@@ -225,6 +226,33 @@ class StreamStore:
     # ================= write path (W1-W4, G1) =================
     def _stream_path(self, scope: str, stream: str) -> str:
         return fsio.join(self.root, "streams", scope, stream)
+
+    def _lock_path(self, scope: str, stream: str) -> str:
+        return fsio.join(self.root, "_metadata", scope, stream, "commit.lock")
+
+    def _commit_lock(self, scope: str, stream: str):
+        """Per-stream commit mutex for cross-process writers.
+
+        The reference serializes appends per segment through its single
+        owning segment store (AppendProcessor); here arbitrary processes
+        may hold StreamStore instances on one root, so offset assignment
+        + manifest flip run under a lease lock, and the doc write itself
+        is version-conditional (a fenced-out expired holder fails its
+        publish instead of clobbering — no lost commits either way).
+        """
+        from contextlib import contextmanager
+
+        path = self._lock_path(scope, stream)
+
+        @contextmanager
+        def _guard():
+            token = fsio.acquire_lock(path)
+            try:
+                yield
+            finally:
+                fsio.release_lock(path, token)
+
+        return _guard()
 
     @staticmethod
     def _with_arrival_seq(df: DataFrame, routing_key_col: str) -> DataFrame:
@@ -325,12 +353,16 @@ class StreamStore:
                 tbl = tbl.set_column(tbl.column_names.index(EVENT_TIME), EVENT_TIME, col)
             else:
                 tbl = tbl.append_column(EVENT_TIME, col)
-        ranges = self.meta.active_ranges(scope, stream)
-        tails = self.meta.tail_offsets(scope, stream)
-        path = self._stream_path(scope, stream)
-        tag = uuid.uuid4().hex[:8]
-        new_files, counts = self._write_hot_batch(tbl, ranges, tails, [], path, tag)
-        return self._publish_manifest(scope, stream, new_files, counts, writer_marker, txn_marker=None)
+        with self._commit_lock(scope, stream):
+            doc = self.meta.segments_doc(scope, stream)
+            if writer_marker is not None and writer_marker[1] <= doc["writer_seqs"].get(writer_marker[0], -1):
+                return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
+            ranges = self.meta.active_ranges(scope, stream)
+            tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
+            path = self._stream_path(scope, stream)
+            tag = uuid.uuid4().hex[:8]
+            new_files, counts = self._write_hot_batch(tbl, ranges, tails, [], path, tag)
+            return self._publish_manifest(scope, stream, doc, new_files, counts, writer_marker, txn_marker=None)
 
     def write_event(
         self,
@@ -381,24 +413,31 @@ class StreamStore:
         tiering): small batches (by Catalyst size estimate) commit
         driver-side via pyarrow — one collect, zero distributed jobs;
         larger batches run the distributed write with per-segment offset
-        windows. Both end at the same manifest flip.
+        windows. Both end at the same manifest flip. The whole section
+        (tail read → offset assignment → publish) runs under the stream
+        commit lock so concurrent processes serialize; the publish is
+        additionally version-conditional (see _commit_lock).
         """
-        ranges = self.meta.active_ranges(scope, stream)
-        tails = self.meta.tail_offsets(scope, stream)
         path = self._stream_path(scope, stream)
         order_cols = [c for c in ("_part", "_seq") if c in staged.columns]
         tag = uuid.uuid4().hex[:8]
 
-        hot = None
-        if 0 < HOT_MAX_EST_BYTES >= self._estimate_bytes(staged):
-            hot = staged.toArrow()
-        if hot is not None:
-            new_files, counts = self._write_hot_batch(hot, ranges, tails, order_cols, path, tag)
-        else:
-            new_files, counts = self._write_distributed_batch(
-                staged, ranges, tails, order_cols, path, tag
-            )
-        return self._publish_manifest(scope, stream, new_files, counts, writer_marker, txn_marker)
+        with self._commit_lock(scope, stream):
+            doc = self.meta.segments_doc(scope, stream)
+            if writer_marker is not None and writer_marker[1] <= doc["writer_seqs"].get(writer_marker[0], -1):
+                return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
+            ranges = self.meta.active_ranges(scope, stream)
+            tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
+            hot = None
+            if 0 < HOT_MAX_EST_BYTES >= self._estimate_bytes(staged):
+                hot = staged.toArrow()
+            if hot is not None:
+                new_files, counts = self._write_hot_batch(hot, ranges, tails, order_cols, path, tag)
+            else:
+                new_files, counts = self._write_distributed_batch(
+                    staged, ranges, tails, order_cols, path, tag
+                )
+            return self._publish_manifest(scope, stream, doc, new_files, counts, writer_marker, txn_marker)
 
     @staticmethod
     def _estimate_bytes(df: DataFrame) -> int:
@@ -522,28 +561,47 @@ class StreamStore:
         self,
         scope: str,
         stream: str,
+        doc: dict,
         new_files: dict[int, list[str]],
         counts: dict[int, int],
         writer_marker: tuple[str, int] | None,
         txn_marker: str | None,
     ) -> dict[int, int]:
-        """The single atomic commit point: files + offsets + markers."""
-        doc = self.meta.segments_doc(scope, stream)
+        """The single atomic commit point: files + offsets + markers.
+
+        Sharded-manifest protocol: per TOUCHED segment, the full file
+        list is written to ``manifests/<sid>.<v+1>.json`` FIRST, then
+        the segments doc flips every pointer + offset + marker in one
+        conditional write — readers resolve either all-old or all-new;
+        a crash in between leaves unreferenced manifest files (reaped
+        with data orphans). A commit therefore writes O(touched
+        segments), never O(stream files).
+        """
         segs = doc["segments"]
+        ver = doc["version"]
+        gc: list[tuple[str, int]] = []
         for sid, n in counts.items():
             if n == 0:
                 continue
+            sid_str = str(sid)
             s = segs.setdefault(
-                str(sid), {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0}
+                sid_str, {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0}
             )
+            files = self.meta.segment_files(scope, stream, sid_str, s) + sorted(new_files.get(sid, []))
+            self.meta.write_segment_manifest(scope, stream, sid_str, ver + 1, files)
+            if "manifest" in s:
+                gc.append((sid_str, s["manifest"]))
+            s.pop("files", None)  # migrate inline (legacy) -> sharded
+            s["manifest"] = ver + 1
             s["tail_offset"] += n
             s["event_count"] += n
-            s["files"] = s.get("files", []) + sorted(new_files.get(sid, []))
         if writer_marker is not None:
             doc["writer_seqs"][writer_marker[0]] = writer_marker[1]
         if txn_marker is not None:
             doc["committed_txns"].append(txn_marker)
-        self.meta.put_segments_doc(scope, stream, doc)
+        self.meta.put_segments_doc(scope, stream, doc, expected_version=ver)
+        for sid_str, old_ver in gc:  # now-unreferenced manifest shards
+            self.meta.drop_segment_manifest(scope, stream, sid_str, old_ver)
         return {int(k): v["tail_offset"] for k, v in segs.items()}
 
     def fsck_stream(self, scope: str, stream: str) -> list[str]:
@@ -551,12 +609,19 @@ class StreamStore:
         anything on disk that no manifest entry references."""
         path = self._stream_path(scope, stream)
         segs = self.meta.get_segments(scope, stream)
-        if any(s.get("tail_offset", 0) and "files" not in s for s in segs.values()):
+        if any(
+            s.get("tail_offset", 0) and "files" not in s and "manifest" not in s
+            for s in segs.values()
+        ):
             # pre-manifest layout (_raw_read still supports it): the
             # manifest is empty, so "disk minus manifest" would be EVERY
             # data file — reaping here would delete the whole stream.
             return []
-        manifest = {f for s in segs.values() for f in s.get("files", [])}
+        manifest = {
+            f
+            for sid, s in segs.items()
+            for f in self.meta.segment_files(scope, stream, sid, s)
+        }
         orphans = sorted(self._list_data_files(path) - manifest)
         for f in orphans:
             fsio.remove(fsio.join(path, f))
@@ -605,7 +670,11 @@ class StreamStore:
     def _raw_read(self, scope: str, stream: str) -> DataFrame:
         path = self._stream_path(scope, stream)
         segs = self.meta.get_segments(scope, stream)
-        manifest = [f for s in segs.values() for f in s.get("files", [])]
+        manifest = [
+            f
+            for sid, s in segs.items()
+            for f in self.meta.segment_files(scope, stream, sid, s)
+        ]
         if manifest:
             # manifest-based visibility: ONLY committed files are read, so
             # orphans from crashed commits can never surface duplicates
@@ -727,15 +796,16 @@ class StreamStore:
         Reference: TruncateStreamTask + SegmentApi.truncateStreamSegment.
         Readers positioned before the new head get TruncatedDataException.
         """
-        segs = self.meta.get_segments(scope, stream)
-        for sid, off in cut.positions.items():
-            s = segs.get(str(sid))
-            if s is None:
-                continue
-            if off > s["tail_offset"]:
-                raise InvalidStreamCutException(f"truncate beyond tail of segment {sid}")
-            s["head_offset"] = max(s["head_offset"], off)
-        self.meta.put_segments(scope, stream, segs)
+        with self._commit_lock(scope, stream):
+            segs = self.meta.get_segments(scope, stream)
+            for sid, off in cut.positions.items():
+                s = segs.get(str(sid))
+                if s is None:
+                    continue
+                if off > s["tail_offset"]:
+                    raise InvalidStreamCutException(f"truncate beyond tail of segment {sid}")
+                s["head_offset"] = max(s["head_offset"], off)
+            self.meta.put_segments(scope, stream, segs)
 
     def compact_stream(self, scope: str, stream: str) -> None:
         """Physically drop truncated rows and rewrite small files.
@@ -760,7 +830,13 @@ class StreamStore:
         # ones (unique names), then flip the manifest in one doc write —
         # readers see either the old or the new file set, never neither.
         # A crash before the flip leaves invisible orphans (fsck reaps).
+        # The rewrite job runs OUTSIDE the commit lock (it can be long);
+        # only the flip section locks, and its conditional write aborts
+        # compaction if a commit landed since `live` was planned — the
+        # lazy plan would drop those new rows, so losing the race and
+        # retrying later is the only safe outcome.
         tmp = f"{path}.compact.{uuid.uuid4().hex[:8]}"
+        pre_version = self.meta.segments_doc(scope, stream)["version"]
         live.repartition(SEGMENT_ID).write.mode("overwrite").partitionBy(SEGMENT_ID).parquet(tmp)
         tag = uuid.uuid4().hex[:8]
         new_files: dict[int, list[str]] = {}
@@ -773,13 +849,31 @@ class StreamStore:
             fsio.move(fsio.join(tmp, rel), fsio.join(path, dst_rel))
             new_files.setdefault(sid, []).append(dst_rel)
         fsio.rmtree(tmp)
-        doc = self.meta.segments_doc(scope, stream)
-        old_files = []
-        for sid_str, s in doc["segments"].items():
-            old_files += s.get("files", [])
-            s["files"] = new_files.get(int(sid_str), [])
-            s["head_offset"] = max(s["head_offset"], heads.get(int(sid_str), 0))
-        self.meta.put_segments_doc(scope, stream, doc)  # visibility flip
+        with self._commit_lock(scope, stream):
+            doc = self.meta.segments_doc(scope, stream)
+            ver = doc["version"]
+            if ver != pre_version:
+                # a commit raced the rewrite; abandon (files become
+                # fsck-reapable orphans) rather than drop its rows
+                for sid, rels in new_files.items():
+                    for rel in rels:
+                        fsio.remove(fsio.join(path, rel))
+                return
+            old_files = []
+            gc: list[tuple[str, int]] = []
+            for sid_str, s in doc["segments"].items():
+                old_files += self.meta.segment_files(scope, stream, sid_str, s)
+                self.meta.write_segment_manifest(
+                    scope, stream, sid_str, ver + 1, new_files.get(int(sid_str), [])
+                )
+                if "manifest" in s:
+                    gc.append((sid_str, s["manifest"]))
+                s.pop("files", None)
+                s["manifest"] = ver + 1
+                s["head_offset"] = max(s["head_offset"], heads.get(int(sid_str), 0))
+            self.meta.put_segments_doc(scope, stream, doc, expected_version=ver)  # flip
+            for sid_str, old_ver in gc:  # only after the flip is durable
+                self.meta.drop_segment_manifest(scope, stream, sid_str, old_ver)
         for rel in old_files:  # now-invisible originals
             fsio.remove(fsio.join(path, rel))
 
@@ -798,6 +892,16 @@ class StreamStore:
         writes changes; bounded reads crossing the boundary union epochs
         via offset ranges, which the read path already does.
         """
+        with self._commit_lock(scope, stream):
+            return self._scale_stream_locked(scope, stream, seal_segments, new_ranges)
+
+    def _scale_stream_locked(
+        self,
+        scope: str,
+        stream: str,
+        seal_segments: list[int],
+        new_ranges: list[tuple[float, float]],
+    ) -> dict:
         epochs = self.meta.get_epochs(scope, stream)
         active = epochs[-1]
         active_ids = {s["segment_id"] for s in active["segments"]}

@@ -138,10 +138,28 @@ def _load_heads(root: str, scope: str, stream: str) -> dict[int, int]:
 
 
 def _load_files(root: str, scope: str, stream: str) -> dict[int, list[str] | None]:
-    """Per-segment committed-file manifest; None = pre-manifest stream."""
-    return {
-        int(k): v.get("files") for k, v in _load_segments(root, scope, stream).items()
-    }
+    """Per-segment committed-file manifest; None = pre-manifest stream.
+
+    Resolves the sharded per-segment manifest pointers (``manifest`` =
+    version of ``manifests/<sid>.<v>.json``) with the legacy inline
+    ``files`` list as fallback — same protocol as MetadataStore.
+    segment_files, duplicated here because data source workers have no
+    JVM/driver objects, only fsio."""
+    from pravega_spark import fsio
+
+    out: dict[int, list[str] | None] = {}
+    for k, v in _load_segments(root, scope, stream).items():
+        if "files" in v:
+            out[int(k)] = list(v["files"])
+        elif v.get("manifest") is not None:
+            doc = fsio.read_json(
+                fsio.join(root, "_metadata", scope, stream, "manifests", f"{k}.{v['manifest']}.json"),
+                None,
+            )
+            out[int(k)] = list(doc["files"]) if doc else []
+        else:
+            out[int(k)] = None
+    return out
 
 
 class PravegaStreamReader(DataSourceStreamReader):

@@ -39,11 +39,11 @@ def _crash_next_doc_write(store, monkeypatch):
     real = store.meta.put_segments_doc
     state = {"armed": True}
 
-    def crashing(scope, stream, doc):
+    def crashing(scope, stream, doc, expected_version=None):
         if state["armed"]:
             state["armed"] = False
             raise _Boom("crash before visibility flip")
-        return real(scope, stream, doc)
+        return real(scope, stream, doc, expected_version=expected_version)
 
     monkeypatch.setattr(store.meta, "put_segments_doc", crashing)
 

@@ -1,0 +1,143 @@
+"""Cross-process commit safety (SURVEY §7 hard part 7).
+
+The reference serializes appends per segment across arbitrarily many
+writer processes (AppendProcessor.java:302; conditional appends
+WireCommands.java:633). Here N OS processes each hold an independent
+StreamStore on one shared root and interleave hot appends: the
+per-stream lease lock + version-conditional segments-doc write must
+yield NO lost commits, contiguous offsets, and intact per-key order —
+last-write-wins on the doc would silently drop whole batches.
+
+Workers use the hot append path, which needs no SparkSession, so each
+process is a real independent writer without a JVM.
+"""
+
+import multiprocessing as mp
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pravega_spark.config import ScalingPolicy, StreamConfiguration
+
+
+def _worker(root: str, worker_id: int, n_batches: int, batch_rows: int):
+    from pravega_spark.store import StreamStore
+
+    store = StreamStore(None, root)  # hot appends never touch Spark
+    for b in range(n_batches):
+        rows = [
+            {"routing_key": f"w{worker_id}-k{j % 5}", "payload": f"{worker_id}:{b}:{j}"}
+            for j in range(batch_rows)
+        ]
+        store.append_events("s", "ev", rows, writer_id=f"w{worker_id}", batch_seq=b)
+
+
+def test_concurrent_writers_no_lost_commits(spark, store):
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(4)))
+    n_workers, n_batches, batch_rows = 4, 6, 25
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_worker, args=(store.root, w, n_batches, batch_rows))
+        for w in range(n_workers)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    df = store.read("s", "ev")
+    total = df.count()
+    assert total == n_workers * n_batches * batch_rows  # no lost commit
+    # offsets contiguous per segment (no overlap/clobber)
+    gaps = (
+        df.groupBy("segment_id")
+        .agg(F.count("*").alias("n"), (F.max("offset") - F.min("offset") + 1).alias("span"))
+        .filter(F.col("n") != F.col("span"))
+        .count()
+    )
+    assert gaps == 0
+    # no duplicated (segment, offset) slot
+    dup_slots = (
+        df.groupBy("segment_id", "offset").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_slots == 0
+    # per-key order: each writer's (batch, row) sequence increases with offset
+    w = Window.partitionBy("routing_key").orderBy("offset")
+    parts = F.split("payload", ":")
+    viol = (
+        df.withColumn("seq", parts.getItem(1).cast("long") * 1000 + parts.getItem(2).cast("long"))
+        .withColumn("prev", F.lag("seq").over(w))
+        .filter(F.col("prev") > F.col("seq"))
+        .count()
+    )
+    assert viol == 0
+    # dedup markers recorded per writer
+    doc = store.meta.segments_doc("s", "ev")
+    assert all(doc["writer_seqs"][f"w{i}"] == n_batches - 1 for i in range(n_workers))
+
+
+def test_kvt_concurrent_instances_serialize(spark, tmp_path):
+    """Two KVT instances on one root (same process, independent caches —
+    the lock + reload path is identical cross-process): interleaved
+    updates must produce strictly increasing versions with no clobber."""
+    from pravega_spark.kvt import KeyValueTableManager
+
+    mgr = KeyValueTableManager(spark, str(tmp_path))
+    t1 = mgr.create_key_value_table("sc", "t")
+    t2 = mgr.open("sc", "t")
+    versions = []
+    for i in range(4):
+        versions.append(t1.put(f"a{i}", f"v{i}"))
+        versions.append(t2.put(f"b{i}", f"v{i}"))
+    assert versions == sorted(set(versions)), "versions must be unique + increasing"
+    snap = {r["pk"]: r["value"] for r in t1.snapshot().collect()}
+    assert len(snap) == 8  # nothing clobbered
+    # CAS across instances sees the other's committed version
+    import pytest as _pytest
+
+    from pravega_spark.errors import BadKeyVersionException
+
+    v = t2.put("a0", "v0b")
+    with _pytest.raises(BadKeyVersionException):
+        t1.put("a0", "x", expected_version=versions[0])
+    assert t1.get("a0") == ("v0b", v)
+
+
+def test_sharded_manifests_bound_commit_cost(store):
+    """Commit metadata cost is O(touched segments), not O(stream files):
+    the segments doc stays flat-sized as commits accumulate (file lists
+    live in per-segment manifest shards), and a commit touching one
+    segment bumps only that segment's shard."""
+    import os
+
+    from pravega_spark.hashing import segment_for_key_py
+
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(8)))
+    ranges = store.meta.active_ranges("s", "ev")
+    # a routing key that lands in exactly one known segment
+    key = next(f"k{i}" for i in range(1000) if segment_for_key_py(f"k{i}", ranges) == ranges[0][0])
+    doc_path = store.meta._doc_path("s", "ev", "segments.json")
+
+    store.append_events("s", "ev", [{"routing_key": key, "payload": "x"}])
+    size_after_1 = os.path.getsize(doc_path)
+    for b in range(30):
+        store.append_events("s", "ev", [{"routing_key": key, "payload": f"x{b}"}])
+    size_after_31 = os.path.getsize(doc_path)
+    # flat: 30 more commits (30 more files) must not grow the commit doc
+    assert size_after_31 <= size_after_1 + 64
+    doc = store.meta.segments_doc("s", "ev")
+    sid0 = str(ranges[0][0])
+    assert "files" not in doc["segments"][sid0]
+    # only the touched segment carries a manifest pointer
+    assert doc["segments"][sid0]["manifest"] == doc["version"]
+    untouched = [s for k, s in doc["segments"].items() if k != sid0]
+    assert all("manifest" not in s and "files" not in s for s in untouched)
+    # the shard holds all 31 files; exactly one live shard version exists
+    files = store.meta.segment_files("s", "ev", sid0, doc["segments"][sid0])
+    assert len(files) == 31
+    shard_dir = store.meta._doc_path("s", "ev", "manifests")
+    shards = [f for f in os.listdir(shard_dir) if f.startswith(f"{sid0}.")]
+    assert len(shards) == 1
+    assert store.read("s", "ev").count() == 31
