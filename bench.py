@@ -203,13 +203,14 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
     qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+    # warm the write-path plan/codegen too (cold first commit costs ~3x)
+    _bench_stream_write(spark, "/root/testdata/sf0.001")
 
     # write-path benches first, on a quiet JVM — measured after the
     # 20-query loop they pick up ~2-4x GC noise from accumulated caches
     latency = _bench_write_latency(spark, sf_dir)
     timings: dict[str, float] = {}
     timings["stream_write_events"], timings["stream_read_events"] = _bench_stream_write(spark, sf_dir)
-    timings["streaming_roundtrip"] = _bench_streaming_roundtrip(spark, sf_dir)
 
     for name in HEADLINE:
         fn = qs[name]
@@ -221,6 +222,10 @@ def main() -> None:
         # each query pays its own cache-population cost inside the timed
         # region; drop leftovers so later queries aren't taxed by GC
         spark.catalog.clearCache()
+
+    # streaming tier last: its query machinery/caches would tax the
+    # relational loop if it ran first
+    timings["streaming_roundtrip"] = _bench_streaming_roundtrip(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
