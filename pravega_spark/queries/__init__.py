@@ -41,6 +41,7 @@ _GATE_ORDER = [
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "similarity_label_centroids",
+    "similarity_ivf_search",
     "embedding_near_dup",
     "multimodal_decode_features",
     "multimodal_frame_samples",

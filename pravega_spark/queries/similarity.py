@@ -232,10 +232,104 @@ ORDER BY q_id, rk
 """
 
 
+_N_PROBE = 2
+
+
+def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search (the ANN scale path): label cells are the coarse
+    quantizer; each query ranks cells by centroid cosine and searches
+    top-k ONLY inside its ``nprobe`` nearest cells — the corpus outside
+    probed cells is never touched (approximate by construction, the IVF
+    trade). Centroid ranking and the in-cell search both run the
+    vectorized kernels; the broadcast probe list keeps the corpus from
+    shuffling."""
+    from pravega_spark.functions.vectors import cosine as v_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # coarse quantizer: one centroid vector per label cell
+    vals = emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
+    cent = (
+        vals.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # rank cells per query by centroid cosine (rounded so both engines
+    # rank identically), probe the nearest _N_PROBE cells
+    cell_rank = Window.partitionBy("q_id").orderBy(F.desc("cell_cos"), F.asc("label"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_vec", "label", F.round(v_cosine("q_vec", "centroid"), 6).alias("cell_cos"))
+        .withColumn("cell_rk", F.row_number().over(cell_rank))
+        .filter(F.col("cell_rk") <= _N_PROBE)
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), "label", F.col("embedding").alias("c_vec"))
+    sims = (
+        c.join(F.broadcast(probes), "label")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "label", "c_id", F.round(v_cosine("q_vec", "c_vec"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("q_id", "label", "c_id", "cosine", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+IVF_SEARCH_SQL = f"""
+WITH vals AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, avg(v) AS c FROM vals GROUP BY label, pos
+),
+q AS (SELECT * FROM vals WHERE vec_id < {_N_QUERIES}),
+cellcos AS (
+  SELECT q.vec_id AS q_id, cent.label,
+         round(sum(q.v * cent.c) / sqrt(sum(q.v * q.v) * sum(cent.c * cent.c)), 6) AS cell_cos
+  FROM q JOIN cent ON q.pos = cent.pos
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT q_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cell_cos DESC, label ASC) AS cell_rk
+    FROM cellcos
+  ) WHERE cell_rk <= {_N_PROBE}
+),
+sims AS (
+  SELECT p.q_id, c.label, c.vec_id AS c_id,
+         round(sum(qq.v * c.v) / sqrt(sum(qq.v * qq.v) * sum(c.v * c.v)), 6) AS cosine
+  FROM probes p
+  JOIN vals c  ON c.label = p.label
+  JOIN q  qq   ON qq.vec_id = p.q_id AND qq.pos = c.pos
+  WHERE c.vec_id != p.q_id
+  GROUP BY 1, 2, 3
+)
+SELECT q_id, label, c_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM sims
+)
+WHERE rk <= {_TOP_K}
+ORDER BY q_id, rk
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_lsh_bucketed": similarity_lsh_bucketed,
     "similarity_label_centroids": similarity_label_centroids,
+    "similarity_ivf_search": similarity_ivf_search,
     "embedding_near_dup": embedding_near_dup,
 }
 
@@ -243,5 +337,6 @@ ORACLES = {
     "similarity_topk_bruteforce": TOPK_SQL,
     "similarity_lsh_bucketed": LSH_TOPK_SQL,
     "similarity_label_centroids": CENTROIDS_SQL,
+    "similarity_ivf_search": IVF_SEARCH_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
 }
