@@ -625,6 +625,14 @@ class StreamStore:
         orphans = sorted(self._list_data_files(path) - manifest)
         for f in orphans:
             fsio.remove(fsio.join(path, f))
+        # sweep unreferenced manifest shards too (left by a crash between
+        # shard write and doc flip, or by a lost compaction race)
+        live = {f"{sid}.{s['manifest']}.json" for sid, s in segs.items() if "manifest" in s}
+        shard_dir = self.meta._doc_path(scope, stream, "manifests")
+        for rel in fsio.list_files_recursive(shard_dir):
+            if rel.endswith(".json") and rel not in live:
+                orphans.append(os.path.join("_manifests", rel))
+                fsio.remove(fsio.join(shard_dir, rel))
         return orphans
 
     # ================= transactions (X1-X2) =================

@@ -141,3 +141,21 @@ def test_sharded_manifests_bound_commit_cost(store):
     shards = [f for f in os.listdir(shard_dir) if f.startswith(f"{sid0}.")]
     assert len(shards) == 1
     assert store.read("s", "ev").count() == 31
+
+
+def test_fsck_sweeps_orphan_manifest_shards(store):
+    """A crash between shard write and doc flip leaves an unreferenced
+    manifests/<sid>.<v>.json; fsck reaps it without touching live shards."""
+    import os
+
+    from pravega_spark import fsio
+
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(2)))
+    store.append_events("s", "ev", [{"routing_key": "a", "payload": "x"}])
+    shard_dir = store.meta._doc_path("s", "ev", "manifests")
+    fsio.write_json_atomic(fsio.join(shard_dir, "999.42.json"), {"files": ["ghost.parquet"]})
+    orphans = store.fsck_stream("s", "ev")
+    assert any("999.42.json" in o for o in orphans)
+    assert not os.path.exists(os.path.join(shard_dir, "999.42.json"))
+    assert store.read("s", "ev").count() == 1  # live shard untouched
