@@ -56,11 +56,12 @@ def minhash_signatures(
         for k in range(n_hashes)
     ]
     sigs = shingles.groupBy(F.col(id_col).alias("doc_id")).agg(
-        F.count("*").alias("n_sh"), *mins
+        F.count("*").alias("n_sh"), F.collect_set(shingle_col).alias("sh_set"), *mins
     )
     return sigs.select(
         "doc_id",
         "n_sh",
+        "sh_set",
         F.array(*[F.col(f"_mh{k}") for k in range(n_hashes)]).alias("sig"),
     )
 
@@ -86,7 +87,10 @@ def minhash_lsh_pairs(
         raise ValueError(f"n_hashes={n_hashes} must divide into bands={bands}")
     r = n_hashes // bands
     sh = shingles.select(F.col(id_col).alias("doc_id"), F.col(shingle_col).alias("shingle"))
-    sigs = minhash_signatures(sh, n_hashes=n_hashes)
+    # one pass over the shingle table: signatures + sizes + the set
+    # itself; verification is array_intersect against this doc-level
+    # table, never a re-join over raw shingles
+    sigs = minhash_signatures(sh, n_hashes=n_hashes).persist()
     band_keys = F.array(
         *[
             F.struct(
@@ -116,10 +120,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(sigs.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a")), "id_a")
+        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b")), "id_b")
+        .select(
+            "id_a", "id_b", "n_a", "n_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+        )
     )
     return (
         inter.withColumn(

@@ -280,17 +280,21 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: band self-join is near-linear (buckets are small);
     exact Jaccard runs only on candidates — never all-pairs.
     """
-    sh = _shingles(spark, sf_dir).persist()
-    # one aggregation produces signatures AND set sizes; sizes then ride
-    # the band join so no join-back against a second aggregate is needed
-    # (two fewer shuffles than the naive sig/size/candidate composition)
+    sh = _shingles(spark, sf_dir)
+    # ONE aggregation produces signatures, set sizes AND the shingle set
+    # itself (bounded by doc length), so exact-Jaccard verification is
+    # array_intersect against this doc-level table — the raw shingle
+    # table is scanned exactly once and never persisted or re-joined
+    # (the old shape paid two more shuffle joins over it to count
+    # intersections)
     sigs = sh.groupBy("doc_id").agg(
         F.count("*").alias("n_sh"),
+        F.collect_set("shingle").alias("sh_set"),
         *[
             F.min(F.md5(F.concat(F.lit(f"seed{k}:"), F.col("shingle")))).alias(f"mh{k}")
             for k in range(_N_HASHES)
         ],
-    )
+    ).persist()
     # no distinct here: duplicate (doc,band) rows (two hashes colliding
     # on one doc) only produce duplicate candidates, which cand's
     # distinct already removes — one less shuffle
@@ -320,10 +324,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(sigs.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a")), "id_a")
+        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b")), "id_b")
+        .select(
+            "id_a", "id_b", "n_a", "n_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+        )
     )
     return (
         inter.withColumn(
