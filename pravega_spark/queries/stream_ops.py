@@ -207,9 +207,12 @@ def stream_scale_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     stats = rates.groupBy("segment_id").agg(F.max("n").alias("peak"), F.avg("n").alias("mean"))
-    overall = rates.agg(F.avg("n").alias("overall_mean")).collect()[0]["overall_mean"]
+    # pure plan: the global mean rides a broadcast 1-row cross join
+    # instead of a driver-side collect (one job, no plan break)
+    overall = rates.agg(F.avg("n").alias("overall_mean"))
     return (
-        stats.withColumn("scale_up", (F.col("peak") > 2 * F.lit(overall)).cast("boolean"))
+        stats.crossJoin(F.broadcast(overall))
+        .withColumn("scale_up", (F.col("peak") > 2 * F.col("overall_mean")).cast("boolean"))
         .select("segment_id", "peak", F.round("mean", 4).alias("mean_rate"), "scale_up")
         .orderBy("segment_id")
     )
@@ -232,9 +235,12 @@ def stream_retention_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     getTruncationStreamCutByTimeLimit): keep the trailing 24h —
     first retained offset per segment."""
     env = _enveloped(spark, sf_dir)
-    horizon = env.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # pure plan: the horizon is a broadcast 1-row aggregate, not a
+    # driver-side collect
+    horizon = env.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("h"))
     return (
-        env.filter(F.col("ts") >= F.lit(horizon) - F.expr("INTERVAL 24 HOURS"))
+        env.crossJoin(F.broadcast(horizon))
+        .filter(F.col("ts") >= F.col("h"))
         .groupBy("segment_id")
         .agg(F.min("offset").alias("truncate_at"))
         .orderBy("segment_id")

@@ -1,3 +1,4 @@
+from pravega_spark.sources.bucketing import bucketize, is_shuffle_free_join
 from pravega_spark.sources.tables import load_table, register_views
 
-__all__ = ["load_table", "register_views"]
+__all__ = ["bucketize", "is_shuffle_free_join", "load_table", "register_views"]

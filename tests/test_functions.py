@@ -126,3 +126,32 @@ def test_typed_serializer_degrades_to_json(spark):
         )
         out = packed.select(de("payload", avro_schema).alias("d")).select("d.*").collect()[0]
     assert (out["id"], out["name"]) == (7, "seven")
+
+
+def test_bucketized_join_eliminates_exchange(spark):
+    """Co-located big/big join: bucketed tables on the join key produce
+    a SortMergeJoin with no shuffle Exchange — the 100 TB fact-join
+    strategy (broadcast covers dims; bucketing covers fact-fact)."""
+    from pyspark.sql import functions as F
+
+    from pravega_spark.sources import load_table
+    from pravega_spark.sources.bucketing import bucketize, is_shuffle_free_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        od = load_table(spark, "/root/testdata/sf0.001", "orders")
+        plain = li.join(od, li.l_orderkey == od.o_orderkey)
+        assert not is_shuffle_free_join(plain)
+        bucketize(spark, li, "t_li_b", ["l_orderkey"], 4)
+        bucketize(spark, od, "t_od_b", ["o_orderkey"], 4)
+        j = spark.table("t_li_b").join(
+            spark.table("t_od_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert is_shuffle_free_join(j)
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_od_b")
