@@ -136,6 +136,31 @@ def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
         append = _pcts(app_lats, {"batches": len(app_lats), "events_per_batch": 100})
         print(f"# write_latency(append): {append}", file=sys.stderr)
 
+        # --- 100 KiB events: the reference's own benchmark config ---
+        # (pravega-benchmark, BASELINE.md: 100 KB events, 10 segments —
+        # apples-to-apples MiB/s + latency through the append ack path;
+        # random payloads so compression can't flatter the number)
+        import os as _os
+
+        store.create_stream("bench", "big", StreamConfiguration(scaling=ScalingPolicy.fixed(10)))
+        payload = _os.urandom(100 * 1024)
+        big_lats = []
+        t_big = time.perf_counter()
+        n_big = 0
+        while time.perf_counter() - t_big < 2.5:
+            rows = [{"routing_key": f"k{i % 10}", "payload": payload} for i in range(50)]
+            t1 = time.perf_counter()
+            store.append_events("bench", "big", rows, writer_id="big", batch_seq=n_big)
+            big_lats.append((time.perf_counter() - t1) * 1000)
+            n_big += 1
+        dt_big = time.perf_counter() - t_big
+        big = _pcts(big_lats, {
+            "events_per_s": round(n_big * 50 / dt_big, 1),
+            "mib_per_s": round(n_big * 50 * 100 / 1024 / dt_big, 1),
+            "event_bytes": 100 * 1024,
+        })
+        print(f"# write_100kb_events: {big}", file=sys.stderr)
+
         # --- micro-batch commit (streaming-sink tier) ---
         lats = []
         for b in range(n_batches):
@@ -149,7 +174,7 @@ def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
         ev.unpersist()
         micro = _pcts(lats, {"batches": n_batches})
         print(f"# microbatch_commit: {micro}", file=sys.stderr)
-        return {**append, "microbatch": micro}
+        return {**append, "write_100kb": big, "microbatch": micro}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -211,6 +236,12 @@ def main() -> None:
     latency = _bench_write_latency(spark, sf_dir)
     timings: dict[str, float] = {}
     timings["stream_write_events"], timings["stream_read_events"] = _bench_stream_write(spark, sf_dir)
+
+    # settle the JVM before the query loop: the write benches leave GC
+    # debt + page-cache pressure that otherwise taxes query timings 2-4x
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
 
     for name in HEADLINE:
         fn = qs[name]

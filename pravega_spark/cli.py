@@ -82,6 +82,8 @@ def cmd_stream(args) -> int:
             doc["segments"] = meta.get_segments(scope, stream)
             print(json.dumps(doc, indent=2))
         return 0
+    if args.action == "append":
+        return cmd_stream_append(args)
     store = _store(args)
     if args.action == "read":
         df = store.read(scope, stream)
@@ -93,14 +95,23 @@ def cmd_stream(args) -> int:
                 except UnicodeDecodeError:
                     d["payload"] = bytes(d["payload"]).hex()
             print(json.dumps(d, default=str))
-    elif args.action == "append":
-        rows = [json.loads(ln) for ln in sys.stdin if ln.strip()]
-        df = store.spark.createDataFrame(
-            [(r["routing_key"], json.dumps(r.get("event", {})).encode()) for r in rows],
-            "routing_key string, payload binary",
-        )
-        tails = store.write_events(scope, stream, df)
-        print(json.dumps({"appended": len(rows), "tails": tails}))
+    return 0
+
+
+def cmd_stream_append(args) -> int:
+    """Hot-tier append from stdin — no JVM: rows go through
+    StreamStore.append_events (the writeEvent ack path)."""
+    from pravega_spark.store import StreamStore
+
+    scope, stream = _split_qualified(args.name)
+    store = StreamStore(None, args.root)  # append path never touches Spark
+    rows = [json.loads(ln) for ln in sys.stdin if ln.strip()]
+    events = [
+        {"routing_key": r["routing_key"], "payload": json.dumps(r.get("event", {})).encode()}
+        for r in rows
+    ]
+    tails = store.append_events(scope, stream, events)
+    print(json.dumps({"appended": len(rows), "tails": tails}))
     return 0
 
 
