@@ -188,7 +188,7 @@ def create_exclusive(path: str, data: bytes) -> bool:
     return True
 
 
-def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 60_000,
+def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
                  poll_s: float = 0.05) -> str:
     """Lease-based mutual exclusion via exclusive file create.
 

@@ -36,7 +36,6 @@ Spark-first architecture:
 from __future__ import annotations
 
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -118,34 +117,46 @@ class Transaction:
         merge lands in the then-active epoch, like the reference's
         commit-time segment merge (CommitRequestHandler.java:361).
         """
-        doc = self._doc()
-        if doc[self.txn_id]["status"] != self.OPEN:
-            raise TxnFailedException(f"txn {self.txn_id} is {doc[self.txn_id]['status']}")
+        # reserve the part number under the stream lock (txn-doc updates
+        # are read-modify-write; concurrent txns on one stream must not
+        # clobber each other's entries), then stage OUTSIDE the lock —
+        # a crash leaves a reserved part with no data, which commit's
+        # ``part=*`` glob simply never sees
+        with self.store._commit_lock(self.scope, self.stream):
+            doc = self._doc()
+            if doc[self.txn_id]["status"] != self.OPEN:
+                raise TxnFailedException(f"txn {self.txn_id} is {doc[self.txn_id]['status']}")
+            part_no = doc[self.txn_id]["parts"]
+            doc[self.txn_id]["parts"] += 1
+            self.store.meta.put_txn_doc(self.scope, self.stream, doc)
         staged = self.store._with_arrival_seq(df, routing_key_col)
         # one sub-dir per write_events call keeps arrival order across calls
-        part = f"part={doc[self.txn_id]['parts']}"
-        staged.write.mode("append").parquet(fsio.join(self.staging_path, part))
-        doc[self.txn_id]["parts"] += 1
-        self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+        staged.write.mode("append").parquet(fsio.join(self.staging_path, f"part={part_no}"))
 
     def ping(self, lease_ms: int = DEFAULT_TXN_LEASE_MS) -> None:
-        doc = self._doc()
-        if doc[self.txn_id]["status"] != self.OPEN:
-            raise TxnFailedException(f"txn {self.txn_id} is {doc[self.txn_id]['status']}")
-        doc[self.txn_id]["lease_expiry"] = int(time.time() * 1000) + lease_ms
-        self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+        with self.store._commit_lock(self.scope, self.stream):
+            doc = self._doc()
+            if doc[self.txn_id]["status"] != self.OPEN:
+                raise TxnFailedException(f"txn {self.txn_id} is {doc[self.txn_id]['status']}")
+            doc[self.txn_id]["lease_expiry"] = int(time.time() * 1000) + lease_ms
+            self.store.meta.put_txn_doc(self.scope, self.stream, doc)
 
     def commit(self, timestamp_ms: int | None = None) -> None:
-        doc = self._doc()
-        st = doc[self.txn_id]["status"]
-        if st == self.COMMITTED:
-            return  # idempotent, like reference commit of committed txn
-        if st != self.OPEN:
-            raise TxnFailedException(f"txn {self.txn_id} is {st}")
-        spark = self.store.spark
-        already = self.txn_id in self.store.meta.segments_doc(self.scope, self.stream)["committed_txns"]
-        if doc[self.txn_id]["parts"] > 0 and not already:
-            staged = spark.read.option("basePath", self.staging_path).parquet(
+        # Phase 1 (status gate, under lock): verify OPEN. Phase 2 (data,
+        # OUTSIDE the lock — _commit_rows takes the same non-reentrant
+        # lock internally): merge staged parts; the txn marker makes a
+        # concurrent/retried commit of the same txn a no-op inside the
+        # locked section. Phase 3 (status flip, under lock again).
+        with self.store._commit_lock(self.scope, self.stream):
+            doc = self._doc()
+            st = doc[self.txn_id]["status"]
+            if st == self.COMMITTED:
+                return  # idempotent, like reference commit of committed txn
+            if st != self.OPEN:
+                raise TxnFailedException(f"txn {self.txn_id} is {st}")
+            parts = doc[self.txn_id]["parts"]
+        if parts > 0:
+            staged = self.store.spark.read.option("basePath", self.staging_path).parquet(
                 fsio.join(self.staging_path, "part=*")
             )
             # stable order: by write_events call, then arrival within call.
@@ -155,25 +166,38 @@ class Transaction:
             # part's range, reordering events across write_events calls.
             staged = staged.withColumnRenamed("part", "_part")
             # txn marker commits atomically with the data: a crash before
-            # the status flip can't double-apply on retry
+            # the status flip can't double-apply on retry; a concurrent
+            # duplicate commit hits the marker inside the locked section
             self.store._commit_rows(self.scope, self.stream, staged, txn_marker=self.txn_id)
-        doc[self.txn_id]["status"] = self.COMMITTED
-        doc[self.txn_id]["commit_time"] = int(time.time() * 1000)
-        self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+        with self.store._commit_lock(self.scope, self.stream):
+            doc = self._doc()
+            if doc[self.txn_id]["status"] == self.ABORTED:
+                # abort refuses once the marker is in committed_txns, so
+                # this only fires if forced externally — surface loudly
+                raise TxnFailedException(f"txn {self.txn_id} aborted during commit")
+            doc[self.txn_id]["status"] = self.COMMITTED
+            doc[self.txn_id]["commit_time"] = int(time.time() * 1000)
+            self.store.meta.put_txn_doc(self.scope, self.stream, doc)
         if timestamp_ms is not None:
             # Transaction.commit(timestamp) also notes writer time (Transaction.java:97)
             self.store.note_time(self.scope, self.stream, f"txn-{self.txn_id}", timestamp_ms)
         fsio.rmtree(self.staging_path)
 
     def abort(self) -> None:
-        doc = self._doc()
-        st = doc[self.txn_id]["status"]
-        if st == self.ABORTED:
-            return
-        if st != self.OPEN:
-            raise TxnFailedException(f"txn {self.txn_id} is {st}")
-        doc[self.txn_id]["status"] = self.ABORTED
-        self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+        with self.store._commit_lock(self.scope, self.stream):
+            doc = self._doc()
+            st = doc[self.txn_id]["status"]
+            if st == self.ABORTED:
+                return
+            if st != self.OPEN:
+                raise TxnFailedException(f"txn {self.txn_id} is {st}")
+            if self.txn_id in self.store.meta.segments_doc(self.scope, self.stream)["committed_txns"]:
+                # data already merged by a racing commit: materially
+                # committed — refuse, mirroring the reference's
+                # commit/abort state machine (CommittingTransactionsRecord)
+                raise TxnFailedException(f"txn {self.txn_id} is committing/committed")
+            doc[self.txn_id]["status"] = self.ABORTED
+            self.store.meta.put_txn_doc(self.scope, self.stream, doc)
         fsio.rmtree(self.staging_path)
 
 
@@ -355,7 +379,7 @@ class StreamStore:
                 tbl = tbl.append_column(EVENT_TIME, col)
         with self._commit_lock(scope, stream):
             doc = self.meta.segments_doc(scope, stream)
-            if writer_marker is not None and writer_marker[1] <= doc["writer_seqs"].get(writer_marker[0], -1):
+            if self._already_applied(doc, writer_marker, None):
                 return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
             ranges = self.meta.active_ranges(scope, stream)
             tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
@@ -363,6 +387,14 @@ class StreamStore:
             tag = uuid.uuid4().hex[:8]
             new_files, counts = self._write_hot_batch(tbl, ranges, tails, [], path, tag)
             return self._publish_manifest(scope, stream, doc, new_files, counts, writer_marker, txn_marker=None)
+
+    @staticmethod
+    def _already_applied(doc: dict, writer_marker, txn_marker) -> bool:
+        """Exactly-once dedup, checked UNDER the commit lock: a replayed
+        writer batch or a concurrently-retried txn commit is a no-op."""
+        if writer_marker is not None and writer_marker[1] <= doc["writer_seqs"].get(writer_marker[0], -1):
+            return True
+        return txn_marker is not None and txn_marker in doc["committed_txns"]
 
     def write_event(
         self,
@@ -424,7 +456,7 @@ class StreamStore:
 
         with self._commit_lock(scope, stream):
             doc = self.meta.segments_doc(scope, stream)
-            if writer_marker is not None and writer_marker[1] <= doc["writer_seqs"].get(writer_marker[0], -1):
+            if self._already_applied(doc, writer_marker, txn_marker):
                 return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
             ranges = self.meta.active_ranges(scope, stream)
             tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
