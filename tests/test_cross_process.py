@@ -159,3 +159,49 @@ def test_fsck_sweeps_orphan_manifest_shards(store):
     assert any("999.42.json" in o for o in orphans)
     assert not os.path.exists(os.path.join(shard_dir, "999.42.json"))
     assert store.read("s", "ev").count() == 1  # live shard untouched
+
+
+def test_two_stores_interleaved_txns(spark, store):
+    """Two StreamStore instances (independent caches, shared root — the
+    lock path is identical cross-process) interleave two transactions on
+    one stream: both commit atomically, no txn-doc clobber, per-txn
+    per-key order intact, and a duplicate commit is a no-op."""
+    from pravega_spark.store import StreamStore
+
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(2)))
+    other = StreamStore(spark, store.root)
+
+    t1 = store.begin_txn("s", "ev")
+    t2 = other.begin_txn("s", "ev")
+    df = lambda tag, n0: spark.createDataFrame(
+        [(f"k{i % 3}", f"{tag}-{n0 + i}") for i in range(6)], "routing_key string, payload string"
+    )
+    t1.write_events(df("a", 0))
+    t2.write_events(df("b", 0))
+    t1.write_events(df("a", 6))
+    t2.write_events(df("b", 6))
+    t1.commit()
+    t2.commit()
+    t2.commit()  # idempotent replay
+    out = store.read("s", "ev")
+    assert out.count() == 24
+    # the other instance's txn is visible in both stores' txn docs
+    assert store.list_completed_txns("s", "ev") == other.list_completed_txns("s", "ev")
+    assert len(store.list_completed_txns("s", "ev")) == 2
+    # per-key sequence within each txn increases along offsets
+    w = Window.partitionBy("routing_key", F.split("payload", "-").getItem(0)).orderBy("offset")
+    viol = (
+        out.withColumn("seq", F.split("payload", "-").getItem(1).cast("long"))
+        .withColumn("prev", F.lag("seq").over(w))
+        .filter(F.col("prev") > F.col("seq"))
+        .count()
+    )
+    assert viol == 0
+    # abort after material commit must refuse (state machine)
+    import pytest as _pytest
+
+    from pravega_spark.errors import TxnFailedException
+
+    with _pytest.raises(TxnFailedException):
+        store.get_txn("s", "ev", t2.txn_id).abort()
