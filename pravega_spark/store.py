@@ -365,6 +365,14 @@ class StreamStore:
                 return self.meta.tail_offsets(scope, stream)  # duplicate retry
             writer_marker = (writer_id, batch_seq)
         tbl = pa.Table.from_pylist(events)
+        for name in tbl.column_names:
+            if pa.types.is_null(tbl[name].type):
+                # an all-null column would be written as a NULL-typed
+                # parquet column and conflict with later typed appends
+                raise ValueError(
+                    f"append_events column {name!r} is all-null; give it a "
+                    "typed value in at least one event or omit the key"
+                )
         ts_us = pa.timestamp("us", tz="UTC")
         if routing_key != ROUTING_KEY:
             tbl = tbl.append_column(ROUTING_KEY, pc.cast(tbl[routing_key], pa.string()))
