@@ -155,3 +155,30 @@ def test_bucketized_join_eliminates_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_od_b")
+
+
+def test_bpe_ish_tokenizer_matches_python_twin(spark):
+    from pravega_spark.functions.text import (
+        bpe_ish_token_count,
+        bpe_ish_tokens,
+        bpe_ish_tokens_py,
+    )
+
+    samples = [
+        "don't stop!",
+        "GPT-2 has 1.5B params... right?",
+        "  spaced   out\ttabs\nnewlines  ",
+        "unicode naïve café 北京 42km",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    rows = df.select(
+        "s", bpe_ish_tokens("s").alias("toks"), bpe_ish_token_count("s").alias("n")
+    ).collect()
+    for r in rows:
+        expect = bpe_ish_tokens_py(r["s"])
+        assert list(r["toks"]) == expect, r["s"]
+        assert r["n"] == len(expect)
+    # shape sanity: punctuation splits, whitespace doesn't count
+    one = {r["s"]: list(r["toks"]) for r in rows}
+    assert one["don't stop!"] == ["don", "'", "t", "stop", "!"]
