@@ -193,13 +193,18 @@ def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
     """Lease-based mutual exclusion via exclusive file create.
 
     Returns an owner token. Liveness: a crashed holder's lock expires
-    after ``lease_ms`` and the next contender reaps it (the remove +
-    re-create race is decided by create_exclusive — exactly one wins).
-    Safety against a paused holder outliving its lease is NOT the
-    lock's job — writers pair the lock with a version-checked document
-    write (conditional put), so a fenced-out holder fails its commit
-    instead of clobbering (the reference pairs store locks with
-    version-conditional metadata updates the same way).
+    after ``lease_ms`` and the next contender reaps it. The reap is
+    rename-aside + content verify: a plain remove could race another
+    contender's reap-and-recreate and delete the FRESH lock it just
+    won; renaming to a per-contender path is atomic (one reaper wins,
+    losers see the source missing), and the winner checks it displaced
+    the same stale doc it observed — a fresh lock taken by mistake is
+    restored via create_exclusive. Safety against a paused holder
+    outliving its lease is NOT the lock's job — writers pair the lock
+    with a version-checked document write (conditional put), so a
+    fenced-out holder fails its commit instead of clobbering (the
+    reference pairs store locks with version-conditional metadata
+    updates the same way).
     """
     import json as _json
     import time as _time
@@ -215,17 +220,85 @@ def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
             return token
         doc = read_json(path, None)
         if doc is not None and doc.get("expiry_ms", 0) < int(_time.time() * 1000):
-            remove(path)  # stale; loop re-contends via create_exclusive
-            continue
+            reap = f"{path}.reap.{token}"
+            try:
+                move(path, reap)
+            except (FileNotFoundError, OSError):
+                continue  # another contender reaped first; re-contend
+            taken = read_json(reap, None)
+            if taken is not None and taken.get("token") != doc.get("token"):
+                # we displaced a lock created AFTER our staleness read —
+                # put it back (no-op if a third contender already
+                # re-created; its holder is then fenced by conditional
+                # writes, the documented safety net)
+                create_exclusive(path, _json.dumps(taken).encode("utf-8"))
+                remove(reap)
+                _time.sleep(poll_s)
+                continue
+            remove(reap)
+            continue  # verified stale reap; re-contend via create_exclusive
         if _time.time() > deadline:
             raise TimeoutError(f"lock {path} not acquired within {timeout_ms}ms")
         _time.sleep(poll_s)
+
+
+def renew_lock(path: str, token: str, lease_ms: int = 30_000) -> bool:
+    """Extend a held lease; False (stop renewing) once fenced out."""
+    import json as _json
+    import time as _time
+
+    doc = read_json(path, None)
+    if doc is None or doc.get("token") != token:
+        return False
+    write_json_atomic(
+        path, {"token": token, "expiry_ms": int(_time.time() * 1000) + lease_ms}
+    )
+    return True
 
 
 def release_lock(path: str, token: str) -> None:
     doc = read_json(path, None)
     if doc is not None and doc.get("token") == token:
         remove(path)
+
+
+def locked(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000):
+    """Context manager: lease lock with background heartbeat renewal.
+
+    The heartbeat (every lease/3) keeps a live holder's lease fresh for
+    as long as its critical section runs — a multi-minute distributed
+    write job under the commit lock is never fenced merely for being
+    slow. If the heartbeat ever finds the lock gone or re-owned (a real
+    pause longer than the lease), it stops silently: the holder's
+    version-conditional document write is what then rejects the commit.
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _guard():
+        import threading
+
+        token = acquire_lock(path, lease_ms, timeout_ms)
+        stop = threading.Event()
+
+        def _beat():
+            while not stop.wait(lease_ms / 3000.0):
+                try:
+                    if not renew_lock(path, token, lease_ms):
+                        return
+                except Exception:
+                    return
+
+        t = threading.Thread(target=_beat, daemon=True, name=f"lock-renew:{path}")
+        t.start()
+        try:
+            yield token
+        finally:
+            stop.set()
+            t.join(timeout=2.0)
+            release_lock(path, token)
+
+    return _guard()
 
 
 def exists(path: str) -> bool:

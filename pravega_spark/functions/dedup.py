@@ -127,10 +127,19 @@ def minhash_lsh_pairs(
             F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
         )
     )
-    return (
+    out = (
         inter.withColumn(
             "jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the (small) verified-pairs result while sigs is hot,
+    # then free the cache: sigs carries the corpus's full shingle sets —
+    # leaving it persisted would pin O(corpus) executor storage for the
+    # session. If the cached result is ever evicted, lineage recompute
+    # is still correct, just slower.
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out

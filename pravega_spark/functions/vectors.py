@@ -35,7 +35,11 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # sqrt(|a|² · |b|²) rather than sqrt(|a|²)·sqrt(|b|²): one rounding
+    # step instead of two, and bit-compatible with the SQL oracles'
+    # `/ sqrt(sum(a*a) * sum(b*b))` denominator — a 1-ulp denominator
+    # difference can flip a fixed-dp round at a tie boundary
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
 def cosine_topk(
@@ -45,6 +49,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Brute-force exact top-k: broadcast queries × corpus, one window.
 
@@ -53,13 +58,20 @@ def cosine_topk(
     window over q_id (tiny: |queries| × |corpus| rows reduced map-side
     is not possible for row_number, so keep |queries| modest or use
     lsh_bucket first).
+
+    ``round_to`` rounds the cosine BEFORE ranking: ranking raw doubles
+    while a parity oracle ranks rounded values would let a rounded tie
+    order differently at a rank boundary and emit different rows.
     """
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
-    sims = pairs.select("q_id", "c_id", cosine("q_vec", "c_vec").alias("cosine"))
+    cos = cosine("q_vec", "c_vec")
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    sims = pairs.select("q_id", "c_id", cos.alias("cosine"))
     # two-stage top-k: per-(query, input-partition) local top-k first, so
     # the big shuffle spreads over |queries|×P keys and the final window
     # over q_id alone sees only k×P rows per query — a handful of query

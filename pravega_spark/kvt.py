@@ -45,7 +45,11 @@ from pyspark.sql import functions as F
 from pravega_spark import fsio
 from pravega_spark.config import KeyValueTableConfiguration
 from pravega_spark.hashing import bucket_for_key_py, hash_to_bucket
-from pravega_spark.errors import BadKeyVersionException, NoSuchKeyException
+from pravega_spark.errors import (
+    BadKeyVersionException,
+    ConcurrentModificationException,
+    NoSuchKeyException,
+)
 
 # Version sentinels mirroring tables.Version.NO_VERSION / NOT_EXISTS
 ANY_VERSION = -1
@@ -66,6 +70,7 @@ class KeyValueTable:
         if doc is not None:
             self.config = KeyValueTableConfiguration(**doc["config"])
             self._next_version = doc["next_version"]
+            self._meta_version = doc.get("version", 0)
             if "files" in doc:
                 self._files = list(doc["files"])
             else:
@@ -75,6 +80,7 @@ class KeyValueTable:
         else:
             self.config = config or KeyValueTableConfiguration()
             self._next_version = 1
+            self._meta_version = 0
             self._files = []
             self._save_meta()
 
@@ -92,29 +98,33 @@ class KeyValueTable:
         doc = fsio.read_json(self.meta_path, None)
         if doc is not None:
             self._next_version = doc["next_version"]
+            self._meta_version = doc.get("version", 0)
             self._files = list(doc.get("files", []))
 
     def _lock(self):
-        from contextlib import contextmanager
-
-        path = fsio.join(self.path, "commit.lock")
-
-        @contextmanager
-        def _guard():
-            token = fsio.acquire_lock(path)
-            try:
-                yield
-            finally:
-                fsio.release_lock(path, token)
-
-        return _guard()
+        # heartbeat-renewed lease lock: a multi-second Spark job inside
+        # the locked section never outlives its lease just for being slow
+        return fsio.locked(fsio.join(self.path, "commit.lock"))
 
     def _save_meta(self) -> None:
-        # the single atomic commit point: file manifest + version counter
+        """The single atomic commit point: file manifest + version
+        counter, written CONDITIONALLY on the doc version loaded at
+        ``_reload_meta`` — a fenced-out holder (lease reaped during a
+        pause) fails here instead of clobbering another process's commit
+        (same protocol as ``MetadataStore.put_segments_doc``)."""
+        current = fsio.read_json(self.meta_path, None)
+        stored = current.get("version", 0) if current is not None else 0
+        if current is not None and stored != self._meta_version:
+            raise ConcurrentModificationException(
+                f"kvt {self.scope}/{self.name} meta at version {stored}, "
+                f"expected {self._meta_version} — concurrent commit won"
+            )
+        self._meta_version += 1
         fsio.write_json_atomic(
             self.meta_path,
             {
                 "config": self.config.__dict__,
+                "version": self._meta_version,
                 "next_version": self._next_version,
                 "files": sorted(self._files),
                 "updated": time.time(),
@@ -347,11 +357,20 @@ class KeyValueTable:
             fsio.remove(fsio.join(self.data_path, rel))
 
     def fsck(self) -> list[str]:
-        """Reap orphan parquet files from crashed commits/compactions."""
-        orphans = sorted(self._list_data_files() - set(self._files))
-        for rel in orphans:
-            fsio.remove(fsio.join(self.data_path, rel))
-        return orphans
+        """Reap orphan parquet files from crashed commits/compactions.
+
+        Takes the table lock and re-reads the committed manifest first:
+        reaping against this instance's cached ``_files`` would delete
+        files other processes committed since we last loaded the meta
+        doc (and the lock keeps a concurrent commit's staged-but-not-
+        yet-published files from being swept mid-flight — KVT commits
+        stage and publish entirely under the lock)."""
+        with self._lock():
+            self._reload_meta()
+            orphans = sorted(self._list_data_files() - set(self._files))
+            for rel in orphans:
+                fsio.remove(fsio.join(self.data_path, rel))
+            return orphans
 
 
 class KeyValueTableManager:

@@ -252,14 +252,47 @@ class MetadataStore:
 
     def segment_files(self, scope: str, stream: str, sid: str, entry: dict) -> list[str]:
         """Resolve a segment's committed file list: inline (legacy) or
-        from its sharded manifest pointer."""
+        from its sharded manifest pointer. Callers hold the commit lock
+        (a held lock guarantees the pointed-to shard exists); lockless
+        readers use :meth:`resolve_files`, which retries the race where
+        a commit GCs the old shard between doc read and shard read."""
         if "files" in entry:
             return list(entry["files"])
         v = entry.get("manifest")
         if v is None:
             return []
         doc = self._read(self._manifest_path(scope, stream, sid, v), None)
-        return list(doc["files"]) if doc else []
+        if doc is None:
+            # dangling pointer: the doc we were handed went stale and the
+            # shard was GC'd by a newer commit — fail loudly; silently
+            # treating a non-empty segment as empty would drop its rows
+            raise ConcurrentModificationException(
+                f"{scope}/{stream} segment {sid}: manifest shard v{v} missing"
+            )
+        return list(doc["files"])
+
+    def resolve_files(self, scope: str, stream: str) -> tuple[dict, dict[str, list[str]]]:
+        """Lockless snapshot (segments, {sid: files}) for readers.
+
+        Two-step resolution (doc → shards) can race a concurrent commit
+        that deletes the old shard right after its doc flip; on a
+        missing shard the whole snapshot is re-read from the fresh doc
+        (bounded retries), so readers always see a CONSISTENT committed
+        state — never a segment silently emptied mid-read.
+        """
+        last_err: Exception | None = None
+        for attempt in range(5):
+            doc = self.segments_doc(scope, stream)
+            segs = doc["segments"]
+            try:
+                return segs, {
+                    sid: self.segment_files(scope, stream, sid, s)
+                    for sid, s in segs.items()
+                }
+            except ConcurrentModificationException as e:
+                last_err = e
+                time.sleep(0.05 * (attempt + 1))
+        raise last_err
 
     def get_segments(self, scope: str, stream: str) -> dict[str, dict]:
         return self.segments_doc(scope, stream)["segments"]

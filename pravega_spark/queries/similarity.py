@@ -39,12 +39,11 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
-    topk = cosine_topk(emb, queries_df, k=_TOP_K, exclude_self=True)
-    return (
-        topk.withColumn("cosine", F.round("cosine", 6))
-        .select("q_id", "c_id", "cosine", "rk")
-        .orderBy("q_id", "rk")
-    )
+    # round_to=6 BEFORE the top-k windows: the oracle ranks rounded
+    # cosines, so ranking raw doubles here could order a 6-dp tie
+    # differently at the rk<=k boundary and emit different rows
+    topk = cosine_topk(emb, queries_df, k=_TOP_K, exclude_self=True, round_to=6)
+    return topk.select("q_id", "c_id", "cosine", "rk").orderBy("q_id", "rk")
 
 
 TOPK_SQL = f"""

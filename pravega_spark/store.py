@@ -260,23 +260,13 @@ class StreamStore:
         The reference serializes appends per segment through its single
         owning segment store (AppendProcessor); here arbitrary processes
         may hold StreamStore instances on one root, so offset assignment
-        + manifest flip run under a lease lock, and the doc write itself
-        is version-conditional (a fenced-out expired holder fails its
-        publish instead of clobbering — no lost commits either way).
+        + manifest flip run under a lease lock (heartbeat-renewed, so a
+        long distributed write job is never fenced just for being slow),
+        and the doc write itself is version-conditional (a fenced-out
+        expired holder fails its publish instead of clobbering — no
+        lost commits either way).
         """
-        from contextlib import contextmanager
-
-        path = self._lock_path(scope, stream)
-
-        @contextmanager
-        def _guard():
-            token = fsio.acquire_lock(path)
-            try:
-                yield
-            finally:
-                fsio.release_lock(path, token)
-
-        return _guard()
+        return fsio.locked(self._lock_path(scope, stream))
 
     @staticmethod
     def _with_arrival_seq(df: DataFrame, routing_key_col: str) -> DataFrame:
@@ -646,34 +636,48 @@ class StreamStore:
 
     def fsck_stream(self, scope: str, stream: str) -> list[str]:
         """Reap orphan parquet files (crashed commits / compactions):
-        anything on disk that no manifest entry references."""
+        anything on disk that no manifest entry references.
+
+        Runs UNDER the commit lock — a lockless fsck could delete a
+        concurrent commit's just-written manifest shard or just-moved
+        data files in the window before its doc flip. Compaction stages
+        its rewritten files OUTSIDE the lock (by design, the rewrite is
+        long), so after reaping data files fsck bumps the doc version:
+        a compaction staged before the reap then fails its conditional
+        flip instead of publishing a manifest of deleted files.
+        """
         path = self._stream_path(scope, stream)
-        segs = self.meta.get_segments(scope, stream)
-        if any(
-            s.get("tail_offset", 0) and "files" not in s and "manifest" not in s
-            for s in segs.values()
-        ):
-            # pre-manifest layout (_raw_read still supports it): the
-            # manifest is empty, so "disk minus manifest" would be EVERY
-            # data file — reaping here would delete the whole stream.
-            return []
-        manifest = {
-            f
-            for sid, s in segs.items()
-            for f in self.meta.segment_files(scope, stream, sid, s)
-        }
-        orphans = sorted(self._list_data_files(path) - manifest)
-        for f in orphans:
-            fsio.remove(fsio.join(path, f))
-        # sweep unreferenced manifest shards too (left by a crash between
-        # shard write and doc flip, or by a lost compaction race)
-        live = {f"{sid}.{s['manifest']}.json" for sid, s in segs.items() if "manifest" in s}
-        shard_dir = self.meta._doc_path(scope, stream, "manifests")
-        for rel in fsio.list_files_recursive(shard_dir):
-            if rel.endswith(".json") and rel not in live:
-                orphans.append(os.path.join("_manifests", rel))
-                fsio.remove(fsio.join(shard_dir, rel))
-        return orphans
+        with self._commit_lock(scope, stream):
+            doc = self.meta.segments_doc(scope, stream)
+            segs = doc["segments"]
+            if any(
+                s.get("tail_offset", 0) and "files" not in s and "manifest" not in s
+                for s in segs.values()
+            ):
+                # pre-manifest layout (_raw_read still supports it): the
+                # manifest is empty, so "disk minus manifest" would be EVERY
+                # data file — reaping here would delete the whole stream.
+                return []
+            manifest = {
+                f
+                for sid, s in segs.items()
+                for f in self.meta.segment_files(scope, stream, sid, s)
+            }
+            orphans = sorted(self._list_data_files(path) - manifest)
+            for f in orphans:
+                fsio.remove(fsio.join(path, f))
+            if orphans:
+                # fence out any compaction whose rewrite raced the reap
+                self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+            # sweep unreferenced manifest shards too (left by a crash between
+            # shard write and doc flip, or by a lost compaction race)
+            live = {f"{sid}.{s['manifest']}.json" for sid, s in segs.items() if "manifest" in s}
+            shard_dir = self.meta._doc_path(scope, stream, "manifests")
+            for rel in fsio.list_files_recursive(shard_dir):
+                if rel.endswith(".json") and rel not in live:
+                    orphans.append(os.path.join("_manifests", rel))
+                    fsio.remove(fsio.join(shard_dir, rel))
+            return orphans
 
     # ================= transactions (X1-X2) =================
     def begin_txn(self, scope: str, stream: str, lease_ms: int = DEFAULT_TXN_LEASE_MS) -> Transaction:
@@ -717,12 +721,10 @@ class StreamStore:
     # ================= read path (R4-R8) =================
     def _raw_read(self, scope: str, stream: str) -> DataFrame:
         path = self._stream_path(scope, stream)
-        segs = self.meta.get_segments(scope, stream)
-        manifest = [
-            f
-            for sid, s in segs.items()
-            for f in self.meta.segment_files(scope, stream, sid, s)
-        ]
+        # lockless reader: resolve_files retries the doc→shard race so a
+        # concurrent commit's shard GC can't make a segment look empty
+        segs, files_by_sid = self.meta.resolve_files(scope, stream)
+        manifest = [f for files in files_by_sid.values() for f in files]
         if manifest:
             # manifest-based visibility: ONLY committed files are read, so
             # orphans from crashed commits can never surface duplicates
@@ -863,6 +865,13 @@ class StreamStore:
         live segment partition keeping rows >= head, coalesced to
         rollover-sized files.
         """
+        # capture the doc version BEFORE freezing heads/tails/file list:
+        # a commit landing anywhere after this read changes the version
+        # and the flip's conditional check below aborts the compaction.
+        # (Reading the version last would let a commit slip between the
+        # file-list freeze and the version read — it would pass the
+        # guard and its rows would be silently dropped by the flip.)
+        pre_version = self.meta.segments_doc(scope, stream)["version"]
         heads = self.meta.head_offsets(scope, stream)
         tails = self.meta.tail_offsets(scope, stream)
         path = self._stream_path(scope, stream)
@@ -884,7 +893,6 @@ class StreamStore:
         # lazy plan would drop those new rows, so losing the race and
         # retrying later is the only safe outcome.
         tmp = f"{path}.compact.{uuid.uuid4().hex[:8]}"
-        pre_version = self.meta.segments_doc(scope, stream)["version"]
         live.repartition(SEGMENT_ID).write.mode("overwrite").partitionBy(SEGMENT_ID).parquet(tmp)
         tag = uuid.uuid4().hex[:8]
         new_files: dict[int, list[str]] = {}

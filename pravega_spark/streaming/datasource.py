@@ -145,21 +145,38 @@ def _load_files(root: str, scope: str, stream: str) -> dict[int, list[str] | Non
     ``files`` list as fallback — same protocol as MetadataStore.
     segment_files, duplicated here because data source workers have no
     JVM/driver objects, only fsio."""
+    import time as _time
+
     from pravega_spark import fsio
 
-    out: dict[int, list[str] | None] = {}
-    for k, v in _load_segments(root, scope, stream).items():
-        if "files" in v:
-            out[int(k)] = list(v["files"])
-        elif v.get("manifest") is not None:
-            doc = fsio.read_json(
-                fsio.join(root, "_metadata", scope, stream, "manifests", f"{k}.{v['manifest']}.json"),
-                None,
-            )
-            out[int(k)] = list(doc["files"]) if doc else []
-        else:
-            out[int(k)] = None
-    return out
+    # doc → shard is a lockless two-step read: a concurrent commit GCs
+    # the old shard right after its doc flip, so a missing shard means
+    # OUR doc snapshot is stale — re-read the doc and retry. Treating
+    # it as an empty segment would silently skip committed events in a
+    # planned micro-batch (permanent loss under exactly-once).
+    for attempt in range(5):
+        out: dict[int, list[str] | None] = {}
+        stale = False
+        for k, v in _load_segments(root, scope, stream).items():
+            if "files" in v:
+                out[int(k)] = list(v["files"])
+            elif v.get("manifest") is not None:
+                doc = fsio.read_json(
+                    fsio.join(root, "_metadata", scope, stream, "manifests", f"{k}.{v['manifest']}.json"),
+                    None,
+                )
+                if doc is None:
+                    stale = True
+                    break
+                out[int(k)] = list(doc["files"])
+            else:
+                out[int(k)] = None
+        if not stale:
+            return out
+        _time.sleep(0.05 * (attempt + 1))
+    raise RuntimeError(
+        f"{scope}/{stream}: manifest shards kept changing across retries"
+    )
 
 
 class PravegaStreamReader(DataSourceStreamReader):
