@@ -331,7 +331,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
         )
     )
-    return (
+    out = (
         inter.withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
@@ -340,6 +340,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+    # materialize the (small) verified pairs while sigs is hot, then free
+    # it: sigs carries every doc's full shingle set — leaving it cached
+    # would pin O(corpus) executor storage for the rest of the session
+    # (the driver gate runs ~50 queries in ONE session; leaks compound).
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out
 
 
 MINHASH_PAIRS_SQL = f"""
@@ -396,8 +404,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the split ONCE as a column: a split referenced inside a
     # transform() lambda is re-evaluated per element (no CSE inside
-    # higher-order functions) — 8x slower measured
-    pool = docs.unionByName(dup).withColumn("w", _tokens(F.col("text")))
+    # higher-order functions) — 8x slower measured. Repartition before
+    # the CPU-heavy tokenize/shingle stage for the same reason as
+    # _shingles: the documents scan yields O(file-count) partitions,
+    # which serializes the hottest stage on a handful of cores
+    # (3.7x faster measured at sf0.1).
+    par = spark.sparkContext.defaultParallelism
+    pool = docs.unionByName(dup).repartition(par).withColumn("w", _tokens(F.col("text")))
     bigrams = F.expr(
         "CASE WHEN size(w) >= 2 "
         "THEN transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i])) "
