@@ -865,15 +865,17 @@ class StreamStore:
         live segment partition keeping rows >= head, coalesced to
         rollover-sized files.
         """
-        # capture the doc version BEFORE freezing heads/tails/file list:
-        # a commit landing anywhere after this read changes the version
-        # and the flip's conditional check below aborts the compaction.
-        # (Reading the version last would let a commit slip between the
-        # file-list freeze and the version read — it would pass the
-        # guard and its rows would be silently dropped by the flip.)
-        pre_version = self.meta.segments_doc(scope, stream)["version"]
-        heads = self.meta.head_offsets(scope, stream)
-        tails = self.meta.tail_offsets(scope, stream)
+        # ONE doc read snapshots the plan: per-segment identity (manifest
+        # pointer / legacy inline list + tail offset) plus heads/tails.
+        # The flip below compares each segment against this snapshot, so
+        # the stale-plan check is per SEGMENT, not per stream.
+        doc0 = self.meta.segments_doc(scope, stream)
+        planned = {
+            sid: (s.get("manifest"), tuple(s.get("files", [])), s["tail_offset"])
+            for sid, s in doc0["segments"].items()
+        }
+        heads = {int(k): v["head_offset"] for k, v in doc0["segments"].items()}
+        tails = {int(k): v["tail_offset"] for k, v in doc0["segments"].items()}
         path = self._stream_path(scope, stream)
         if not fsio.isdir(path):
             return
@@ -884,14 +886,17 @@ class StreamStore:
             cond = c if cond is None else (cond | c)
         live = df.filter(cond) if cond is not None else df.limit(0)
         # manifest-safe compaction: write rewritten files NEXT TO the old
-        # ones (unique names), then flip the manifest in one doc write —
-        # readers see either the old or the new file set, never neither.
-        # A crash before the flip leaves invisible orphans (fsck reaps).
-        # The rewrite job runs OUTSIDE the commit lock (it can be long);
-        # only the flip section locks, and its conditional write aborts
-        # compaction if a commit landed since `live` was planned — the
-        # lazy plan would drop those new rows, so losing the race and
-        # retrying later is the only safe outcome.
+        # ones (unique names), then flip the manifest pointers in one doc
+        # write — readers see each segment's old or new file set, never
+        # neither. A crash before the flip leaves invisible orphans
+        # (fsck reaps). The rewrite job runs OUTSIDE the commit lock (it
+        # can be long); the flip section locks and applies PER-SEGMENT:
+        # only segments a racing commit touched (tail/manifest moved
+        # since the snapshot) abandon their rewrite — the rest flip, so
+        # compaction makes progress under constant write load instead of
+        # losing the whole stream's work to one hot segment (the
+        # reference compacts per segment under its own container lock,
+        # ChunkedSegmentStorage, for the same reason).
         tmp = f"{path}.compact.{uuid.uuid4().hex[:8]}"
         live.repartition(SEGMENT_ID).write.mode("overwrite").partitionBy(SEGMENT_ID).parquet(tmp)
         tag = uuid.uuid4().hex[:8]
@@ -905,20 +910,23 @@ class StreamStore:
             fsio.move(fsio.join(tmp, rel), fsio.join(path, dst_rel))
             new_files.setdefault(sid, []).append(dst_rel)
         fsio.rmtree(tmp)
+        flipped_old: list[str] = []
+        abandoned: list[str] = []
         with self._commit_lock(scope, stream):
             doc = self.meta.segments_doc(scope, stream)
             ver = doc["version"]
-            if ver != pre_version:
-                # a commit raced the rewrite; abandon (files become
-                # fsck-reapable orphans) rather than drop its rows
-                for sid, rels in new_files.items():
-                    for rel in rels:
-                        fsio.remove(fsio.join(path, rel))
-                return
-            old_files = []
             gc: list[tuple[str, int]] = []
+            any_flip = False
             for sid_str, s in doc["segments"].items():
-                old_files += self.meta.segment_files(scope, stream, sid_str, s)
+                current = (s.get("manifest"), tuple(s.get("files", [])), s["tail_offset"])
+                if planned.get(sid_str) != current:
+                    # a commit landed in THIS segment since planning: the
+                    # lazy plan would drop its rows — abandon just this
+                    # segment's rewrite (files become invisible orphans)
+                    abandoned += new_files.get(int(sid_str), [])
+                    continue
+                any_flip = True
+                flipped_old += self.meta.segment_files(scope, stream, sid_str, s)
                 self.meta.write_segment_manifest(
                     scope, stream, sid_str, ver + 1, new_files.get(int(sid_str), [])
                 )
@@ -927,10 +935,13 @@ class StreamStore:
                 s.pop("files", None)
                 s["manifest"] = ver + 1
                 s["head_offset"] = max(s["head_offset"], heads.get(int(sid_str), 0))
-            self.meta.put_segments_doc(scope, stream, doc, expected_version=ver)  # flip
-            for sid_str, old_ver in gc:  # only after the flip is durable
-                self.meta.drop_segment_manifest(scope, stream, sid_str, old_ver)
-        for rel in old_files:  # now-invisible originals
+            if any_flip:
+                self.meta.put_segments_doc(scope, stream, doc, expected_version=ver)  # flip
+                for sid_str, old_ver in gc:  # only after the flip is durable
+                    self.meta.drop_segment_manifest(scope, stream, sid_str, old_ver)
+        for rel in abandoned:
+            fsio.remove(fsio.join(path, rel))
+        for rel in flipped_old:  # now-invisible originals
             fsio.remove(fsio.join(path, rel))
 
     # ================= scaling (S4-S5) =================

@@ -111,20 +111,64 @@ def test_compact_abandons_when_commit_races_planning(spark, tmp_path):
     flip must never be dropped: the conditional flip aborts instead."""
     st = _mk_stream(spark, tmp_path)
     st.append_events("sc", "s", [{"routing_key": "a", "v": 1}])
-    real_heads = st.meta.head_offsets
+    real_raw = st._raw_read
     raced = {}
 
-    def racing_heads(scope, stream):
+    def racing_raw(scope, stream):
+        # fires AFTER compaction's plan snapshot, BEFORE its rewrite
         if not raced:
             raced["x"] = True
             st.append_events(scope, stream, [{"routing_key": "b", "v": 2}])
-        return real_heads(scope, stream)
+        return real_raw(scope, stream)
 
-    st.meta.head_offsets = racing_heads
+    st._raw_read = racing_raw
     st.compact_stream("sc", "s")
-    st.meta.head_offsets = real_heads
+    st._raw_read = real_raw
     rows = {r["v"] for r in st.read("sc", "s").select("v").collect()}
     assert rows == {1, 2}  # the racing commit survived
+
+
+def test_compact_flips_untouched_segments_despite_racing_commit(spark, tmp_path):
+    """Per-segment flip tolerance: a racing commit abandons only ITS
+    segment's rewrite — the rest of the stream still compacts, so
+    compaction makes progress under constant write load."""
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+    from pravega_spark.hashing import segment_for_key_py
+
+    st = StreamStore(spark, str(tmp_path / "root"))
+    st.create_scope("sc")
+    st.create_stream("sc", "s", StreamConfiguration(scaling=ScalingPolicy.fixed(4)))
+    ranges = st.meta.active_ranges("sc", "s")
+    # find keys landing in two DIFFERENT segments
+    keys_by_seg = {}
+    for i in range(200):
+        keys_by_seg.setdefault(segment_for_key_py(f"k{i}", ranges), f"k{i}")
+        if len(keys_by_seg) >= 2:
+            break
+    (sid_a, key_a), (sid_b, key_b) = list(keys_by_seg.items())[:2]
+    st.append_events("sc", "s", [{"routing_key": key_a, "v": 1}, {"routing_key": key_b, "v": 2}])
+    real_raw = st._raw_read
+    raced = {}
+
+    def racing_raw(scope, stream):
+        # fires AFTER compaction's plan snapshot, BEFORE its rewrite
+        if not raced:
+            raced["x"] = True
+            st.append_events(scope, stream, [{"routing_key": key_b, "v": 3}])
+        return real_raw(scope, stream)
+
+    st._raw_read = racing_raw
+    st.compact_stream("sc", "s")
+    st._raw_read = real_raw
+    rows = {r["v"] for r in st.read("sc", "s").select("v").collect()}
+    assert rows == {1, 2, 3}  # racing commit survived
+    segs = st.meta.get_segments("sc", "s")
+    # untouched segment flipped to its compacted file set
+    files_a = st.meta.segment_files("sc", "s", str(sid_a), segs[str(sid_a)])
+    assert files_a and all("compact-" in f for f in files_a)
+    # raced segment kept its original (un-compacted) commit files
+    files_b = st.meta.segment_files("sc", "s", str(sid_b), segs[str(sid_b)])
+    assert files_b and not any("compact-" in f for f in files_b)
 
 
 def test_dangling_manifest_shard_raises_not_empty(spark, tmp_path):
