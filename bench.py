@@ -255,7 +255,12 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # streaming tier last: its query machinery/caches would tax the
-    # relational loop if it ran first
+    # relational loop if it ran first. Settle the JVM first — measured
+    # ~2x slower when it inherits the query loop's GC debt (same
+    # hygiene as the write benches above).
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     timings["streaming_roundtrip"] = _bench_streaming_roundtrip(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]

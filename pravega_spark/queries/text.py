@@ -505,7 +505,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted majority, packed to an int. Relational formulation
     (explode tokens × bit positions) — identical in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    # spread the md5-per-token stage: the documents scan arrives in
+    # O(file-count) partitions and would otherwise hash single-threaded
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     # hash once per token; 16 conditional sums in ONE aggregation instead
     # of a 16x row fanout (same values as the relational oracle twin)
     h16 = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
