@@ -65,6 +65,15 @@ class InvalidStreamCutException(PravegaSparkError):
     """StreamCut does not cover the stream's key space or is out of range."""
 
 
+class BadAttributeUpdateException(PravegaSparkError):
+    """Conditional segment-attribute update failed its comparison.
+
+    Reference: ``segmentstore/contracts/.../BadAttributeUpdateException``
+    raised by ``StreamSegmentStore.updateAttributes`` when a
+    ReplaceIfEquals comparison value does not match.
+    """
+
+
 class ConcurrentModificationException(PravegaSparkError):
     """Version-conditional metadata write observed a concurrent commit.
 

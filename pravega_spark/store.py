@@ -332,6 +332,7 @@ class StreamStore:
         event_time_key: str | None = None,
         writer_id: str | None = None,
         batch_seq: int | None = None,
+        attribute_updates: dict[int, list[tuple]] | None = None,
     ) -> dict[int, int]:
         """writeEvent/writeEvents hot append (W1/W2): rows in, durable
         ack out, ZERO Spark jobs — the per-event client append path
@@ -384,7 +385,10 @@ class StreamStore:
             path = self._stream_path(scope, stream)
             tag = uuid.uuid4().hex[:8]
             new_files, counts = self._write_hot_batch(tbl, ranges, tails, [], path, tag)
-            return self._publish_manifest(scope, stream, doc, new_files, counts, writer_marker, txn_marker=None)
+            return self._publish_manifest(
+                scope, stream, doc, new_files, counts, writer_marker, txn_marker=None,
+                attribute_updates=attribute_updates,
+            )
 
     @staticmethod
     def _already_applied(doc: dict, writer_marker, txn_marker) -> bool:
@@ -596,8 +600,11 @@ class StreamStore:
         counts: dict[int, int],
         writer_marker: tuple[str, int] | None,
         txn_marker: str | None,
+        attribute_updates: dict[int, list[tuple]] | None = None,
     ) -> dict[int, int]:
-        """The single atomic commit point: files + offsets + markers.
+        """The single atomic commit point: files + offsets + markers
+        (+ optional per-segment attribute updates — atomic WITH the
+        append, the reference's AttributeUpdateCollection semantics).
 
         Sharded-manifest protocol: per TOUCHED segment, the full file
         list is written to ``manifests/<sid>.<v+1>.json`` FIRST, then
@@ -629,6 +636,14 @@ class StreamStore:
             doc["writer_seqs"][writer_marker[0]] = writer_marker[1]
         if txn_marker is not None:
             doc["committed_txns"].append(txn_marker)
+        for sid, upds in (attribute_updates or {}).items():
+            entry = segs.get(str(sid))
+            if entry is None:
+                raise StreamNotFoundException(f"segment {sid} of {scope}/{stream}")
+            # raises BadAttributeUpdateException BEFORE the doc write, so
+            # a failed CAS aborts the whole commit — data and attributes
+            # land together or not at all (files stay invisible orphans)
+            self._apply_attribute_updates(entry, upds)
         self.meta.put_segments_doc(scope, stream, doc, expected_version=ver)
         for sid_str, old_ver in gc:  # now-unreferenced manifest shards
             self.meta.drop_segment_manifest(scope, stream, sid_str, old_ver)
@@ -1033,6 +1048,77 @@ class StreamStore:
                     if s["key_start"] < rng[1] and s["key_end"] > rng[0] and segment_epoch(s["segment_id"]) == e["epoch"]
                 ]
         return []
+
+    # ================= segment attributes (G6) =================
+    # Reference: per-segment key→long attribute map updated atomically
+    # with appends (contracts/SegmentApi.java:62 AttributeUpdateCollection,
+    # Attributes.java:61-137; B-tree index SegmentAttributeBTreeIndex.java:81).
+    # Here attributes live in the segment's entry of the segments doc, so
+    # every update rides the same atomic conditional doc write as data
+    # commits — atomic-with-append comes free via append_events'
+    # ``attribute_updates``.
+
+    NOT_EXISTS = None  # ReplaceIfEquals comparison value for "must be absent"
+
+    @staticmethod
+    def _apply_attribute_updates(entry: dict, updates: list[tuple]) -> None:
+        """Apply [(key, kind, value, expected?)] to one segment's
+        attribute map. Kinds mirror AttributeUpdateType: ``replace``,
+        ``replace_if_equals`` (CAS on expected; expected None = key must
+        not exist), ``accumulate`` (add to current, absent = 0),
+        ``remove``. Raises BadAttributeUpdateException without applying
+        ANY update (all-or-nothing, like the reference's collection)."""
+        from pravega_spark.errors import BadAttributeUpdateException
+
+        attrs = dict(entry.get("attributes", {}))
+        staged = dict(attrs)
+        for upd in updates:
+            key, kind, value = upd[0], upd[1], upd[2]
+            expected = upd[3] if len(upd) > 3 else None
+            cur = staged.get(key)
+            if kind == "replace":
+                staged[key] = int(value)
+            elif kind == "replace_if_equals":
+                if cur != expected:
+                    raise BadAttributeUpdateException(
+                        f"attribute {key!r}: expected {expected}, found {cur}"
+                    )
+                staged[key] = int(value)
+            elif kind == "accumulate":
+                staged[key] = int(cur or 0) + int(value)
+            elif kind == "remove":
+                staged.pop(key, None)
+            else:
+                raise ValueError(f"unknown attribute update kind {kind!r}")
+        entry["attributes"] = staged
+
+    def update_attributes(
+        self, scope: str, stream: str, segment_id: int, updates: list[tuple]
+    ) -> dict[str, int]:
+        """Atomic attribute batch on one segment
+        (StreamSegmentStore.updateAttributes). ``updates`` items are
+        (key, kind, value[, expected]); returns the segment's attribute
+        map after the update."""
+        with self._commit_lock(scope, stream):
+            doc = self.meta.segments_doc(scope, stream)
+            entry = doc["segments"].get(str(segment_id))
+            if entry is None:
+                raise StreamNotFoundException(f"segment {segment_id} of {scope}/{stream}")
+            self._apply_attribute_updates(entry, updates)
+            self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+            return dict(entry["attributes"])
+
+    def get_attributes(
+        self, scope: str, stream: str, segment_id: int, keys: list[str] | None = None
+    ) -> dict[str, int]:
+        """Read a segment's attributes (SegmentApi.getAttributes)."""
+        entry = self.meta.get_segments(scope, stream).get(str(segment_id))
+        if entry is None:
+            raise StreamNotFoundException(f"segment {segment_id} of {scope}/{stream}")
+        attrs = entry.get("attributes", {})
+        if keys is None:
+            return dict(attrs)
+        return {k: attrs[k] for k in keys if k in attrs}
 
     # ================= event time (T1-T3) =================
     def note_time(self, scope: str, stream: str, writer_id: str, timestamp_ms: int) -> None:
