@@ -147,3 +147,78 @@ class AutoScaler:
                     self.store.scale_stream(scope, stream, [d.segment_id, d.merge_with], [(lo, hi)])
                 )
         return applied
+
+    # ---------------- event-sourced control plane (G10) ----------------
+    # Reference fidelity: AutoScaleProcessor does not scale in-place —
+    # it PUBLISHES scale events to the internal request stream
+    # (``_system/_requeststream``, AutoScaleProcessor.java:355 /
+    # ControllerEventProcessorConfigImpl.java:132) and the controller's
+    # event processors consume them. Here the request stream is one of
+    # the engine's OWN streams (dogfooding the data plane): decisions
+    # append as events, and a checkpointed processor drains and executes
+    # them. Per-target ordering holds because each target stream is one
+    # routing key; replay after a crash is idempotent because a stale
+    # decision's segment is no longer in the active epoch and is skipped
+    # (the reference's event processors retry/skip the same way).
+
+    REQUEST_SCOPE = "_system"
+    REQUEST_STREAM = "_requeststream"
+
+    def _ensure_request_stream(self) -> None:
+        self.store.create_scope(self.REQUEST_SCOPE)
+        self.store.create_stream(self.REQUEST_SCOPE, self.REQUEST_STREAM)
+
+    def emit(self, scope: str, stream: str,
+             decisions: list[ScaleDecision] | None = None,
+             segment_age_min: float | None = None) -> int:
+        """Publish scale decisions as events on the request stream
+        instead of applying them in-place; returns #events emitted."""
+        decisions = decisions if decisions is not None else self.plan(
+            scope, stream, segment_age_min=segment_age_min
+        )
+        if not decisions:
+            return 0
+        self._ensure_request_stream()
+        events = [
+            {
+                "routing_key": f"{scope}/{stream}",
+                "target_scope": scope,
+                "target_stream": stream,
+                "target_segment": d.segment_id,
+                "action": d.action,
+                "rate": float(d.rate),
+                "merge_with": d.merge_with if d.merge_with is not None else -1,
+            }
+            for d in decisions
+        ]
+        self.store.append_events(self.REQUEST_SCOPE, self.REQUEST_STREAM, events)
+        return len(events)
+
+    def process_requests(self, processor_id: str = "scale-processor") -> list[dict]:
+        """Drain pending scale events and execute them; the consumer
+        position checkpoints as a named StreamCut on the request stream
+        (the controller event processor's reader-group checkpoint)."""
+        st = self.store
+        if not st.stream_exists(self.REQUEST_SCOPE, self.REQUEST_STREAM):
+            return []
+        start = st.load_stream_cut(self.REQUEST_SCOPE, self.REQUEST_STREAM, processor_id)
+        end = st.tail_stream_cut(self.REQUEST_SCOPE, self.REQUEST_STREAM)
+        rows = (
+            st.read(self.REQUEST_SCOPE, self.REQUEST_STREAM, from_cut=start, to_cut=end)
+            .orderBy("segment_id", "offset")  # per-key order within a segment
+            .collect()
+        )
+        applied: list[dict] = []
+        for r in rows:
+            d = ScaleDecision(
+                r["target_segment"],
+                r["action"],
+                r["rate"],
+                merge_with=r["merge_with"] if r["merge_with"] >= 0 else None,
+            )
+            # run() skips decisions whose segment left the active epoch —
+            # exactly the idempotent-replay behavior a crash between
+            # apply and checkpoint needs
+            applied += self.run(r["target_scope"], r["target_stream"], decisions=[d])
+        st.save_stream_cut(self.REQUEST_SCOPE, self.REQUEST_STREAM, processor_id, end)
+        return applied

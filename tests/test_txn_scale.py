@@ -105,3 +105,32 @@ def test_segment_id_epoch_composition():
     sid = make_segment_id(3, 7)
     assert sid == (3 << 32) | 7
     assert segment_epoch(sid) == 3
+
+
+def test_event_sourced_scale_plane(spark, tmp_path):
+    """G10 fidelity: decisions publish to _system/_requeststream (the
+    engine's own stream), a checkpointed processor executes them, and
+    replayed/stale events are skipped idempotently."""
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+    from pravega_spark.scaling import AutoScaler, ScaleDecision
+    from pravega_spark.store import StreamStore
+
+    st = StreamStore(spark, str(tmp_path / "root"))
+    st.create_scope("sc")
+    st.create_stream(
+        "sc", "s",
+        StreamConfiguration(scaling=ScalingPolicy.by_event_rate(10, scale_factor=2)),
+    )
+    sid = st.current_segments("sc", "s")[0]["segment_id"]
+    sc = AutoScaler(st)
+    assert sc.emit("sc", "s", decisions=[ScaleDecision(sid, "split", 99.0)]) == 1
+    # events are durable on the internal stream before any execution
+    assert st.read(sc.REQUEST_SCOPE, sc.REQUEST_STREAM).count() == 1
+    applied = sc.process_requests()
+    assert len(applied) == 1 and applied[0]["epoch"] == 1
+    assert len(st.current_segments("sc", "s")) == 2
+    # re-emitting the now-stale decision is skipped (segment superseded),
+    # and the processor resumes from its checkpoint (old event not re-run)
+    sc.emit("sc", "s", decisions=[ScaleDecision(sid, "split", 99.0)])
+    assert sc.process_requests() == []
+    assert len(st.current_segments("sc", "s")) == 2
