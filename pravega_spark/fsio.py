@@ -160,7 +160,8 @@ def makedirs(path: str) -> None:
 def create_exclusive(path: str, data: bytes) -> bool:
     """Atomically create ``path`` with ``data`` iff it does not exist.
 
-    Local: O_CREAT|O_EXCL — a true atomic winner-selection primitive.
+    Local: hard-link of a pre-written temp — atomic winner selection
+    AND content visibility in one step (exactly one linker wins EEXIST).
     pyarrow filesystems: best effort (probe + write) — object stores
     need a conditional-put (If-None-Match) client for hard exclusivity;
     callers on such roots should treat CAS as advisory or front it with
@@ -169,12 +170,20 @@ def create_exclusive(path: str, data: bytes) -> bool:
     f, p = _split(path)
     if f is None:
         os.makedirs(os.path.dirname(p), exist_ok=True)
+        # write-then-link: the file appears WITH its content in one
+        # atomic step. O_CREAT|O_EXCL + write would expose an empty
+        # file to concurrent readers between the two syscalls — lock
+        # contenders reading the half-created doc then crash on
+        # invalid JSON instead of polling.
+        tmp = f"{p}.new.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
         try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, p)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(data)
+        finally:
+            os.remove(tmp)
         return True
     from pyarrow import fs as pafs
 
@@ -186,6 +195,17 @@ def create_exclusive(path: str, data: bytes) -> bool:
     with f.open_output_stream(p) as fh:
         fh.write(data)
     return True
+
+
+def _read_lock_doc(path: str):
+    """Lock-doc read tolerant of in-flight creation: on non-local
+    backends create_exclusive is probe+write (not atomic with content),
+    so a concurrent reader may glimpse a half-written doc — treat it as
+    'lock exists, contents unknown yet' and let the caller poll."""
+    try:
+        return read_json(path, None)
+    except ValueError:  # json.JSONDecodeError subclasses ValueError
+        return {"token": "", "expiry_ms": 1 << 62}
 
 
 def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
@@ -218,14 +238,14 @@ def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
         ).encode("utf-8")
         if create_exclusive(path, payload):
             return token
-        doc = read_json(path, None)
+        doc = _read_lock_doc(path)
         if doc is not None and doc.get("expiry_ms", 0) < int(_time.time() * 1000):
             reap = f"{path}.reap.{token}"
             try:
                 move(path, reap)
             except (FileNotFoundError, OSError):
                 continue  # another contender reaped first; re-contend
-            taken = read_json(reap, None)
+            taken = _read_lock_doc(reap)
             if taken is not None and taken.get("token") != doc.get("token"):
                 # we displaced a lock created AFTER our staleness read —
                 # put it back (no-op if a third contender already
@@ -247,7 +267,7 @@ def renew_lock(path: str, token: str, lease_ms: int = 30_000) -> bool:
     import json as _json
     import time as _time
 
-    doc = read_json(path, None)
+    doc = _read_lock_doc(path)
     if doc is None or doc.get("token") != token:
         return False
     write_json_atomic(
@@ -257,7 +277,7 @@ def renew_lock(path: str, token: str, lease_ms: int = 30_000) -> bool:
 
 
 def release_lock(path: str, token: str) -> None:
-    doc = read_json(path, None)
+    doc = _read_lock_doc(path)
     if doc is not None and doc.get("token") == token:
         remove(path)
 

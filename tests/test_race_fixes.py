@@ -89,6 +89,31 @@ def test_heartbeat_keeps_long_critical_section_alive(tmp_path):
     fsio.release_lock(path, tok)
 
 
+def test_lock_contention_never_sees_torn_doc(tmp_path):
+    """create_exclusive publishes the lock doc atomically WITH content
+    (write-then-link): under heavy contention no contender may crash on
+    a half-created (empty) doc, and the lock still mutually excludes."""
+    path = str(tmp_path / "l.lock")
+    hits = []
+    errors = []
+
+    def contender(idx):
+        try:
+            for _ in range(15):
+                with fsio.locked(path, lease_ms=2_000, timeout_ms=30_000):
+                    hits.append(idx)  # GIL-atomic append; lock serializes bodies
+        except Exception as e:  # JSONDecodeError was the historical failure
+            errors.append(e)
+
+    threads = [threading.Thread(target=contender, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(hits) == 6 * 15
+
+
 # ---------------- stream fsck / compaction ----------------
 
 def test_fsck_bumps_version_to_fence_staged_compaction(spark, tmp_path):
