@@ -84,6 +84,18 @@ def cmd_stream(args) -> int:
         return 0
     if args.action == "append":
         return cmd_stream_append(args)
+    if args.action in ("attr-get", "attr-set"):
+        from pravega_spark.store import StreamStore
+
+        st = StreamStore(None, args.root)  # metadata-only: no Spark needed
+        if args.action == "attr-get":
+            print(json.dumps(st.get_attributes(scope, stream, args.segment)))
+        else:
+            upd = [args.attr_key, args.attr_kind, int(args.attr_value or 0)]
+            if args.attr_kind == "replace_if_equals":
+                upd.append(None if args.expected is None else int(args.expected))
+            print(json.dumps(st.update_attributes(scope, stream, args.segment, [tuple(upd)])))
+        return 0
     store = _store(args)
     if args.action == "read":
         df = store.read(scope, stream)
@@ -151,12 +163,19 @@ def main(argv: list[str] | None = None) -> int:
     ps.set_defaults(fn=cmd_scope)
 
     pst = sub.add_parser("stream")
-    pst.add_argument("action", choices=["create", "seal", "delete", "list", "info", "read", "append"])
+    pst.add_argument("action", choices=["create", "seal", "delete", "list", "info", "read",
+                                        "append", "attr-get", "attr-set"])
     pst.add_argument("name", help="scope/stream (or scope for list)")
     pst.add_argument("--segments", type=int, default=4)
     pst.add_argument("--tag", default=None)
     pst.add_argument("--tag-values", nargs="*", default=None)
     pst.add_argument("--limit", type=int, default=20)
+    pst.add_argument("--segment", type=int, default=0, help="segment id for attr-get/attr-set")
+    pst.add_argument("--attr-key", default=None)
+    pst.add_argument("--attr-value", default=None)
+    pst.add_argument("--attr-kind", default="replace",
+                     choices=["replace", "replace_if_equals", "accumulate", "remove"])
+    pst.add_argument("--expected", default=None, help="comparison value for replace_if_equals")
     pst.set_defaults(fn=cmd_stream)
 
     pk = sub.add_parser("kvt")
