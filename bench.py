@@ -31,6 +31,7 @@ HEADLINE = [
     "streamcut_bounded_read",
     "kvt_latest_version",
     "text_quality_score",
+    "pipeline_corpus_clean",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -45,6 +45,7 @@ _GATE_ORDER = [
     "embedding_near_dup",
     "multimodal_decode_features",
     "multimodal_frame_samples",
+    "pipeline_corpus_clean",
     # -- representation-fixed this round (hash-red in round 1) ----------
     "kvt_latest_version",
     "kvt_range_scan",

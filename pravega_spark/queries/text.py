@@ -545,7 +545,80 @@ FROM sums GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- corpus pipeline
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning funnel in one plan: raw
+    pool (with injected exact dups) → exact dedup (hash-groupBy) →
+    quality gate (token count + stopword ratio) → per-language funnel
+    stats with token accounting for the kept set.
+
+    Scale shape: two linear shuffles over the corpus (lang count +
+    content-hash dedup buckets) and a tiny per-lang join — no
+    all-pairs, no window over the full pool."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+    )
+    pool = docs.unionByName(dup)
+    raw = pool.groupBy("lang").agg(F.count("*").alias("n_raw"))
+    # exact dedup: texts in a hash bucket are identical, so min() of
+    # lang/text is THE value — one aggregation, no window
+    uniq = pool.groupBy(F.md5("text").alias("h")).agg(
+        F.min("lang").alias("lang"), F.min("text").alias("text")
+    )
+    par = spark.sparkContext.defaultParallelism
+    scored = uniq.repartition(par).withColumn("w", _tokens(F.col("text"))).select(
+        "lang",
+        F.size("w").alias("n_tok"),
+        F.size(F.filter(F.col("w"), lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    keep = (F.col("n_tok") >= 20) & (F.col("n_stop") <= 0.5 * F.col("n_tok"))
+    agg = scored.groupBy("lang").agg(
+        F.count("*").alias("n_unique"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast("bigint").alias("tokens_kept"),
+    )
+    return (
+        raw.join(agg, "lang")
+        .select(
+            "lang", "n_raw", "n_unique", "n_kept", "tokens_kept",
+            F.round(F.col("n_kept") / F.col("n_raw"), 4).alias("pct_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_SQL = f"""
+WITH pool AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 10 = 0
+),
+raw AS (SELECT lang, count(*) AS n_raw FROM pool GROUP BY lang),
+uniq AS (
+  SELECT min(lang) AS lang, min(text) AS text FROM pool GROUP BY md5(text)
+),
+scored AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), ' +')) AS n_tok,
+         len(list_filter(string_split_regex(trim(text), ' +'), t -> t IN ({_STOP_SQL}))) AS n_stop
+  FROM uniq
+),
+agg AS (
+  SELECT lang, count(*) AS n_unique,
+         CAST(sum(CASE WHEN n_tok >= 20 AND n_stop <= 0.5 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN n_tok >= 20 AND n_stop <= 0.5 * n_tok THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+  FROM scored GROUP BY lang
+)
+SELECT r.lang, r.n_raw, a.n_unique, a.n_kept, a.tokens_kept,
+       round(a.n_kept / CAST(r.n_raw AS DOUBLE), 4) AS pct_kept
+FROM raw r JOIN agg a USING (lang)
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "pipeline_corpus_clean": pipeline_corpus_clean,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -558,6 +631,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_corpus_clean": PIPELINE_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality_score": QUALITY_SQL,
     "text_langid": LANGID_SQL,
