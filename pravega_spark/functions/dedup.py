@@ -143,3 +143,54 @@ def minhash_lsh_pairs(
     out.count()
     sigs.unpersist()
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every vertex of the pair graph; cluster_id =
+    min vertex id in the connected component.
+
+    The dedup pipeline's final step: near-dup PAIRS become duplicate
+    CLUSTERS, and keep-min-id per cluster picks the canonical document.
+    Iterative smallest-label propagation — per round each vertex takes
+    the min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (driver loop, distributed joins, no
+    collect of the graph). Each round persists its labels and drops the
+    previous round's cache, so lineage and storage stay O(1) in rounds.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("cluster", F.col("id"))
+    ).persist()
+    labels.count()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("cluster", F.coalesce("nbr_min", "cluster")).alias("cluster"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("cluster").alias("cluster_id"))

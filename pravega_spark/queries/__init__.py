@@ -46,6 +46,7 @@ _GATE_ORDER = [
     "multimodal_decode_features",
     "multimodal_frame_samples",
     "pipeline_corpus_clean",
+    "dedup_clusters",
     # -- representation-fixed this round (hash-red in round 1) ----------
     "kvt_latest_version",
     "kvt_range_scan",

@@ -617,8 +617,62 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------- duplicate clusters
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from duplicate PAIRS: connected components over
+    the union of exact-dup pairs (same content hash) and near-dup pairs
+    (n-gram Jaccard), labeled by the min doc_id — the dedup pipeline's
+    final step (keep one canonical doc per cluster).
+
+    Iterative smallest-label propagation (functions/dedup.py
+    connected_components): a driver loop of distributed joins, rounds =
+    component diameter — the engine's iterative-algorithm shape, here
+    with a recursive-CTE oracle so even the loop is hash-checked."""
+    from pravega_spark.functions.dedup import connected_components
+
+    near = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    pool = docs.unionByName(dup)
+    exact = (
+        pool.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("id_a"), F.max("doc_id").alias("id_b"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(near.union(exact).distinct())
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+CLUSTERS_SQL = f"""
+WITH RECURSIVE
+near AS (SELECT id_a, id_b FROM ({NGRAM_JACCARD_SQL})),
+pool AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+exact AS (
+  SELECT min(doc_id) AS id_a, max(doc_id) AS id_b
+  FROM pool GROUP BY md5(text) HAVING count(*) > 1
+),
+pairs AS (SELECT id_a, id_b FROM near UNION SELECT id_a, id_b FROM exact),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(root) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_corpus_clean": pipeline_corpus_clean,
+    "dedup_clusters": dedup_clusters,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -632,6 +686,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_corpus_clean": PIPELINE_SQL,
+    "dedup_clusters": CLUSTERS_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality_score": QUALITY_SQL,
     "text_langid": LANGID_SQL,

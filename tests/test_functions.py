@@ -182,3 +182,14 @@ def test_bpe_ish_tokenizer_matches_python_twin(spark):
     # shape sanity: punctuation splits, whitespace doesn't count
     one = {r["s"]: list(r["toks"]) for r in rows}
     assert one["don't stop!"] == ["don", "'", "t", "stop", "!"]
+
+
+def test_connected_components(spark):
+    from pravega_spark.functions.dedup import connected_components
+
+    # two components: {1,2,3,4} (a chain, diameter 3) and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
