@@ -1,0 +1,191 @@
+"""Pure-Python Avro *binary* codec for event payloads.
+
+The reference types events through ``Serializer<T>`` implementations
+(client/.../stream/Serializer.java; impls in client/.../stream/impl/),
+and real deployments overwhelmingly use Avro wire format. Spark's
+native ``from_avro``/``to_avro`` live in the spark-avro CONNECTOR,
+which is an external jar this environment does not ship — so this
+module implements the Avro 1.x binary encoding (the public spec,
+https://avro.apache.org/docs/current/specification/) directly, and
+``serializers.typed_serializer`` exposes it through Arrow-batched
+pandas UDFs when the connector is absent. Payload bytes produced here
+are spec-compliant: a JVM consumer with the real connector decodes
+them, and vice versa.
+
+Supported schema subset (typical event payloads): records of
+``null,boolean,int,long,float,double,bytes,string``, arrays, maps,
+nested records, and 2-branch unions with ``null`` (nullable fields).
+Unsupported: enums/fixed/logical types — raise at schema-compile time,
+not at encode time.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from io import BytesIO
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+# ---------------- varint / zigzag (spec: binary encoding, long)
+def _write_long(buf: BytesIO, n: int) -> None:
+    # zigzag then base-128 varint, little-endian groups, high bit = more
+    z = (n << 1) ^ (n >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes((b | 0x80,)))
+        else:
+            buf.write(bytes((b,)))
+            return
+
+
+def _read_long(buf: BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+class AvroSchema:
+    """Compiled schema: encode/decode Python values ↔ Avro binary."""
+
+    def __init__(self, schema: str | dict):
+        self.schema = json.loads(schema) if isinstance(schema, str) else schema
+        self._check(self.schema)
+
+    def _check(self, s) -> None:
+        if isinstance(s, str):
+            if s not in _PRIMITIVES:
+                raise ValueError(f"unsupported Avro type: {s!r}")
+            return
+        if isinstance(s, list):  # union
+            if len(s) != 2 or "null" not in s:
+                raise ValueError("only 2-branch unions with null are supported")
+            self._check(next(b for b in s if b != "null"))
+            return
+        t = s.get("type")
+        if t == "record":
+            for f in s["fields"]:
+                self._check(f["type"])
+        elif t == "array":
+            self._check(s["items"])
+        elif t == "map":
+            self._check(s["values"])
+        elif t in _PRIMITIVES:
+            pass
+        else:
+            raise ValueError(f"unsupported Avro type: {t!r}")
+
+    # ---------------- encode
+    def encode(self, value) -> bytes:
+        buf = BytesIO()
+        self._enc(buf, self.schema, value)
+        return buf.getvalue()
+
+    def _enc(self, buf: BytesIO, s, v) -> None:
+        if isinstance(s, list):  # nullable union; branch index then value
+            nn = next(b for b in s if b != "null")
+            if v is None:
+                _write_long(buf, s.index("null"))
+            else:
+                _write_long(buf, s.index(nn))
+                self._enc(buf, nn, v)
+            return
+        t = s if isinstance(s, str) else s["type"]
+        if t == "null":
+            return
+        if t == "boolean":
+            buf.write(b"\x01" if v else b"\x00")
+        elif t in ("int", "long"):
+            _write_long(buf, int(v))
+        elif t == "float":
+            buf.write(struct.pack("<f", float(v)))
+        elif t == "double":
+            buf.write(struct.pack("<d", float(v)))
+        elif t == "bytes":
+            b = bytes(v)
+            _write_long(buf, len(b))
+            buf.write(b)
+        elif t == "string":
+            b = str(v).encode("utf-8")
+            _write_long(buf, len(b))
+            buf.write(b)
+        elif t == "record":
+            for f in s["fields"]:
+                self._enc(buf, f["type"], v.get(f["name"]) if isinstance(v, dict) else getattr(v, f["name"]))
+        elif t == "array":
+            items = list(v)
+            if items:
+                _write_long(buf, len(items))
+                for it in items:
+                    self._enc(buf, s["items"], it)
+            _write_long(buf, 0)
+        elif t == "map":
+            entries = dict(v)
+            if entries:
+                _write_long(buf, len(entries))
+                for k, mv in entries.items():
+                    self._enc(buf, "string", k)
+                    self._enc(buf, s["values"], mv)
+            _write_long(buf, 0)
+        else:  # pragma: no cover — _check rejects these
+            raise ValueError(f"unsupported Avro type: {t!r}")
+
+    # ---------------- decode
+    def decode(self, payload: bytes):
+        return self._dec(BytesIO(bytes(payload)), self.schema)
+
+    def _dec(self, buf: BytesIO, s):
+        if isinstance(s, list):
+            idx = _read_long(buf)
+            branch = s[idx]
+            return None if branch == "null" else self._dec(buf, branch)
+        t = s if isinstance(s, str) else s["type"]
+        if t == "null":
+            return None
+        if t == "boolean":
+            return buf.read(1) == b"\x01"
+        if t in ("int", "long"):
+            return _read_long(buf)
+        if t == "float":
+            return struct.unpack("<f", buf.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", buf.read(8))[0]
+        if t == "bytes":
+            return buf.read(_read_long(buf))
+        if t == "string":
+            return buf.read(_read_long(buf)).decode("utf-8")
+        if t == "record":
+            return {f["name"]: self._dec(buf, f["type"]) for f in s["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte-size prefix (spec-legal writers)
+                    _read_long(buf)
+                    n = -n
+                for _ in range(n):
+                    out.append(self._dec(buf, s["items"]))
+        if t == "map":
+            out = {}
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    _read_long(buf)
+                    n = -n
+                for _ in range(n):
+                    k = self._dec(buf, "string")
+                    out[k] = self._dec(buf, s["values"])
+        raise ValueError(f"unsupported Avro type: {t!r}")  # pragma: no cover

@@ -32,22 +32,28 @@ from pravega_spark.queries import multimodal, relational, similarity, stream_ops
 
 _MODULES = (relational, stream_ops, text, similarity, multimodal)
 
-# Gate priority: least driver evidence first.
+# Gate priority: least driver evidence first (rotated each round so every
+# registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
-    # -- LLM-pipeline layer: never driver-gated in round 1 --------------
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_bucketed",
-    "similarity_label_centroids",
-    "similarity_ivf_search",
-    "embedding_near_dup",
-    "multimodal_decode_features",
-    "multimodal_frame_samples",
-    "pipeline_corpus_clean",
-    "dedup_clusters",
-    # -- representation-fixed this round (hash-red in round 1) ----------
+    # -- round-4 rotation: green round-1 rows only, sat past the 50-entry
+    # -- cap in rounds 2-3 — gate them now for a second data point ------
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "stream_segment_assignment",
+    "stream_tail_offsets",
+    "stream_fetch_event",
+    "stream_time_to_position",
+    "stream_per_key_order",
+    "stream_watermark_bounds",
+    "stream_scale_hotspots",
+    "stream_retention_cut",
+    "cust_above_nation_avg",
+    # -- red in round 3 (TIMESTAMP_NTZ env shift), fixed this round:
+    # -- need a fresh green row --------------------------------------
+    "events_sessionization",
+    "events_asof_purchase",
+    # -- green rounds 1-3 ------------------------------------------------
     "kvt_latest_version",
     "kvt_range_scan",
     "kvt_prefix_scan",
@@ -67,10 +73,9 @@ _GATE_ORDER = [
     "top_parts_per_brand",
     "revenue_rollup",
     "events_hourly_agg",
-    "events_sessionization",
     "events_json_extract",
     "events_running_value",
-    # -- green in round 1 (renewing the row) ----------------------------
+    # -- green in rounds 1-3 --------------------------------------------
     "q4_orders_with_returns",
     "q8_market_share",
     "q13_customer_distribution",
@@ -83,24 +88,24 @@ _GATE_ORDER = [
     "customers_without_orders",
     "order_priority_pivot",
     "events_session_window",
-    "events_asof_purchase",
     "text_token_stats",
     "text_quality_score",
     "text_langid",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "stream_segment_assignment",
-    # -- tail (past a 50-entry gate cap): green round-1 row AND
-    # -- judge-re-verified value-exact AND pytest-covered primitives ----
-    "stream_tail_offsets",
-    "stream_fetch_event",
-    "stream_time_to_position",
-    "stream_per_key_order",
-    "stream_watermark_bounds",
-    "stream_scale_hotspots",
-    "stream_retention_cut",
-    "cust_above_nation_avg",
+    # -- tail (past a 50-entry gate cap): green in BOTH rounds 2 and 3
+    # -- (the LLM-pipeline layer — the strongest-evidenced block in the
+    # -- repo, VERDICT r3), judge-re-verified value-exact ---------------
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "similarity_label_centroids",
+    "similarity_ivf_search",
+    "embedding_near_dup",
+    "multimodal_decode_features",
+    "multimodal_frame_samples",
+    "pipeline_corpus_clean",
+    "dedup_clusters",
 ]
 
 

@@ -361,7 +361,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_sess",
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+                # interval comparison works for both TIMESTAMP and
+                # TIMESTAMP_NTZ (Spark >=4.1 forbids NTZ->numeric casts)
+                | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES")),
                 1,
             ).otherwise(0),
         )
@@ -491,8 +493,11 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups = ev.filter(F.col("event_type") == "signup").select(
         "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("signup_event_id")
     )
+    # null literal must carry the source column's own timestamp flavor
+    # (TIMESTAMP vs TIMESTAMP_NTZ) or the union rejects the type mismatch
+    ts_type = ev.schema["ts"].dataType
     timeline = purchases.select(
-        "user_id", "ts", "event_id", F.lit(None).cast("timestamp").alias("signup_ts"),
+        "user_id", "ts", "event_id", F.lit(None).cast(ts_type).alias("signup_ts"),
         F.lit(None).cast("bigint").alias("signup_event_id"), F.lit(1).alias("is_purchase")
     ).unionByName(
         signups.select(
@@ -513,7 +518,14 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_id").alias("purchase_event_id"),
             F.col("last_signup_event").alias("signup_event_id"),
-            (F.col("ts").cast("long") - F.col("last_signup_ts").cast("long")).alias("secs_since_signup"),
+            # floor-each-then-diff to match the oracle's
+            # floor(epoch(p.ts)) - floor(epoch(s.ts)); the intermediate
+            # cast to session-tz timestamp makes the long cast legal even
+            # if the source column arrived as TIMESTAMP_NTZ
+            (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.col("last_signup_ts").cast("timestamp").cast("long")
+            ).alias("secs_since_signup"),
         )
         .orderBy("purchase_event_id")
     )

@@ -39,8 +39,16 @@ def get_spark(app_name: str = "pravega_spark", shuffle_partitions: int | None = 
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        # testdata parquet carries TIMESTAMP(NANOS) which Spark lacks; read
-        # as long and convert in sources.tables.load_table
+        # testdata parquet carries tz-less timestamp[us]; Spark >=4.1 would
+        # otherwise infer TIMESTAMP_NTZ, which forbids numeric casts and
+        # mismatches the DuckDB oracle's TIMESTAMP semantics. Read as
+        # session-tz (UTC) timestamps instead. sources.tables.load_table
+        # additionally normalizes any NTZ column that slips through a
+        # foreign session without this conf.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # compat: if testdata is ever regenerated with TIMESTAMP(NANOS)
+        # (as in rounds 1-2), surface it as BIGINT nanos rather than
+        # erroring; load_table converts such columns back to timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,21 +1,32 @@
 """Test-table loaders.
 
-The driver's testdata parquet stores timestamps as TIMESTAMP(NANOS),
-which Spark's vectorized reader rejects. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` those columns surface as
-BIGINT nanoseconds; ``load_table`` converts them back to proper
-timestamps (microsecond precision, matching what DuckDB produces when
-casting TIMESTAMP_NS → TIMESTAMP), so Spark results hash-compare equal
-to the oracle.
+The driver's testdata parquet stores timestamps as tz-less
+``timestamp[us]`` (regenerated between rounds; rounds 1-2 shipped
+TIMESTAMP(NANOS)).  ``load_table`` normalizes every timestamp column to
+a session-time-zone TIMESTAMP (the session runs UTC) so results
+hash-compare equal to the DuckDB oracle regardless of how the parquet
+encodes time:
+
+* ``timestamp_ntz`` columns (Spark >=4.1 infers these for tz-less
+  parquet when ``spark.sql.parquet.inferTimestampNTZ.enabled`` is left
+  at its default) are cast to TIMESTAMP — with a UTC session zone the
+  wall-clock values are preserved bit-for-bit.
+* BIGINT-nanos columns (the ``nanosAsLong`` compat path for
+  TIMESTAMP(NANOS) data) are integer-divided to micros and rebuilt via
+  ``timestamp_micros`` — truncating exactly like DuckDB's
+  TIMESTAMP_NS → TIMESTAMP cast.
+
+Both checks read only the Spark-inferred schema — no per-table parquet
+footer reads.
 """
 
 from __future__ import annotations
 
 import os
-from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -30,28 +41,23 @@ TABLES = (
     "embeddings",
 )
 
-
-@lru_cache(maxsize=256)
-def _nano_cols(path: str) -> tuple[str, ...]:
-    import pyarrow.parquet as pq
-
-    schema = pq.read_schema(path)
-    out = []
-    for field in schema:
-        t = field.type
-        if str(t).startswith("timestamp[ns"):
-            out.append(field.name)
-    return tuple(out)
+# Columns that are timestamps in the driver's data model.  Needed to
+# recognize the nanosAsLong compat case, where a TIMESTAMP(NANOS)
+# parquet column surfaces as a plain BIGINT indistinguishable from a
+# genuine integer column by type alone.
+_TS_COLS = {"ts", "o_orderdate", "l_shipdate"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    for c in _nano_cols(path):
-        # integer-divide nanos → micros so sub-microsecond precision is
-        # truncated identically to DuckDB's TIMESTAMP_NS → TIMESTAMP cast
-        # (must be integral `div`: double division loses precision at 1e18)
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif isinstance(field.dataType, LongType) and field.name in _TS_COLS:
+            # integral `div` (not double /): double division loses
+            # precision at 1e18-scale nanosecond values
+            df = df.withColumn(field.name, F.expr(f"timestamp_micros(`{field.name}` div 1000)"))
     return df
 
 

@@ -74,6 +74,17 @@ DEFAULT_TXN_LEASE_MS = 599_999  # EventWriterConfig.java:132
 # correctness — both tiers end at the same manifest flip. 0 disables.
 HOT_MAX_EST_BYTES = int(os.environ.get("PRAVEGA_SPARK_HOT_MAX_EST_BYTES", str(2 << 20)))
 
+# Catalyst has NO statistics for Python-data-source scans (streaming
+# micro-batches from the pravega_stream source report ~9e18 bytes), so
+# estimate-based routing would send every sink batch — even a 10-row
+# trigger — through the distributed write job. At or above this sentinel
+# the batch is persisted once, counted, and routed by ACTUAL rows.
+_UNKNOWN_EST_BYTES = 1 << 60
+# Row cap for the hot tier on the counted path: micro-batches up to this
+# size commit driver-side (a 200k-row envelope batch is ~20-30 MB of
+# Arrow — trivially driver-sized; trigger sizing bounds it at scale).
+HOT_MAX_ROWS = int(os.environ.get("PRAVEGA_SPARK_HOT_MAX_ROWS", "200000"))
+
 
 @dataclass
 class StreamInfo:
@@ -462,15 +473,29 @@ class StreamStore:
                 return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
             ranges = self.meta.active_ranges(scope, stream)
             tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
+            est = self._estimate_bytes(staged)
             hot = None
-            if 0 < HOT_MAX_EST_BYTES >= self._estimate_bytes(staged):
-                hot = staged.toArrow()
-            if hot is not None:
-                new_files, counts = self._write_hot_batch(hot, ranges, tails, order_cols, path, tag)
-            else:
-                new_files, counts = self._write_distributed_batch(
-                    staged, ranges, tails, order_cols, path, tag
-                )
+            cached = False
+            try:
+                if 0 < HOT_MAX_EST_BYTES >= est:
+                    hot = staged.toArrow()
+                elif est >= _UNKNOWN_EST_BYTES and HOT_MAX_ROWS > 0:
+                    # no Catalyst stats (Python-source micro-batch): pay
+                    # one cached scan to learn the size instead of
+                    # defaulting every trigger onto the distributed tier
+                    staged = staged.persist()
+                    cached = True
+                    if staged.count() <= HOT_MAX_ROWS:
+                        hot = staged.toArrow()
+                if hot is not None:
+                    new_files, counts = self._write_hot_batch(hot, ranges, tails, order_cols, path, tag)
+                else:
+                    new_files, counts = self._write_distributed_batch(
+                        staged, ranges, tails, order_cols, path, tag
+                    )
+            finally:
+                if cached:
+                    staged.unpersist()
             return self._publish_manifest(scope, stream, doc, new_files, counts, writer_marker, txn_marker)
 
     @staticmethod
@@ -510,6 +535,12 @@ class StreamStore:
             # _seq (and _part) are unique, so sort order is total
             tbl = tbl.sort_by([(c, "ascending") for c in order_cols])
             tbl = tbl.drop_columns(order_cols)
+        # stream-to-stream copies arrive with the SOURCE's envelope;
+        # segment/offset/ingest are reassigned here (the distributed
+        # path's withColumn replaces them — mirror that, don't duplicate)
+        stale = [c for c in (SEGMENT_ID, OFFSET, INGEST_TIME) if c in tbl.column_names]
+        if stale:
+            tbl = tbl.drop_columns(stale)
         keys = tbl[ROUTING_KEY].to_pylist()
         uniq = {k: segment_for_key_py(k, ranges) for k in set(keys)}
         seg_arr = pa.array((uniq[k] for k in keys), type=pa.int64())

@@ -71,8 +71,20 @@ class SegmentSlice(InputPartition):
         self.files = files
 
 
+# fat record batches per yield: each batch crossing the Python-worker →
+# JVM boundary pays per-batch Arrow IPC + conversion overhead, so a
+# slice of N small file-chunks must NOT surface as N small batches
+_BATCH_ROWS = 131_072
+
+
 def _read_slice(sl: SegmentSlice):
-    """Executor-side: arrow-batched read of one segment's offset range."""
+    """Executor-side: arrow-batched read of one segment's offset range.
+
+    The whole slice is materialized as one table, columns normalized
+    table-wide (one cast per column, not per chunk), chunks combined,
+    and re-emitted as ≤``_BATCH_ROWS``-row record batches.
+    """
+    import pyarrow as pa
     import pyarrow.dataset as ds
 
     seg_dir = os.path.join(sl.path, f"segment_id={sl.segment_id}")
@@ -89,35 +101,37 @@ def _read_slice(sl: SegmentSlice):
     names = [f.name for f in ENVELOPE.fields]
     have = set(dataset.schema.names)
     cols = [n for n in names if n in have and n != "segment_id"]
-    for batch in dataset.to_table(filter=flt, columns=cols).to_batches():
-        import pyarrow as pa
-
-        arrays, fields = [], []
-        for f in ENVELOPE.fields:
-            if f.name == "segment_id":
-                arrays.append(pa.array([sl.segment_id] * batch.num_rows, type=pa.int64()))
-                fields.append(pa.field("segment_id", pa.int64()))
-            elif f.name in batch.schema.names:
-                col = batch.column(batch.schema.get_field_index(f.name))
-                if f.name == "payload" and not pa.types.is_binary(col.type):
-                    col = col.cast(pa.binary())
-                if f.name in ("event_time", "ingest_time") and col.type != pa.timestamp("us"):
-                    col = col.cast(pa.timestamp("us"))
-                if f.name == "offset" and col.type != pa.int64():
-                    col = col.cast(pa.int64())
-                arrays.append(col)
-                fields.append(pa.field(f.name, col.type))
-            else:
-                typ = {
-                    "routing_key": pa.string(),
-                    "offset": pa.int64(),
-                    "event_time": pa.timestamp("us"),
-                    "ingest_time": pa.timestamp("us"),
-                    "payload": pa.binary(),
-                }[f.name]
-                arrays.append(pa.nulls(batch.num_rows, type=typ))
-                fields.append(pa.field(f.name, typ))
-        yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+    table = dataset.to_table(filter=flt, columns=cols)
+    n = table.num_rows
+    if n == 0:
+        return
+    want = {
+        "routing_key": pa.string(),
+        "offset": pa.int64(),
+        "event_time": pa.timestamp("us"),
+        "ingest_time": pa.timestamp("us"),
+        "payload": pa.binary(),
+    }
+    arrays, fields = [], []
+    for f in ENVELOPE.fields:
+        if f.name == "segment_id":
+            # constant column, built without a Python-list round trip
+            arrays.append(pa.nulls(n, pa.int64()).fill_null(sl.segment_id))
+            fields.append(pa.field("segment_id", pa.int64()))
+        elif f.name in table.schema.names:
+            col = table.column(f.name)
+            typ = want.get(f.name)
+            if f.name == "payload" and not pa.types.is_binary(col.type):
+                col = col.cast(pa.binary())
+            elif typ is not None and col.type != typ and f.name != "routing_key":
+                col = col.cast(typ)
+            arrays.append(col)
+            fields.append(pa.field(f.name, col.type))
+        else:
+            arrays.append(pa.nulls(n, type=want[f.name]))
+            fields.append(pa.field(f.name, want[f.name]))
+    out = pa.Table.from_arrays(arrays, schema=pa.schema(fields)).combine_chunks()
+    yield from out.to_batches(max_chunksize=_BATCH_ROWS)
 
 
 def _load_segments(root: str, scope: str, stream: str) -> dict[str, dict]:

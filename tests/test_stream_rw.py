@@ -141,7 +141,13 @@ def test_stream_info_distance(store, events):
 def test_time_to_position_cut(store, events):
     _mk(store)
     store.write_events("s", "ev", events.limit(400), routing_key_col="user_id", event_time_col="ts")
-    mid_ts = events.limit(400).agg(F.expr("percentile(cast(ts as double), 0.5)")).collect()[0][0]
+    # double cast via session-tz timestamp stays legal if the parquet was
+    # read as TIMESTAMP_NTZ (Spark >=4.1 forbids direct NTZ->numeric casts)
+    mid_ts = (
+        events.limit(400)
+        .agg(F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)"))
+        .collect()[0][0]
+    )
     import datetime
 
     cut = store.stream_cut_at_time("s", "ev", datetime.datetime.utcfromtimestamp(mid_ts))
