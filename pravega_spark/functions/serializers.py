@@ -10,6 +10,8 @@ they compose with any query and stay JVM-side.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -74,15 +76,94 @@ def avro_serialize(col: Column | str) -> Column:
     return to_avro(c)
 
 
+# ---------------- Python Avro fallback (spec codec, Arrow-batched)
+_AVRO_TO_SPARK = {
+    "null": "void",
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+}
+
+
+def _avro_to_spark_type(s):
+    """Avro schema (parsed JSON) → Spark DDL type string."""
+    if isinstance(s, str):
+        return _AVRO_TO_SPARK[s]
+    if isinstance(s, list):  # nullable union — Spark fields are nullable anyway
+        return _avro_to_spark_type(next(b for b in s if b != "null"))
+    t = s["type"]
+    if t == "record":
+        inner = ", ".join(f"`{f['name']}` {_avro_to_spark_type(f['type'])}" for f in s["fields"])
+        return f"struct<{inner}>"
+    if t == "array":
+        return f"array<{_avro_to_spark_type(s['items'])}>"
+    if t == "map":
+        return f"map<string, {_avro_to_spark_type(s['values'])}>"
+    return _avro_to_spark_type(t)
+
+
+def python_avro_codec(avro_json_schema: str):
+    """``(ser_fn, de_fn)`` over the pure-Python spec codec
+    (functions/avro_codec.py), Arrow-batched via pandas UDFs — the
+    wire format stays real Avro binary even without the spark-avro
+    connector jar, so payloads interop with JVM producers/consumers."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    from pravega_spark.functions.avro_codec import AvroSchema
+
+    parsed = _json.loads(avro_json_schema)
+    if not (isinstance(parsed, dict) and parsed.get("type") == "record"):
+        # the UDF pair is struct-in/struct-out; payload events are records
+        raise ValueError("python_avro_codec needs a top-level record schema")
+    AvroSchema(avro_json_schema)  # validate the full schema up front
+    spark_ddl = _avro_to_spark_type(parsed)
+    field_names = [f["name"] for f in parsed["fields"]]
+
+    @pandas_udf("binary")
+    def _enc(structs: pd.Series) -> pd.Series:
+        # a struct column arrives as a pd.DataFrame (one column per
+        # field) under Arrow; older paths hand a Series of dicts —
+        # normalize to records either way
+        codec = AvroSchema(avro_json_schema)
+        recs = structs.to_dict("records") if isinstance(structs, pd.DataFrame) else list(structs)
+        return pd.Series([codec.encode(r) for r in recs], dtype=object)
+
+    @pandas_udf(spark_ddl)
+    def _dec(payload: pd.Series) -> pd.DataFrame:
+        codec = AvroSchema(avro_json_schema)
+        if payload.empty:
+            return pd.DataFrame({n: pd.Series(dtype=object) for n in field_names})
+        return pd.DataFrame([codec.decode(b) for b in payload])
+
+    def ser(struct_col: Column | str) -> Column:
+        c = F.col(struct_col) if isinstance(struct_col, str) else struct_col
+        return _enc(c)
+
+    def de(payload: Column | str, _json_schema: str | None = None) -> Column:
+        c = F.col(payload) if isinstance(payload, str) else payload
+        return _dec(c)
+
+    return ser, de
+
+
 def typed_serializer(spark, schema: StructType | str, prefer: str = "avro"):
     """Best available typed payload codec: ``(format, ser_fn, de_fn)``.
 
     The reference ships Serializer impls per format and callers pick one
-    (Serializer.java); here the engine degrades gracefully — if the
-    spark-avro connector isn't loaded, the JSON codec (always present,
-    same struct-in/struct-out contract, self-describing payloads) is
-    returned instead of an analysis-time failure. ``format`` tells the
-    caller which wire format their payloads actually carry.
+    (Serializer.java); here the engine picks the best wire format
+    available: the JVM spark-avro connector when its jar is on the
+    classpath (``"avro"``, whole-stage-codegen fast path), else — when
+    ``schema`` is an Avro JSON schema the spec codec supports — the
+    pure-Python Avro binary codec behind Arrow-batched pandas UDFs
+    (``"avro-py"``, identical bytes on the wire), else the JSON codec
+    (always present, self-describing). ``format`` tells the caller which
+    wire format their payloads actually carry.
     """
     if prefer == "avro" and avro_available(spark):
         return (
@@ -90,6 +171,12 @@ def typed_serializer(spark, schema: StructType | str, prefer: str = "avro"):
             lambda struct_col: avro_serialize(struct_col),
             lambda payload, json_schema: avro_deserialize(payload, json_schema),
         )
+    if prefer == "avro" and isinstance(schema, str):
+        try:
+            ser, de = python_avro_codec(schema)
+            return ("avro-py", ser, de)
+        except (ValueError, KeyError):
+            pass  # not an Avro schema / unsupported subset → JSON
     return (
         "json",
         lambda struct_col: F.to_json(struct_col).cast("binary"),

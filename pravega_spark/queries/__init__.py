@@ -35,6 +35,10 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
+    # -- new this round (no prior evidence): bucketed co-located
+    # -- fact-fact joins — the no-Exchange plan demo ---------------------
+    "q5_bucketed_colocated_join",
+    "q8_bucketed_colocated_join",
     # -- round-4 rotation: green round-1 rows only, sat past the 50-entry
     # -- cap in rounds 2-3 — gate them now for a second data point ------
     "doc_fingerprint",

@@ -154,6 +154,39 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_local_supplier_volume_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 on BUCKETED facts: lineitem and orders stored bucketBy(N,
+    orderkey) + sortBy, so the one fact-fact join runs as a bucket-
+    aligned SortMergeJoin with NO Exchange and NO Sort on either side
+    (the ``merge`` hint keeps Catalyst from broadcasting the small test
+    copy of orders — at 100 TB it wouldn't be broadcastable anyway).
+    Same results as q5_local_supplier_volume; the point is the plan.
+    """
+    from pravega_spark.sources.bucketed import bucketed_table
+
+    cust = _t(spark, sf_dir, "customer")
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    orders = bucketed_table(spark, sf_dir, "orders").hint("merge")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))), 4)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 Q5_SQL = """
 SELECT n_name,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
@@ -695,6 +728,44 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 on BUCKETED facts — see q5_local_supplier_volume_bucketed."""
+    from pravega_spark.sources.bucketed import bucketed_table
+
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    orders = bucketed_table(spark, sf_dir, "orders").hint("merge")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type").contains("STANDARD"))
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast(DEC)))
+                .cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
 Q8_SQL = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
        round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
@@ -1159,9 +1230,11 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q4_orders_with_returns": orders_with_returns,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q5_bucketed_colocated_join": q5_local_supplier_volume_bucketed,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "q8_bucketed_colocated_join": q8_market_share_bucketed,
     "q10_returned_items": q10_returned_items,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1193,9 +1266,11 @@ ORACLES = {
     "q3_shipping_priority": Q3_SQL,
     "q4_orders_with_returns": Q4_SQL,
     "q5_local_supplier_volume": Q5_SQL,
+    "q5_bucketed_colocated_join": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
+    "q8_bucketed_colocated_join": Q8_SQL,
     "q10_returned_items": Q10_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q14_promo_revenue": Q14_SQL,

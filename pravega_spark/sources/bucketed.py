@@ -1,0 +1,60 @@
+"""Bucketed fact-table variants: the no-shuffle path for fact-fact joins.
+
+At 100 TB the lineitem ⋈ orders join on orderkey is the one shuffle
+Catalyst cannot remove from Q5/Q8-shaped plans (dimensions broadcast,
+but two facts co-partition only if STORED co-partitioned). Spark's
+answer is bucketing: both facts written with ``bucketBy(N, orderkey)``
++ ``sortBy`` let SortMergeJoin read bucket-aligned splits directly —
+no Exchange, no sort, on either side, at any scale. The bucket count
+is sized by environment (16 locally; ~2048 at 100 TB so each bucket is
+a few GB).
+
+Tables are materialized once per (sf_dir, table) into the session
+warehouse as ``pvs_<table>_b<N>_<sfhash>`` and reused; the in-memory
+catalog forgets them across sessions, in which case the files are
+rewritten (cheap at test SFs; at production scale bucketing is a
+one-time ETL step into a persistent metastore).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pravega_spark.sources.tables import load_table
+
+BUCKETS = int(os.environ.get("PRAVEGA_SPARK_BUCKETS", "16"))
+
+_BUCKET_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+
+
+def bucketed_table(spark: SparkSession, sf_dir: str, name: str, n_buckets: int | None = None) -> DataFrame:
+    """Load ``name`` as a table bucketed+sorted on its join key."""
+    n = n_buckets or BUCKETS
+    key = _BUCKET_KEYS[name]
+    sfh = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tbl = f"pvs_{name}_b{n}_{sfh}"
+    if not spark.catalog.tableExists(tbl):
+        # a previous session may have left files without a catalog entry
+        # (in-memory catalog); clear them so saveAsTable can't collide
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), tbl)
+        if os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, name)
+            .repartition(n, key)  # one file per bucket, not one per input split
+            .write.bucketBy(n, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
