@@ -21,7 +21,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q5_bucketed_colocated_join",
     "q8_market_share",
+    "q8_bucketed_colocated_join",
     "q10_returned_items",
     "q18_large_volume_customers",
     "events_hourly_agg",
