@@ -256,6 +256,82 @@ def _err_str(e: Exception) -> str:
     return f"{type(e).__name__}: {e}"[:500]
 
 
+def _bench_streaming_steady_state(spark, sf_dir: str) -> dict:
+    """Marginal streaming throughput with the query already running —
+    the production shape (a long-lived tail-consumption query amortizes
+    startup across every trigger; the reference's EventStreamReaderImpl
+    loop is steady-state by construction). Rate-limited triggers split
+    the backlog into ~8 batches; the rate counts rows AFTER the first
+    batch over the time from first-batch-end to last-batch-end, so
+    query start, plan analysis, and Python-worker spawn are excluded."""
+    import shutil
+    import tempfile
+
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+    from pravega_spark.sources import load_table
+    from pravega_spark.store import StreamStore
+    from pravega_spark.streaming import ReaderGroup, write_stream_batch
+
+    root = tempfile.mkdtemp(prefix="pvs_ss_")
+    try:
+        store = StreamStore(spark, root)
+        store.create_scope("bench")
+        store.create_stream("bench", "src", StreamConfiguration(scaling=ScalingPolicy.fixed(8)))
+        store.create_stream("bench", "dst", StreamConfiguration(scaling=ScalingPolicy.fixed(8)))
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        rg = ReaderGroup(store, "bench", "src", "ss")
+        sink = write_stream_batch(store, "bench", "dst", writer_id="ss-sink")
+        # seed the group's checkpoint with a 1-event drain so the capped
+        # query rate-limits from committed positions — a fresh source
+        # with no checkpoint deliberately plans ONE uncapped catch-up
+        # batch (datasource.py), which would collapse this into the
+        # roundtrip measurement
+        store.write_event("bench", "src", "seed", {"payload": b"seed"})
+        rg.drain(sink)
+        store.write_events("bench", "src", ev, routing_key_col="user_id", event_time_col="ts")
+        marks: list[float] = []
+
+        def timed_sink(df, b):
+            sink(df, b)
+            marks.append(time.perf_counter())
+
+        # per-segment cap so the backlog drains in ~8 triggers (empty
+        # triggers don't invoke foreachBatch, so marks = data batches)
+        cap = max(1, n // (8 * 8))
+        q = (
+            rg.read_stream(max_events_per_trigger=cap)
+            .writeStream.foreachBatch(timed_sink)
+            .option("checkpointLocation", rg.checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 300
+        try:
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if store.read("bench", "dst").count() >= n + 1:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        got = store.read("bench", "dst").count()
+        assert got == n + 1, f"steady state drained {got} != {n + 1}"
+        if len(marks) < 3:
+            return {"err": f"only {len(marks)} batches — cap too large"}
+        span = marks[-1] - marks[0]
+        rows_after_first = n - min(n, cap * 8)  # first batch ≈ cap×segments
+        rate = rows_after_first / span if span > 0 else 0.0
+        out = {"ev_per_s": round(rate, 1), "batches": len(marks), "rows": n,
+               "span_s": round(span, 3)}
+        print(f"# streaming_steady_state: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # per-query repetitions; the median is reported so a single
@@ -349,6 +425,12 @@ def main() -> None:
     except Exception as e:
         errors["streaming_roundtrip"] = _err_str(e)
         print(f"# streaming_roundtrip: ERROR {errors['streaming_roundtrip']}", file=sys.stderr)
+    steady: dict = {}
+    try:
+        steady = _bench_streaming_steady_state(spark, sf_dir)
+    except Exception as e:
+        errors["streaming_steady_state"] = _err_str(e)
+        print(f"# streaming_steady_state: ERROR {errors['streaming_steady_state']}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -362,6 +444,7 @@ def main() -> None:
         "queries": timings,
         "query_reps": rep_times,
         "write_latency": latency,
+        "streaming_steady_state": steady,
         "sf": sf_val,
     }
     if errors:

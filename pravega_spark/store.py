@@ -475,27 +475,28 @@ class StreamStore:
             tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
             est = self._estimate_bytes(staged)
             hot = None
-            cached = False
-            try:
-                if 0 < HOT_MAX_EST_BYTES >= est:
-                    hot = staged.toArrow()
-                elif est >= _UNKNOWN_EST_BYTES and HOT_MAX_ROWS > 0:
-                    # no Catalyst stats (Python-source micro-batch): pay
-                    # one cached scan to learn the size instead of
-                    # defaulting every trigger onto the distributed tier
-                    staged = staged.persist()
-                    cached = True
-                    if staged.count() <= HOT_MAX_ROWS:
-                        hot = staged.toArrow()
-                if hot is not None:
-                    new_files, counts = self._write_hot_batch(hot, ranges, tails, order_cols, path, tag)
-                else:
-                    new_files, counts = self._write_distributed_batch(
-                        staged, ranges, tails, order_cols, path, tag
-                    )
-            finally:
-                if cached:
-                    staged.unpersist()
+            if 0 < HOT_MAX_EST_BYTES >= est:
+                hot = staged.toArrow()
+            elif est >= _UNKNOWN_EST_BYTES and HOT_MAX_ROWS > 0:
+                # no Catalyst stats (Python-source micro-batch): bounded
+                # collect in ONE action — if the batch fits the hot cap
+                # we already hold all of it; only an oversized trigger
+                # pays a second (distributed) scan. Rows are bounded by
+                # the limit; BYTES are bounded by the driver's
+                # maxResultSize guard — wide-payload batches that trip
+                # it route to the distributed tier instead of failing.
+                try:
+                    probe = staged.limit(HOT_MAX_ROWS + 1).toArrow()
+                    if probe.num_rows <= HOT_MAX_ROWS:
+                        hot = probe
+                except Exception:
+                    hot = None
+            if hot is not None:
+                new_files, counts = self._write_hot_batch(hot, ranges, tails, order_cols, path, tag)
+            else:
+                new_files, counts = self._write_distributed_batch(
+                    staged, ranges, tails, order_cols, path, tag
+                )
             return self._publish_manifest(scope, stream, doc, new_files, counts, writer_marker, txn_marker)
 
     @staticmethod
@@ -546,20 +547,40 @@ class StreamStore:
         seg_arr = pa.array((uniq[k] for k in keys), type=pa.int64())
         ts_us = pa.timestamp("us", tz="UTC")
         now = pa.scalar(int(time.time() * 1_000_000)).cast(ts_us)
-        new_files: dict[int, list[str]] = {}
-        counts: dict[int, int] = {}
-        for sid in sorted(set(uniq.values())):
+        def _write_seg(sid: int) -> tuple[int, str, int] | None:
             seg = tbl.filter(pc.equal(seg_arr, sid))
             n = seg.num_rows
             if n == 0:
-                continue
+                return None
             base = tails.get(sid, 0)
-            seg = seg.append_column(OFFSET, pa.array(range(base, base + n), type=pa.int64()))
-            seg = seg.append_column(INGEST_TIME, pa.array([now.as_py()] * n, type=ts_us))
-            if EVENT_TIME not in seg.column_names:
-                seg = seg.append_column(EVENT_TIME, pa.nulls(n, type=ts_us))
+            s = seg.append_column(OFFSET, pa.array(range(base, base + n), type=pa.int64()))
+            s = s.append_column(INGEST_TIME, pa.array([now.as_py()] * n, type=ts_us))
+            if EVENT_TIME not in s.column_names:
+                s = s.append_column(EVENT_TIME, pa.nulls(n, type=ts_us))
             dst_rel = os.path.join(f"segment_id={sid}", f"commit-{tag}-hot.parquet")
-            fsio.parquet_write_table(seg, fsio.join(path, dst_rel))
+            fsio.parquet_write_table(s, fsio.join(path, dst_rel))
+            return sid, dst_rel, n
+
+        # per-segment writes are independent; pyarrow's parquet writer
+        # releases the GIL, so for BULK batches a thread pool overlaps
+        # the file I/O (mirrors the distributed tier's thread-pooled
+        # promotion). Small latency-critical acks (the reference's
+        # writeEvent dimension) stay serial — pool spin-up would tax
+        # the millisecond path for no overlap win on tiny files.
+        from concurrent.futures import ThreadPoolExecutor
+
+        sids = sorted(set(uniq.values()))
+        new_files: dict[int, list[str]] = {}
+        counts: dict[int, int] = {}
+        if len(sids) == 1 or tbl.num_rows < 4096:
+            results = [_write_seg(s) for s in sids]
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, len(sids))) as pool:
+                results = list(pool.map(_write_seg, sids))
+        for r in results:
+            if r is None:
+                continue
+            sid, dst_rel, n = r
             new_files[sid] = [dst_rel]
             counts[sid] = n
         return new_files, counts
