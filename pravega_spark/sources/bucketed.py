@@ -23,6 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pravega_spark.sources.bucketing import bucketize
 from pravega_spark.sources.tables import load_table
 
 BUCKETS = int(os.environ.get("PRAVEGA_SPARK_BUCKETS", "16"))
@@ -49,14 +50,13 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str, n_buckets: int |
 
             shutil.rmtree(loc, ignore_errors=True)
         try:
-            (
-                load_table(spark, sf_dir, name)
-                .repartition(n, key)  # one file per bucket, not one per input split
-                .write.bucketBy(n, key)
-                .sortBy(key)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(tbl)
+            bucketize(
+                spark,
+                # one file per bucket, not one per input split
+                load_table(spark, sf_dir, name).repartition(n, key),
+                tbl,
+                keys=[key],
+                n_buckets=n,
             )
         except Exception:
             # a host whose warehouse dir isn't writable can't hold the
