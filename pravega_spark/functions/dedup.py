@@ -156,18 +156,58 @@ def connected_components(
 
     The dedup pipeline's final step: near-dup PAIRS become duplicate
     CLUSTERS, and keep-min-id per cluster picks the canonical document.
-    Iterative smallest-label propagation — per round each vertex takes
-    the min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds (driver loop, distributed joins, no
-    collect of the graph). Each round persists its labels and drops the
-    previous round's cache, so lineage and storage stay O(1) in rounds.
+    Two tiers, mirroring the store's hot/distributed write split:
+
+    * small edge sets (≤ ``PRAVEGA_SPARK_CC_LOCAL_MAX_EDGES``, default
+      2M — a few tens of MB) collect once and run union-find on the
+      driver: microseconds of CPU instead of 3 shuffle jobs per round
+      whose task-scheduling floor dwarfs the data at this size.
+    * larger graphs run iterative smallest-label propagation — per
+      round each vertex takes the min of its own label and its
+      neighbors' labels; converges in O(component diameter) rounds
+      (driver loop, distributed joins, no collect of the graph).
+      Near-dup clusters are dense (diameter 2-3) so the round count
+      stays tiny; pointer-doubling variants were measured SLOWER here
+      (the extra self-join per round costs more than the rounds it
+      saves on low-diameter graphs). Each round persists its labels
+      and drops the previous round's cache, so lineage and storage
+      stay O(1) in rounds.
     """
+    import os
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+    local_max = int(os.environ.get("PRAVEGA_SPARK_CC_LOCAL_MAX_EDGES", str(2_000_000)))
+    if n_edges <= local_max:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.toArrow()
+        id_type = edges.schema["src"].dataType.simpleString()
+        edges.unpersist()
+        srcs, dsts = rows["src"].to_pylist(), rows["dst"].to_pylist()
+        for s, d in zip(srcs, dsts):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by min so cluster_id = min vertex id, matching
+                # the distributed path and the recursive-CTE oracle
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        out = [(v, find(v)) for v in set(srcs) | set(dsts)]
+        return spark.createDataFrame(out, f"id {id_type}, cluster_id {id_type}")
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("cluster", F.col("id"))
     ).persist()
