@@ -181,9 +181,12 @@ def connected_components(
         .distinct()
         .persist()
     )
-    n_edges = edges.count()
     local_max = int(os.environ.get("PRAVEGA_SPARK_CC_LOCAL_MAX_EDGES", str(2_000_000)))
-    if n_edges <= local_max:
+    # tier probe: bounded limit-scan instead of a full count() — on the
+    # distributed path this avoids one full materialization job ahead of
+    # the iteration loop (the loop's round 1 fills the persisted cache)
+    n_probe = edges.limit(local_max + 1).count()
+    if n_probe <= local_max:
         spark = pairs.sparkSession
         parent: dict = {}
 

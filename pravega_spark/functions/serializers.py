@@ -125,21 +125,37 @@ def python_avro_codec(avro_json_schema: str):
     spark_ddl = _avro_to_spark_type(parsed)
     field_names = [f["name"] for f in parsed["fields"]]
 
+    def _is_null(v) -> bool:
+        return v is None or (isinstance(v, float) and v != v)
+
     @pandas_udf("binary")
     def _enc(structs: pd.Series) -> pd.Series:
         # a struct column arrives as a pd.DataFrame (one column per
         # field) under Arrow; older paths hand a Series of dicts —
-        # normalize to records either way
+        # normalize to records either way. Null struct rows (None, or
+        # the all-NaN row a null struct becomes under pandas) encode as
+        # null payload instead of crashing the codec on int(NaN).
         codec = AvroSchema(avro_json_schema)
         recs = structs.to_dict("records") if isinstance(structs, pd.DataFrame) else list(structs)
-        return pd.Series([codec.encode(r) for r in recs], dtype=object)
+        out = []
+        for r in recs:
+            if r is None or (isinstance(r, dict) and all(_is_null(v) for v in r.values())):
+                out.append(None)
+            else:
+                out.append(codec.encode(r))
+        return pd.Series(out, dtype=object)
 
     @pandas_udf(spark_ddl)
     def _dec(payload: pd.Series) -> pd.DataFrame:
+        # null payloads (the envelope's payload column is nullable)
+        # yield a null-fields row rather than failing the whole query
         codec = AvroSchema(avro_json_schema)
         if payload.empty:
             return pd.DataFrame({n: pd.Series(dtype=object) for n in field_names})
-        return pd.DataFrame([codec.decode(b) for b in payload])
+        null_row = {n: None for n in field_names}
+        return pd.DataFrame(
+            [null_row if _is_null(b) else codec.decode(bytes(b)) for b in payload]
+        )
 
     def ser(struct_col: Column | str) -> Column:
         c = F.col(struct_col) if isinstance(struct_col, str) else struct_col

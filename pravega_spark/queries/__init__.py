@@ -35,69 +35,12 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
-    # -- new this round (no prior evidence): bucketed co-located
-    # -- fact-fact joins — the no-Exchange plan demo ---------------------
-    "q5_bucketed_colocated_join",
-    "q8_bucketed_colocated_join",
-    # -- round-4 rotation: green round-1 rows only, sat past the 50-entry
-    # -- cap in rounds 2-3 — gate them now for a second data point ------
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "stream_segment_assignment",
-    "stream_tail_offsets",
-    "stream_fetch_event",
-    "stream_time_to_position",
-    "stream_per_key_order",
-    "stream_watermark_bounds",
-    "stream_scale_hotspots",
-    "stream_retention_cut",
-    "cust_above_nation_avg",
-    # -- red in round 3 (TIMESTAMP_NTZ env shift), fixed this round:
-    # -- need a fresh green row --------------------------------------
-    "events_sessionization",
-    "events_asof_purchase",
-    # -- green rounds 1-3 ------------------------------------------------
-    "kvt_latest_version",
-    "kvt_range_scan",
-    "kvt_prefix_scan",
-    "kvt_delta_iterator",
-    "streamcut_bounded_read",
-    "q1_pricing_summary",
-    "q2_min_price_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "orders_status_cube",
-    "top_parts_per_brand",
-    "revenue_rollup",
-    "events_hourly_agg",
-    "events_json_extract",
-    "events_running_value",
-    # -- green in rounds 1-3 --------------------------------------------
-    "q4_orders_with_returns",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "cust_segment_set_ops",
-    "events_approx_distinct",
-    "events_value_percentiles",
-    "customers_without_orders",
-    "order_priority_pivot",
-    "events_session_window",
-    "text_token_stats",
+    # -- round-5 rotation (VERDICT r4 item 3): the 14 queries that sat
+    # -- past the r4 50-entry cap (latest driver rows r2/r3; judge-
+    # -- verified in r4) — the LLM-pipeline layer gets fresh driver
+    # -- evidence first ---------------------------------------------------
     "text_quality_score",
     "text_langid",
-    # -- tail (past a 50-entry gate cap): green in BOTH rounds 2 and 3
-    # -- (the LLM-pipeline layer — the strongest-evidenced block in the
-    # -- repo, VERDICT r3), judge-re-verified value-exact ---------------
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -110,6 +53,62 @@ _GATE_ORDER = [
     "multimodal_frame_samples",
     "pipeline_corpus_clean",
     "dedup_clusters",
+    # -- one r4 green row only (new in r4): keep gated for a second ------
+    "q5_bucketed_colocated_join",
+    "q8_bucketed_colocated_join",
+    # -- two driver rows (r1 + r4) ---------------------------------------
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "stream_segment_assignment",
+    "stream_tail_offsets",
+    "stream_fetch_event",
+    "stream_time_to_position",
+    "stream_per_key_order",
+    "stream_watermark_bounds",
+    "stream_scale_hotspots",
+    "stream_retention_cut",
+    "cust_above_nation_avg",
+    "events_sessionization",
+    "events_asof_purchase",
+    # -- green r1-r4 (headliners kept in-gate) ---------------------------
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "kvt_latest_version",
+    "kvt_range_scan",
+    "kvt_prefix_scan",
+    "kvt_delta_iterator",
+    "streamcut_bounded_read",
+    "q4_orders_with_returns",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "cust_segment_set_ops",
+    "events_approx_distinct",
+    "events_value_percentiles",
+    "customers_without_orders",
+    "order_priority_pivot",
+    "events_session_window",
+    # -- tail (past the 50-entry cap this round): green in ALL of
+    # -- r1+r2+r3+r4 (or r1+r4 for text_token_stats) — the most-
+    # -- evidenced rows in the registry ----------------------------------
+    "text_token_stats",
+    "q2_min_price_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "orders_status_cube",
+    "top_parts_per_brand",
+    "revenue_rollup",
+    "events_hourly_agg",
+    "events_json_extract",
+    "events_running_value",
 ]
 
 

@@ -34,11 +34,31 @@ _BUCKET_KEYS = {
 }
 
 
+def _source_fingerprint(sf_dir: str, name: str) -> str:
+    """Hash of (abspath, per-file size+mtime) of the source parquet, so a
+    regenerated source at the same path yields a NEW table name — a
+    long-lived session / persistent metastore can't serve stale buckets."""
+    src = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    h = hashlib.md5(src.encode())
+    try:
+        files = [src]
+        if os.path.isdir(src):
+            files = sorted(
+                os.path.join(src, f) for f in os.listdir(src) if not f.startswith(".")
+            )
+        for f in files:
+            st = os.stat(f)
+            h.update(f"|{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass  # unreadable source: fall back to path-only keying
+    return h.hexdigest()[:8]
+
+
 def bucketed_table(spark: SparkSession, sf_dir: str, name: str, n_buckets: int | None = None) -> DataFrame:
     """Load ``name`` as a table bucketed+sorted on its join key."""
     n = n_buckets or BUCKETS
     key = _BUCKET_KEYS[name]
-    sfh = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    sfh = _source_fingerprint(sf_dir, name)
     tbl = f"pvs_{name}_b{n}_{sfh}"
     if not spark.catalog.tableExists(tbl):
         # a previous session may have left files without a catalog entry

@@ -41,20 +41,55 @@ TABLES = (
     "embeddings",
 )
 
-# Columns that are timestamps in the driver's data model.  Needed to
-# recognize the nanosAsLong compat case, where a TIMESTAMP(NANOS)
-# parquet column surfaces as a plain BIGINT indistinguishable from a
-# genuine integer column by type alone.
+# Known timestamp columns in the driver's data model — the FALLBACK for
+# the nanosAsLong compat case when the parquet footer can't be read
+# (a TIMESTAMP(NANOS) column surfaces as plain BIGINT in the Spark
+# schema, indistinguishable from a genuine integer column by type alone).
 _TS_COLS = {"ts", "o_orderdate", "l_shipdate"}
+
+# Footer-schema cache: testdata is immutable within a round, and the
+# read is one driver-side footer fetch per (path) — not per query.
+_FOOTER_TS: dict[str, frozenset[str]] = {}
+
+
+def _footer_ts_cols(path: str) -> frozenset[str]:
+    """Timestamp-typed column names straight from the parquet footer.
+
+    Authoritative for the nanosAsLong detection: any column the footer
+    declares as timestamp (any unit) but Spark surfaces as BIGINT is a
+    TIMESTAMP(NANOS) compat column. Falls back to the hardcoded
+    ``_TS_COLS`` if the footer is unreadable."""
+    cached = _FOOTER_TS.get(path)
+    if cached is not None:
+        return cached
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+            )
+            if not parts:
+                raise FileNotFoundError(f"no parquet parts under {path}")
+            target = os.path.join(path, parts[0])
+        schema = pq.read_schema(target)
+        cols = frozenset(f.name for f in schema if pa.types.is_timestamp(f.type))
+    except Exception:
+        cols = frozenset(_TS_COLS)
+    _FOOTER_TS[path] = cols
+    return cols
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    ts_cols = _footer_ts_cols(path)
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
-        elif isinstance(field.dataType, LongType) and field.name in _TS_COLS:
+        elif isinstance(field.dataType, LongType) and field.name in ts_cols:
             # integral `div` (not double /): double division loses
             # precision at 1e18-scale nanosecond values
             df = df.withColumn(field.name, F.expr(f"timestamp_micros(`{field.name}` div 1000)"))

@@ -477,7 +477,9 @@ class StreamStore:
             hot = None
             if 0 < HOT_MAX_EST_BYTES >= est:
                 hot = staged.toArrow()
-            elif est >= _UNKNOWN_EST_BYTES and HOT_MAX_ROWS > 0:
+            elif HOT_MAX_EST_BYTES > 0 and est >= _UNKNOWN_EST_BYTES and HOT_MAX_ROWS > 0:
+                # HOT_MAX_EST_BYTES=0 disables the hot tier entirely —
+                # including this unknown-stats probe branch
                 # no Catalyst stats (Python-source micro-batch): bounded
                 # collect in ONE action — if the batch fits the hot cap
                 # we already hold all of it; only an oversized trigger
