@@ -240,7 +240,10 @@ def _bench_streaming_roundtrip(spark, sf_dir: str) -> float:
         n = ev.count()
         store.write_events("bench", "src", ev, routing_key_col="user_id", event_time_col="ts")
         rg = ReaderGroup(store, "bench", "src", "rt")
-        sink = write_stream_batch(store, "bench", "dst", writer_id="rt-sink")
+        # pure copy pipeline: declare passthrough so steady triggers are
+        # served driver-side from the source's committed files
+        sink = write_stream_batch(store, "bench", "dst", writer_id="rt-sink",
+                                  passthrough_from=rg)
         t0 = time.perf_counter()
         rg.drain(sink)
         dt = time.perf_counter() - t0
@@ -281,7 +284,8 @@ def _bench_streaming_steady_state(spark, sf_dir: str) -> dict:
         ev = load_table(spark, sf_dir, "events")
         n = ev.count()
         rg = ReaderGroup(store, "bench", "src", "ss")
-        sink = write_stream_batch(store, "bench", "dst", writer_id="ss-sink")
+        sink = write_stream_batch(store, "bench", "dst", writer_id="ss-sink",
+                                  passthrough_from=rg)
         # seed the group's checkpoint with a 1-event drain so the capped
         # query rate-limits from committed positions — a fresh source
         # with no checkpoint deliberately plans ONE uncapped catch-up
@@ -296,9 +300,14 @@ def _bench_streaming_steady_state(spark, sf_dir: str) -> dict:
             sink(df, b)
             marks.append(time.perf_counter())
 
-        # per-segment cap so the backlog drains in ~8 triggers (empty
-        # triggers don't invoke foreachBatch, so marks = data batches)
-        cap = max(1, n // (8 * 8))
+        # per-segment cap sized so the backlog drains in ~6 triggers of
+        # ~16k rows: large enough to amortize the fixed per-trigger cost
+        # (Spark's own checkpoint I/O is ~100 ms/trigger), small enough
+        # to keep >=3 measured batches and sub-second trigger latency
+        # (empty triggers don't invoke foreachBatch, so marks = data
+        # batches)
+        denom = max(2, int(os.environ.get("SPARK_GRAFT_SS_TRIGGER_DENOM", "6")))
+        cap = max(1, n // (denom * 8))
         q = (
             rg.read_stream(max_events_per_trigger=cap)
             .writeStream.foreachBatch(timed_sink)
@@ -311,7 +320,10 @@ def _bench_streaming_steady_state(spark, sf_dir: str) -> dict:
             while time.time() < deadline:
                 if q.exception() is not None:
                     raise q.exception()
-                if store.read("bench", "dst").count() >= n + 1:
+                # metadata-only poll (tail offsets = row counts): a
+                # Spark count() here would contend with the very
+                # triggers being measured
+                if sum(store.meta.tail_offsets("bench", "dst").values()) >= n + 1:
                     break
                 time.sleep(0.2)
         finally:

@@ -401,6 +401,62 @@ class StreamStore:
                 attribute_updates=attribute_updates,
             )
 
+    def append_table(
+        self,
+        scope: str,
+        stream: str,
+        tbl,
+        routing_key_col: str = ROUTING_KEY,
+        event_time_col: str | None = None,
+        writer_id: str | None = None,
+        batch_seq: int | None = None,
+    ) -> dict[int, int]:
+        """Hot append of a pyarrow Table the driver already holds: zero
+        Spark jobs, same atomic manifest flip and (writer_id, batch_seq)
+        exactly-once dedup as ``append_events``. Table row order is
+        arrival order (the per-key order contract); segment routing and
+        offsets are assigned here, so stale envelope columns from a
+        source stream are replaced. This is the commit half of the
+        reader→writer pump loop (reference: EventStreamReaderImpl.java
+        readNextEvent feeding EventStreamWriterImpl.writeEvent) — the
+        caller is responsible for bounding the table to driver memory.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        info = self.meta.get_stream(scope, stream)
+        if info["sealed"]:
+            raise StreamSealedException(f"{scope}/{stream} is sealed")
+        writer_marker = None
+        if writer_id is not None and batch_seq is not None:
+            if batch_seq <= self._writer_seq(scope, stream).get(writer_id, -1):
+                return self.meta.tail_offsets(scope, stream)  # duplicate retry
+            writer_marker = (writer_id, batch_seq)
+        ts_us = pa.timestamp("us", tz="UTC")
+        if routing_key_col != ROUTING_KEY:
+            tbl = tbl.append_column(ROUTING_KEY, pc.cast(tbl[routing_key_col], pa.string()))
+        elif not pa.types.is_string(tbl[ROUTING_KEY].type):
+            idx = tbl.column_names.index(ROUTING_KEY)
+            tbl = tbl.set_column(idx, ROUTING_KEY, pc.cast(tbl[ROUTING_KEY], pa.string()))
+        if event_time_col is not None and event_time_col != EVENT_TIME:
+            col = pc.cast(tbl[event_time_col], ts_us)
+            if EVENT_TIME in tbl.column_names:
+                tbl = tbl.set_column(tbl.column_names.index(EVENT_TIME), EVENT_TIME, col)
+            else:
+                tbl = tbl.append_column(EVENT_TIME, col)
+        with self._commit_lock(scope, stream):
+            doc = self.meta.segments_doc(scope, stream)
+            if self._already_applied(doc, writer_marker, None):
+                return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
+            ranges = self.meta.active_ranges(scope, stream)
+            tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
+            path = self._stream_path(scope, stream)
+            tag = uuid.uuid4().hex[:8]
+            new_files, counts = self._write_hot_batch(tbl, ranges, tails, [], path, tag)
+            return self._publish_manifest(
+                scope, stream, doc, new_files, counts, writer_marker, txn_marker=None
+            )
+
     @staticmethod
     def _already_applied(doc: dict, writer_marker, txn_marker) -> bool:
         """Exactly-once dedup, checked UNDER the commit lock: a replayed

@@ -77,12 +77,14 @@ class SegmentSlice(InputPartition):
 _BATCH_ROWS = 131_072
 
 
-def _read_slice(sl: SegmentSlice):
-    """Executor-side: arrow-batched read of one segment's offset range.
+def _read_slice_table(sl: SegmentSlice):
+    """One segment slice as a single normalized Arrow table (or None).
 
-    The whole slice is materialized as one table, columns normalized
-    table-wide (one cast per column, not per chunk), chunks combined,
-    and re-emitted as ≤``_BATCH_ROWS``-row record batches.
+    Shared by the executor-side streaming read AND the driver-side pump
+    fast path (streaming/sink.py): the slice is materialized as one
+    table, columns normalized table-wide (one cast per column, not per
+    chunk), chunks combined. Row order = manifest file order = offset
+    order, which carries the per-key order contract.
     """
     import pyarrow as pa
     import pyarrow.dataset as ds
@@ -91,12 +93,12 @@ def _read_slice(sl: SegmentSlice):
     if sl.files is not None:
         paths = [os.path.join(sl.path, f) for f in sl.files]
         if not paths:
-            return
+            return None
         dataset = ds.dataset(paths, format="parquet")
     elif os.path.isdir(seg_dir):
         dataset = ds.dataset(seg_dir, format="parquet")
     else:
-        return
+        return None
     flt = (ds.field("offset") >= sl.start) & (ds.field("offset") < sl.end)
     names = [f.name for f in ENVELOPE.fields]
     have = set(dataset.schema.names)
@@ -104,7 +106,7 @@ def _read_slice(sl: SegmentSlice):
     table = dataset.to_table(filter=flt, columns=cols)
     n = table.num_rows
     if n == 0:
-        return
+        return None
     want = {
         "routing_key": pa.string(),
         "offset": pa.int64(),
@@ -130,7 +132,16 @@ def _read_slice(sl: SegmentSlice):
         else:
             arrays.append(pa.nulls(n, type=want[f.name]))
             fields.append(pa.field(f.name, want[f.name]))
-    out = pa.Table.from_arrays(arrays, schema=pa.schema(fields)).combine_chunks()
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields)).combine_chunks()
+
+
+def _read_slice(sl: SegmentSlice):
+    """Executor-side: the slice table re-emitted as ≤``_BATCH_ROWS``-row
+    record batches (fat batches — a slice of N small commit files must
+    not cross the Python-worker → JVM boundary as N small batches)."""
+    out = _read_slice_table(sl)
+    if out is None:
+        return
     yield from out.to_batches(max_chunksize=_BATCH_ROWS)
 
 

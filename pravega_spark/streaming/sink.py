@@ -33,10 +33,13 @@ Usage::
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
+import pravega_spark.store as _store_mod
 from pravega_spark.store import StreamStore
 
 
@@ -44,6 +47,99 @@ def writer_id_for_checkpoint(checkpoint_location: str) -> str:
     """Stable writer identity bound to a query's checkpoint location."""
     digest = hashlib.sha256(checkpoint_location.rstrip("/").encode("utf-8")).hexdigest()[:16]
     return f"sink-{digest}"
+
+
+_ENVELOPE_COLS = ["routing_key", "segment_id", "offset", "event_time", "ingest_time", "payload"]
+
+
+def _offsets_at(checkpoint_dir: str, batch_id: int) -> dict[str, int] | None:
+    """The single-source offset vector Spark logged for ``batch_id``.
+
+    The offsets log entry is: line 1 version tag, line 2 batch metadata,
+    then ONE line per source. Exactly one source line is required — a
+    multi-source query's batch can't be attributed to one stream slice.
+    """
+    try:
+        with open(os.path.join(checkpoint_dir, "offsets", str(batch_id))) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        if len(lines) != 3:
+            return None
+        off = json.loads(lines[2])
+        if not isinstance(off, dict):
+            return None
+        return {str(k): int(v) for k, v in off.items()}
+    except (OSError, ValueError, json.JSONDecodeError):
+        return None
+
+
+def _pump_batch(store: StreamStore, source, scope: str, stream: str,
+                writer_id: str, batch_id: int, note_time: bool) -> bool:
+    """Driver-side fast path for a pure stream-to-stream copy: re-read
+    the micro-batch's slice straight from the source stream's committed
+    parquet (the same ``_read_slice_table`` the executors run) and
+    commit it through the hot tier — ZERO Spark jobs per trigger.
+
+    This is the reference's pump shape — EventStreamReaderImpl.java's
+    readNextEvent tail loop feeding a writer — where each micro-batch
+    re-materializing itself through a cluster job would be pure
+    overhead. Falls back (returns False) unless every precondition
+    holds: batch 0 (its start vector isn't in the offsets log), an
+    unreadable/multi-source offsets log, or a slice bigger than
+    HOT_MAX_ROWS (catch-up batches take the distributed path).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pravega_spark.streaming.datasource import (
+        SegmentSlice,
+        _load_files,
+        _read_slice_table,
+    )
+
+    if batch_id < 1:
+        return False
+    ckpt = source.checkpoint_dir
+    end = _offsets_at(ckpt, batch_id)
+    start = _offsets_at(ckpt, batch_id - 1)
+    if end is None or start is None:
+        return False
+    total = sum(int(hi) - int(start.get(sid, 0)) for sid, hi in end.items()
+                if int(hi) > int(start.get(sid, 0)))
+    if total == 0 or total > _store_mod.HOT_MAX_ROWS:
+        return False
+    try:
+        src_root = source.store.root
+        src_scope, src_stream = source.scope, source.stream
+        path = os.path.join(src_root, "streams", src_scope, src_stream)
+        files = _load_files(src_root, src_scope, src_stream)
+        slices = [
+            SegmentSlice(path, int(sid), int(start.get(sid, 0)), int(hi), files.get(int(sid)))
+            for sid, hi in sorted(end.items(), key=lambda kv: int(kv[0]))
+            if int(hi) > int(start.get(sid, 0))
+        ]
+        if len(slices) > 1:
+            with ThreadPoolExecutor(min(8, len(slices))) as ex:
+                tabs = list(ex.map(_read_slice_table, slices))
+        else:
+            tabs = [_read_slice_table(slices[0])]
+        tabs = [t for t in tabs if t is not None]
+        if not tabs:
+            return False
+        import pyarrow as pa
+
+        tbl = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+        store.append_table(scope, stream, tbl, writer_id=writer_id, batch_seq=batch_id)
+        if note_time:
+            import pyarrow.compute as pc
+
+            m = pc.max(tbl["event_time"]).as_py()
+            if m is not None:
+                store.note_time(scope, stream, writer_id, int(m.timestamp() * 1000))
+        return True
+    except Exception:
+        # any surprise (schema drift, concurrent truncation, fs hiccup)
+        # falls back to the always-correct Spark path; exactly-once
+        # holds either way via the (writer_id, batch_id) marker
+        return False
 
 
 def write_stream_batch(
@@ -55,7 +151,18 @@ def write_stream_batch(
     writer_id: str | None = None,
     checkpoint_location: str | None = None,
     note_time: bool = False,
+    passthrough_from=None,
 ) -> Callable[[DataFrame, int], None]:
+    """See module docstring. ``passthrough_from`` (a ReaderGroup) is an
+    EXPLICIT declaration that the streaming pipeline applies NO
+    transformations between ``rg.read_stream()`` and this sink — a pure
+    stream-to-stream copy. The sink then serves steady-state triggers
+    driver-side from the source's own committed files (_pump_batch),
+    skipping the per-trigger Spark job that re-materializes the batch.
+    The declaration is the caller's contract: a filtered/projected
+    pipeline handed here would copy unfiltered data (a projection is
+    caught by the column check; a filter cannot be). Catch-up and
+    oversized batches still take the distributed path."""
     if writer_id is None:
         if checkpoint_location is None:
             raise ValueError(
@@ -65,8 +172,20 @@ def write_stream_batch(
                 "drop each other's batches"
             )
         writer_id = writer_id_for_checkpoint(checkpoint_location)
+    pump_ok = (
+        passthrough_from is not None
+        and routing_key_col == "routing_key"
+        and event_time_col in (None, "event_time")
+    )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if (
+            pump_ok
+            and batch_df.columns == _ENVELOPE_COLS
+            and _pump_batch(store, passthrough_from, scope, stream,
+                            writer_id, batch_id, note_time)
+        ):
+            return
         store.write_events(
             scope,
             stream,

@@ -1,0 +1,170 @@
+"""Streaming pump fast path (write_stream_batch(passthrough_from=rg)).
+
+The pump serves pure stream-to-stream copy triggers driver-side from the
+source's committed files (reference shape: EventStreamReaderImpl.java's
+readNextEvent tail loop feeding a writer) — these tests pin that it
+produces EXACTLY what the normal Spark path produces, declines when its
+preconditions fail, and stays exactly-once under foreachBatch retries.
+"""
+
+import time
+
+import pravega_spark.streaming.sink as sink_mod
+from pravega_spark.config import ScalingPolicy, StreamConfiguration
+from pravega_spark.sources import load_table
+from pravega_spark.streaming import ReaderGroup, write_stream_batch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _setup(store, streams=("src", "dst")):
+    store.create_scope("s")
+    for name in streams:
+        store.create_stream("s", name, StreamConfiguration(scaling=ScalingPolicy.fixed(4)))
+
+
+def _key_seqs(store, scope, stream):
+    rows = store.read(scope, stream).orderBy("segment_id", "offset").collect()
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["routing_key"], []).append(r["event_time"])
+    return out
+
+
+def _run_capped(store, rg, sink, n_target, cap):
+    q = (
+        rg.read_stream(max_events_per_trigger=cap)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", rg.checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if sum(store.meta.tail_offsets("s", "dst").values()) >= n_target:
+                break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def _spy(monkeypatch):
+    hits = []
+    orig = sink_mod._pump_batch
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        hits.append(r)
+        return r
+
+    monkeypatch.setattr(sink_mod, "_pump_batch", spy)
+    return hits
+
+
+def test_pump_matches_normal_path(spark, store, monkeypatch):
+    """Same src drained through the pump and through the normal path:
+    identical content and per-key order."""
+    _setup(store, ("src", "dst", "dst2"))
+    ev = load_table(spark, SF_DIR, "events").limit(400)
+    n = ev.count()
+    store.write_event("s", "src", "seed", {"payload": b"s"})
+    rg = ReaderGroup(store, "s", "src", "g-pump")
+    hits = _spy(monkeypatch)
+    sink = write_stream_batch(store, "s", "dst", writer_id="wp", passthrough_from=rg)
+    rg.drain(sink)  # seed
+    store.write_events("s", "src", ev, routing_key_col="user_id", event_time_col="ts")
+    _run_capped(store, rg, sink, n + 1, cap=max(1, n // 16))
+    assert True in hits, "pump never engaged"
+    # normal path into dst2 via a second group
+    rg2 = ReaderGroup(store, "s", "src", "g-norm")
+    sink2 = write_stream_batch(store, "s", "dst2", writer_id="wn")
+    rg2.drain(sink2)
+    assert store.read("s", "dst").count() == n + 1
+    assert _key_seqs(store, "s", "dst") == _key_seqs(store, "s", "dst2")
+
+
+def test_pump_declines_on_projection(spark, store, monkeypatch):
+    """A projected pipeline fails the envelope-column check: every
+    trigger falls back to the Spark path, and the query still succeeds."""
+    _setup(store)
+    ev = load_table(spark, SF_DIR, "events").limit(100)
+    n = ev.count()
+    store.write_events("s", "src", ev, routing_key_col="user_id", event_time_col="ts")
+    rg = ReaderGroup(store, "s", "src", "g-proj")
+    hits = _spy(monkeypatch)
+    sink = write_stream_batch(store, "s", "dst", writer_id="w", passthrough_from=rg)
+
+    def projected_sink(df, b):
+        sink(df.select("routing_key", "event_time", "payload",
+                       "segment_id", "offset", "ingest_time"), b)
+
+    q = (
+        rg.read_stream()
+        .writeStream.foreachBatch(projected_sink)
+        .option("checkpointLocation", rg.checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if sum(store.meta.tail_offsets("s", "dst").values()) >= n:
+                break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert store.read("s", "dst").count() == n
+    assert True not in hits, "pump must not engage on a reordered projection"
+
+
+def test_pump_exactly_once_on_replayed_batch(spark, store, monkeypatch):
+    """Re-invoking the sink with an already-committed batch id (a
+    foreachBatch retry) is a no-op on both pump and fallback paths."""
+    _setup(store)
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    n = ev.count()
+    store.write_event("s", "src", "seed", {"payload": b"s"})
+    rg = ReaderGroup(store, "s", "src", "g-retry")
+    sink = write_stream_batch(store, "s", "dst", writer_id="w", passthrough_from=rg)
+    rg.drain(sink)
+    store.write_events("s", "src", ev, routing_key_col="user_id", event_time_col="ts")
+    seen = []
+
+    def recording_sink(df, b):
+        sink(df, b)
+        seen.append((df, b))
+
+    _run_capped(store, rg, sink=recording_sink, n_target=n + 1, cap=max(1, n // 8))
+    total = store.read("s", "dst").count()
+    assert total == n + 1
+    # replay the last two batches — counts must not move
+    for df, b in seen[-2:]:
+        sink(df, b)
+    assert store.read("s", "dst").count() == total
+
+
+def test_pump_declines_oversized_slice(spark, store, monkeypatch):
+    """Slices above HOT_MAX_ROWS take the distributed path (driver
+    memory stays bounded); result is still complete."""
+    import pravega_spark.store as store_mod
+
+    _setup(store)
+    ev = load_table(spark, SF_DIR, "events").limit(300)
+    n = ev.count()
+    store.write_event("s", "src", "seed", {"payload": b"s"})
+    rg = ReaderGroup(store, "s", "src", "g-big")
+    hits = _spy(monkeypatch)
+    sink = write_stream_batch(store, "s", "dst", writer_id="w", passthrough_from=rg)
+    rg.drain(sink)
+    store.write_events("s", "src", ev, routing_key_col="user_id", event_time_col="ts")
+    monkeypatch.setattr(store_mod, "HOT_MAX_ROWS", 10)
+    _run_capped(store, rg, sink, n + 1, cap=max(1, n // 8))
+    assert store.read("s", "dst").count() == n + 1
+    assert True not in hits[1:], "oversized slices must decline the pump"
