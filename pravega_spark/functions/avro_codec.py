@@ -14,18 +14,68 @@ them, and vice versa.
 
 Supported schema subset (typical event payloads): records of
 ``null,boolean,int,long,float,double,bytes,string``, arrays, maps,
-nested records, and 2-branch unions with ``null`` (nullable fields).
-Unsupported: enums/fixed/logical types — raise at schema-compile time,
-not at encode time.
+nested records, 2-branch unions with ``null`` (nullable fields),
+``enum``, ``fixed``, and the logical types real event schemas carry:
+``timestamp-millis`` / ``timestamp-micros`` (long ↔ naive-UTC
+datetime), ``date`` (int ↔ datetime.date), and ``decimal`` on bytes or
+fixed (↔ decimal.Decimal, two's-complement big-endian unscaled value
+per the spec). Unknown logical types fall back to their underlying
+Avro type, as the specification instructs. Anything else — multi-branch
+unions, recursive types — still raises at schema-compile time, not at
+encode time.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
 import struct
 from io import BytesIO
 
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+# logical types with typed Python mappings; (logicalType, underlying)
+_LOGICAL = {
+    ("timestamp-millis", "long"),
+    ("timestamp-micros", "long"),
+    ("date", "int"),
+    ("decimal", "bytes"),
+    ("decimal", "fixed"),
+}
+
+
+_EPOCH_AWARE = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+
+
+def _to_epoch(v, unit: int) -> int:
+    """datetime (naive = UTC) or raw int → epoch count at ``unit`` per
+    second. Exact integer math — no float epoch round trip."""
+    if isinstance(v, int):
+        return v
+    if isinstance(v, _dt.datetime):
+        delta = (v - _EPOCH_AWARE) if v.tzinfo is not None else (v - _EPOCH_NAIVE)
+        total_us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return total_us * unit // 1_000_000
+    raise TypeError(f"timestamp value must be datetime or int, got {type(v).__name__}")
+
+
+def _from_epoch(n: int, unit: int) -> _dt.datetime:
+    """Epoch count → NAIVE UTC datetime (matches Spark's session-UTC
+    TIMESTAMP and pandas' tz-less default)."""
+    return _EPOCH_NAIVE + _dt.timedelta(microseconds=n * (1_000_000 // unit))
+
+
+def _unscaled_bytes(v, scale: int, size: int | None = None) -> bytes:
+    """Decimal → two's-complement big-endian unscaled int (spec: decimal)."""
+    if not isinstance(v, _decimal.Decimal):
+        v = _decimal.Decimal(str(v))
+    unscaled = int(v.scaleb(scale).to_integral_value(rounding=_decimal.ROUND_HALF_UP))
+    length = size if size is not None else max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(length, "big", signed=True)
 
 
 # ---------------- varint / zigzag (spec: binary encoding, long)
@@ -72,6 +122,18 @@ class AvroSchema:
             self._check(next(b for b in s if b != "null"))
             return
         t = s.get("type")
+        lt = s.get("logicalType")
+        if lt is not None and (lt, t) in _LOGICAL:
+            if lt == "decimal":
+                scale = s.get("scale", 0)
+                prec = s.get("precision")
+                if not isinstance(prec, int) or prec <= 0 or not isinstance(scale, int) or scale < 0:
+                    raise ValueError(f"decimal needs int precision>0/scale>=0, got {s!r}")
+            if t == "fixed" and not isinstance(s.get("size"), int):
+                raise ValueError(f"fixed needs an int size: {s!r}")
+            return
+        # unknown logical types fall through: the spec says ignore them
+        # and use the underlying type
         if t == "record":
             for f in s["fields"]:
                 self._check(f["type"])
@@ -79,6 +141,13 @@ class AvroSchema:
             self._check(s["items"])
         elif t == "map":
             self._check(s["values"])
+        elif t == "enum":
+            syms = s.get("symbols")
+            if not isinstance(syms, list) or not all(isinstance(x, str) for x in syms):
+                raise ValueError(f"enum needs a string symbols list: {s!r}")
+        elif t == "fixed":
+            if not isinstance(s.get("size"), int) or s["size"] < 0:
+                raise ValueError(f"fixed needs an int size: {s!r}")
         elif t in _PRIMITIVES:
             pass
         else:
@@ -100,6 +169,24 @@ class AvroSchema:
                 self._enc(buf, nn, v)
             return
         t = s if isinstance(s, str) else s["type"]
+        lt = s.get("logicalType") if isinstance(s, dict) else None
+        if lt is not None and (lt, t) in _LOGICAL:
+            if lt == "timestamp-millis":
+                _write_long(buf, _to_epoch(v, 1000))
+            elif lt == "timestamp-micros":
+                _write_long(buf, _to_epoch(v, 1_000_000))
+            elif lt == "date":
+                if isinstance(v, _dt.datetime):
+                    v = v.date()
+                days = v if isinstance(v, int) else (v - _EPOCH_DATE).days
+                _write_long(buf, days)
+            else:  # decimal on bytes or fixed
+                b = _unscaled_bytes(v, s.get("scale", 0),
+                                    s["size"] if t == "fixed" else None)
+                if t == "bytes":
+                    _write_long(buf, len(b))
+                buf.write(b)
+            return
         if t == "null":
             return
         if t == "boolean":
@@ -136,6 +223,17 @@ class AvroSchema:
                     self._enc(buf, "string", k)
                     self._enc(buf, s["values"], mv)
             _write_long(buf, 0)
+        elif t == "enum":
+            # symbol string or pre-resolved index; spec: int = symbol pos
+            idx = v if isinstance(v, int) else s["symbols"].index(v)
+            if not 0 <= idx < len(s["symbols"]):
+                raise ValueError(f"enum index {idx} out of range for {s['symbols']}")
+            _write_long(buf, idx)
+        elif t == "fixed":
+            b = bytes(v)
+            if len(b) != s["size"]:
+                raise ValueError(f"fixed size mismatch: got {len(b)}, want {s['size']}")
+            buf.write(b)
         else:  # pragma: no cover — _check rejects these
             raise ValueError(f"unsupported Avro type: {t!r}")
 
@@ -149,6 +247,18 @@ class AvroSchema:
             branch = s[idx]
             return None if branch == "null" else self._dec(buf, branch)
         t = s if isinstance(s, str) else s["type"]
+        lt = s.get("logicalType") if isinstance(s, dict) else None
+        if lt is not None and (lt, t) in _LOGICAL:
+            if lt == "timestamp-millis":
+                return _from_epoch(_read_long(buf), 1000)
+            if lt == "timestamp-micros":
+                return _from_epoch(_read_long(buf), 1_000_000)
+            if lt == "date":
+                return _EPOCH_DATE + _dt.timedelta(days=_read_long(buf))
+            # decimal on bytes or fixed
+            raw = buf.read(s["size"]) if t == "fixed" else buf.read(_read_long(buf))
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _decimal.Decimal(unscaled).scaleb(-s.get("scale", 0))
         if t == "null":
             return None
         if t == "boolean":
@@ -188,4 +298,8 @@ class AvroSchema:
                 for _ in range(n):
                     k = self._dec(buf, "string")
                     out[k] = self._dec(buf, s["values"])
+        if t == "enum":
+            return s["symbols"][_read_long(buf)]
+        if t == "fixed":
+            return buf.read(s["size"])
         raise ValueError(f"unsupported Avro type: {t!r}")  # pragma: no cover

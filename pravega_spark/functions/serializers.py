@@ -96,6 +96,13 @@ def _avro_to_spark_type(s):
     if isinstance(s, list):  # nullable union — Spark fields are nullable anyway
         return _avro_to_spark_type(next(b for b in s if b != "null"))
     t = s["type"]
+    lt = s.get("logicalType")
+    if lt in ("timestamp-millis", "timestamp-micros") and t == "long":
+        return "timestamp"
+    if lt == "date" and t == "int":
+        return "date"
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        return f"decimal({s['precision']},{s.get('scale', 0)})"
     if t == "record":
         inner = ", ".join(f"`{f['name']}` {_avro_to_spark_type(f['type'])}" for f in s["fields"])
         return f"struct<{inner}>"
@@ -103,6 +110,10 @@ def _avro_to_spark_type(s):
         return f"array<{_avro_to_spark_type(s['items'])}>"
     if t == "map":
         return f"map<string, {_avro_to_spark_type(s['values'])}>"
+    if t == "enum":
+        return "string"
+    if t == "fixed":
+        return "binary"
     return _avro_to_spark_type(t)
 
 
