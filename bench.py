@@ -259,6 +259,59 @@ def _err_str(e: Exception) -> str:
     return f"{type(e).__name__}: {e}"[:500]
 
 
+def _bench_kvt_compaction(spark) -> dict:
+    """KVT read cost vs version depth, before/after compaction
+    (TableCompactor.java:71 semantics): a key updated ~128 times must
+    read at ~single-version cost once superseded versions compact away.
+    Reports snapshot-scan wall before/after; 'flat' means the
+    post-compaction scan is within ~2x of a fresh 1-version table, NOT
+    proportional to depth."""
+    import shutil
+    import tempfile
+
+    from pravega_spark.config import KeyValueTableConfiguration
+    from pravega_spark.kvt import KeyValueTableManager
+
+    root = tempfile.mkdtemp(prefix="pvs_kvtc_")
+    try:
+        mgr = KeyValueTableManager(spark, root)
+        kvt = mgr.create_key_value_table(
+            "bench", "deep", KeyValueTableConfiguration(partition_count=8)
+        )
+        n_keys, depth = 2000, 128
+        keys = [f"k{i:05d}" for i in range(n_keys)]
+        for v in range(depth):
+            kvt.update([(k, "", f"v{v}") for k in keys], ["put"] * n_keys)
+        t0 = time.perf_counter()
+        rows_pre = kvt.snapshot().count()
+        pre_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        kvt.compact()
+        compact_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        rows_post = kvt.snapshot().count()
+        post_s = round(time.perf_counter() - t0, 3)
+        assert rows_pre == rows_post == n_keys, (rows_pre, rows_post)
+        # 1-version control table: the flatness baseline
+        flat = mgr.create_key_value_table(
+            "bench", "flat", KeyValueTableConfiguration(partition_count=8)
+        )
+        flat.update([(k, "", "v") for k in keys], ["put"] * n_keys)
+        t0 = time.perf_counter()
+        flat.snapshot().count()
+        flat_s = round(time.perf_counter() - t0, 3)
+        out = {
+            "n_keys": n_keys, "versions_per_key": depth,
+            "snapshot_pre_s": pre_s, "compact_s": compact_s,
+            "snapshot_post_s": post_s, "snapshot_flat_baseline_s": flat_s,
+            "post_vs_flat": round(post_s / flat_s, 2) if flat_s else None,
+        }
+        print(f"# kvt_compaction: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _bench_streaming_steady_state(spark, sf_dir: str) -> dict:
     """Marginal streaming throughput with the query already running —
     the production shape (a long-lived tail-consumption query amortizes
@@ -518,6 +571,12 @@ def main() -> None:
     except Exception as e:
         errors["streaming_steady_state"] = _err_str(e)
         print(f"# streaming_steady_state: ERROR {errors['streaming_steady_state']}", file=sys.stderr)
+    kvtc: dict = {}
+    try:
+        kvtc = _bench_kvt_compaction(spark)
+    except Exception as e:
+        errors["kvt_compaction"] = _err_str(e)
+        print(f"# kvt_compaction: ERROR {errors['kvt_compaction']}", file=sys.stderr)
 
     # sf1 scale-validation section (VERDICT r4 item 2): runs only when
     # the derived 10x dataset exists (scripts/make_scale_data.py) and
@@ -549,6 +608,7 @@ def main() -> None:
         "query_reps": rep_times,
         "write_latency": latency,
         "streaming_steady_state": steady,
+        "kvt_compaction": kvtc,
         "sf": sf_val,
     }
     if sf1:

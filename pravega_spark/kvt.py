@@ -55,6 +55,12 @@ from pravega_spark.errors import (
 ANY_VERSION = -1
 MUST_NOT_EXIST = -2
 
+# Update batches at/below this row count commit driver-side via pyarrow
+# (zero Spark jobs), mirroring the stream store's hot tier; larger
+# batches take the distributed writer. KVT updates are the reference's
+# millisecond client path (TableSegment appends), not an analytics job.
+KVT_HOT_MAX_ROWS = int(os.environ.get("PRAVEGA_SPARK_KVT_HOT_MAX_ROWS", "100000"))
+
 
 class KeyValueTable:
     """One KVT instance rooted at ``<root>/kvt/<scope>/<name>``."""
@@ -169,13 +175,22 @@ class KeyValueTable:
                        expected_versions: list[int] | None = None) -> int:
         expected = expected_versions or [ANY_VERSION] * len(entries)
         keys = {(e[0], e[1]) for e in entries}
-        latest = self._bucket_pruned([k[0] for k in keys])  # CAS check reads only the keys' buckets
+        # unconditional puts need no key-index lookup (the reference's
+        # unconditional TableSegment update skips ContainerKeyIndex's
+        # bucket-offset resolution, ContainerKeyIndex.java) — the CAS
+        # read only runs when some entry is conditional, an insert, or
+        # a remove (absent-key removes are no-ops, which needs current)
+        needs_cas = any(
+            kind != "put" or exp != ANY_VERSION for kind, exp in zip(kinds, expected)
+        )
         current: dict[tuple, int] = {}
-        if latest is not None:
-            rows = latest.filter(F.col("pk").isin([k[0] for k in keys])).select("pk", "sk", "version").collect()
-            for r in rows:
-                if (r["pk"], r["sk"]) in keys:
-                    current[(r["pk"], r["sk"])] = r["version"]
+        if needs_cas:
+            latest = self._bucket_pruned([k[0] for k in keys])  # CAS check reads only the keys' buckets
+            if latest is not None:
+                rows = latest.filter(F.col("pk").isin([k[0] for k in keys])).select("pk", "sk", "version").collect()
+                for r in rows:
+                    if (r["pk"], r["sk"]) in keys:
+                        current[(r["pk"], r["sk"])] = r["version"]
         for (pk, sk, _), kind, exp in zip(entries, kinds, expected):
             cur = current.get((pk, sk))
             if kind == "insert" or exp == MUST_NOT_EXIST:
@@ -202,29 +217,57 @@ class KeyValueTable:
             }
             for (pk, sk, value), kind in zip(entries, kinds)
         ]
-        df = self.spark.createDataFrame(
-            rows, "pk string, sk string, value string, version long, deleted boolean"
-        ).withColumn("bucket", hash_to_bucket("pk", n_buckets))
-        # stage → move under unique names → manifest flip (atomic commit)
         tag = uuid.uuid4().hex[:8]
-        tmp = f"{self.data_path}.commit.{tag}"
-        df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        new_files: list[str] = []
-        for rel in sorted(
-            f for f in fsio.list_files_recursive(tmp)
-            if f.endswith(".parquet") and not os.path.basename(f).startswith(("_", "."))
-        ):
-            part = rel.split(os.sep, 1)[0]
-            if not part.startswith("bucket="):
-                continue
-            dst_rel = os.path.join(part, f"v{version}-{tag}-{os.path.basename(rel)}")
-            fsio.move(fsio.join(tmp, rel), fsio.join(self.data_path, dst_rel))
-            new_files.append(dst_rel)
-        fsio.rmtree(tmp)
+        if len(rows) <= KVT_HOT_MAX_ROWS:
+            # hot path: per-bucket pyarrow writes, zero Spark jobs —
+            # file schema identical to the distributed writer's
+            new_files = self._write_rows_hot(rows, version, tag, n_buckets)
+        else:
+            df = self.spark.createDataFrame(
+                rows, "pk string, sk string, value string, version long, deleted boolean"
+            ).withColumn("bucket", hash_to_bucket("pk", n_buckets))
+            # stage → move under unique names → manifest flip (atomic commit)
+            tmp = f"{self.data_path}.commit.{tag}"
+            df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            new_files = []
+            for rel in sorted(
+                f for f in fsio.list_files_recursive(tmp)
+                if f.endswith(".parquet") and not os.path.basename(f).startswith(("_", "."))
+            ):
+                part = rel.split(os.sep, 1)[0]
+                if not part.startswith("bucket="):
+                    continue
+                dst_rel = os.path.join(part, f"v{version}-{tag}-{os.path.basename(rel)}")
+                fsio.move(fsio.join(tmp, rel), fsio.join(self.data_path, dst_rel))
+                new_files.append(dst_rel)
+            fsio.rmtree(tmp)
         self._files = sorted(self._files + new_files)
         self._next_version = version + 1
         self._save_meta()  # data + version become visible together
         return version
+
+    def _write_rows_hot(self, rows: list[dict], version: int, tag: str,
+                        n_buckets: int) -> list[str]:
+        """Driver-side commit of a small update batch: bucket routing
+        via the scalar twin of the JVM hash, one parquet file per
+        touched bucket, exactly the columns/types the Spark writer
+        produces (bucket rides in the partition dir, not the file)."""
+        import pyarrow as pa
+
+        schema = pa.schema([
+            ("pk", pa.string()), ("sk", pa.string()), ("value", pa.string()),
+            ("version", pa.int64()), ("deleted", pa.bool_()),
+        ])
+        by_bucket: dict[int, list[dict]] = {}
+        for r in rows:
+            by_bucket.setdefault(bucket_for_key_py(r["pk"], n_buckets), []).append(r)
+        out: list[str] = []
+        for b, rs in sorted(by_bucket.items()):
+            rel = os.path.join(f"bucket={b}", f"v{version}-{tag}-hot.parquet")
+            fsio.parquet_write_table(pa.Table.from_pylist(rs, schema=schema),
+                                     fsio.join(self.data_path, rel))
+            out.append(rel)
+        return out
 
     def insert(self, pk: str, value: str, sk: str = "") -> int:
         return self.update([(pk, sk, value)], ["insert"])
