@@ -306,6 +306,7 @@ class StreamStore:
         writer_id: str | None = None,
         batch_seq: int | None = None,
         note_time: bool = False,
+        row_count_hint: int | None = None,
     ) -> dict[int, int]:
         """Append a batch of events; returns new tail offsets.
 
@@ -313,6 +314,11 @@ class StreamStore:
         ≤ the writer's last committed one is skipped, mirroring the
         reference's writer-id/event-number dedup at the segment store
         (AppendProcessor.java:302-358).
+
+        ``row_count_hint``: exact row count when the caller knows it
+        (e.g. a streaming sink that derived the batch from offset
+        vectors) — lets tier routing skip the bounded probe for batches
+        it would discard anyway.
         """
         info = self.meta.get_stream(scope, stream)
         if info["sealed"]:
@@ -327,7 +333,9 @@ class StreamStore:
             staged = staged.withColumn(EVENT_TIME, F.col(event_time_col).cast("timestamp"))
         # the seq marker commits atomically WITH visibility (same doc), so
         # a crash anywhere leaves either both or neither — retries dedup
-        tails = self._commit_rows(scope, stream, staged, writer_marker=writer_marker)
+        tails = self._commit_rows(
+            scope, stream, staged, writer_marker=writer_marker, row_count_hint=row_count_hint
+        )
         if note_time and writer_id is not None and EVENT_TIME in staged.columns:
             row = staged.agg(F.max(EVENT_TIME).alias("m")).collect()[0]
             if row["m"] is not None:
@@ -497,6 +505,7 @@ class StreamStore:
         staged: DataFrame,
         writer_marker: tuple[str, int] | None = None,
         txn_marker: str | None = None,
+        row_count_hint: int | None = None,
     ) -> dict[int, int]:
         """Assign segments + contiguous offsets and commit atomically.
 
@@ -533,9 +542,17 @@ class StreamStore:
             hot = None
             if 0 < HOT_MAX_EST_BYTES >= est:
                 hot = staged.toArrow()
-            elif HOT_MAX_EST_BYTES > 0 and est >= _UNKNOWN_EST_BYTES and HOT_MAX_ROWS > 0:
+            elif (
+                HOT_MAX_EST_BYTES > 0
+                and est >= _UNKNOWN_EST_BYTES
+                and HOT_MAX_ROWS > 0
+                and not (row_count_hint is not None and row_count_hint > HOT_MAX_ROWS)
+            ):
                 # HOT_MAX_EST_BYTES=0 disables the hot tier entirely —
-                # including this unknown-stats probe branch
+                # including this unknown-stats probe branch. An exact
+                # row-count hint above the cap skips the probe outright:
+                # the old behavior paid a discarded bounded collect AND
+                # the distributed scan for every oversized trigger
                 # no Catalyst stats (Python-source micro-batch): bounded
                 # collect in ONE action — if the batch fits the hot cap
                 # we already hold all of it; only an oversized trigger

@@ -72,8 +72,44 @@ def _offsets_at(checkpoint_dir: str, batch_id: int) -> dict[str, int] | None:
         return None
 
 
+def _batch_bounds(source, batch_id: int):
+    """(start, end) offset vectors for a micro-batch, or (None, None).
+
+    end always comes from the offsets log; start comes from the prior
+    log entry, or for batch 0 from the source's initial position (start
+    cut if configured, else current stream heads — heads only advance,
+    so a truncation racing the sink reads fewer rows, exactly like the
+    Spark path whose files are gone)."""
+    if batch_id < 0:
+        return None, None
+    ckpt = source.checkpoint_dir
+    end = _offsets_at(ckpt, batch_id)
+    if end is None:
+        return None, None
+    if batch_id >= 1:
+        return _offsets_at(ckpt, batch_id - 1), end
+    from pravega_spark.streaming.datasource import _load_heads
+
+    try:
+        opts = source._options() if hasattr(source, "_options") else {}
+        if opts.get("start_cut"):
+            pos = json.loads(opts["start_cut"]).get("positions", {})
+            start = {str(k): int(v) for k, v in pos.items()}
+        else:
+            start = {
+                str(k): int(v)
+                for k, v in _load_heads(
+                    source.store.root, source.scope, source.stream
+                ).items()
+            }
+    except Exception:
+        return None, None
+    return start, end
+
+
 def _pump_batch(store: StreamStore, source, scope: str, stream: str,
-                writer_id: str, batch_id: int, note_time: bool) -> bool:
+                writer_id: str, batch_id: int, note_time: bool,
+                bounds=None) -> bool:
     """Driver-side fast path for a pure stream-to-stream copy: re-read
     the micro-batch's slice straight from the source stream's committed
     parquet (the same ``_read_slice_table`` the executors run) and
@@ -83,9 +119,14 @@ def _pump_batch(store: StreamStore, source, scope: str, stream: str,
     readNextEvent tail loop feeding a writer — where each micro-batch
     re-materializing itself through a cluster job would be pure
     overhead. Falls back (returns False) unless every precondition
-    holds: batch 0 (its start vector isn't in the offsets log), an
-    unreadable/multi-source offsets log, or a slice bigger than
-    HOT_MAX_ROWS (catch-up batches take the distributed path).
+    holds: an unreadable/multi-source offsets log, or a slice bigger
+    than HOT_MAX_ROWS (oversized catch-up batches take the distributed
+    path, with the slice row count passed down as a routing hint).
+
+    Batch 0's start vector isn't in the offsets log — it is the
+    source's initialOffset: the group's start cut if one was set, else
+    the stream heads (datasource.PravegaStreamReader.initialOffset).
+    Both are recomputable here, so a small catch-up batch pumps too.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -95,11 +136,7 @@ def _pump_batch(store: StreamStore, source, scope: str, stream: str,
         _read_slice_table,
     )
 
-    if batch_id < 1:
-        return False
-    ckpt = source.checkpoint_dir
-    end = _offsets_at(ckpt, batch_id)
-    start = _offsets_at(ckpt, batch_id - 1)
+    start, end = bounds if bounds is not None else _batch_bounds(source, batch_id)
     if end is None or start is None:
         return False
     total = sum(int(hi) - int(start.get(sid, 0)) for sid, hi in end.items()
@@ -179,13 +216,22 @@ def write_stream_batch(
     )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if (
-            pump_ok
-            and batch_df.columns == _ENVELOPE_COLS
-            and _pump_batch(store, passthrough_from, scope, stream,
-                            writer_id, batch_id, note_time)
-        ):
-            return
+        hint = None
+        if pump_ok and batch_df.columns == _ENVELOPE_COLS:
+            bounds = _batch_bounds(passthrough_from, batch_id)
+            if _pump_batch(store, passthrough_from, scope, stream,
+                           writer_id, batch_id, note_time, bounds=bounds):
+                return
+            start, end = bounds
+            if start is not None and end is not None:
+                # pump declined but the slice size is still exact
+                # knowledge: oversized batches skip the bounded probe
+                # (no double scan), small ones still take it
+                hint = sum(
+                    int(hi) - int(start.get(sid, 0))
+                    for sid, hi in end.items()
+                    if int(hi) > int(start.get(sid, 0))
+                )
         store.write_events(
             scope,
             stream,
@@ -195,6 +241,7 @@ def write_stream_batch(
             writer_id=writer_id,
             batch_seq=batch_id,
             note_time=note_time,
+            row_count_hint=hint,
         )
 
     return _write

@@ -170,3 +170,32 @@ def test_python_avro_codec_null_rows(spark):
     dec = enc.select(de("payload").alias("rec")).select("rec.a", "rec.b").collect()
     got = {(r["a"], r["b"]) for r in dec}
     assert got == {(1, "x"), (None, None)}
+
+
+def test_row_count_hint_skips_probe_for_oversized(spark, store, monkeypatch):
+    """An exact above-cap row-count hint routes straight to the
+    distributed tier — no discarded bounded collect (the r4 'double
+    scan' nit)."""
+    from pyspark.sql import DataFrame
+
+    from pravega_spark.sources import load_table
+
+    _mk_stream(store)
+    monkeypatch.setattr(
+        store_mod.StreamStore,
+        "_estimate_bytes",
+        staticmethod(lambda df: store_mod._UNKNOWN_EST_BYTES),
+    )
+    monkeypatch.setattr(store_mod, "HOT_MAX_ROWS", 10)
+    calls = {"toArrow": 0}
+    orig = DataFrame.toArrow
+
+    def counting(self):
+        calls["toArrow"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "toArrow", counting)
+    small = load_table(spark, SF_DIR, "events").limit(30)
+    store.write_events("s", "ev", small, routing_key_col="user_id", row_count_hint=30)
+    assert calls["toArrow"] == 0, "oversized hint must skip the probe collect"
+    assert store.read("s", "ev").count() == 30

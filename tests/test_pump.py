@@ -168,3 +168,19 @@ def test_pump_declines_oversized_slice(spark, store, monkeypatch):
     _run_capped(store, rg, sink, n + 1, cap=max(1, n // 8))
     assert store.read("s", "dst").count() == n + 1
     assert True not in hits[1:], "oversized slices must decline the pump"
+
+
+def test_pump_serves_batch0_catchup(spark, store, monkeypatch):
+    """A fresh group's batch 0 (start = stream heads) pumps too when the
+    backlog fits HOT_MAX_ROWS."""
+    _setup(store)
+    ev = load_table(spark, SF_DIR, "events").limit(150)
+    n = ev.count()
+    store.write_events("s", "src", ev, routing_key_col="user_id", event_time_col="ts")
+    rg = ReaderGroup(store, "s", "src", "g-b0")
+    hits = _spy(monkeypatch)
+    sink = write_stream_batch(store, "s", "dst", writer_id="w", passthrough_from=rg)
+    rg.drain(sink)
+    assert hits and hits[0] is True, hits
+    assert store.read("s", "dst").count() == n
+    assert _key_seqs(store, "s", "src") == _key_seqs(store, "s", "dst")
