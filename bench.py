@@ -411,8 +411,11 @@ SF1_QUERIES = [
     "q18_large_volume_customers",
     "events_sessionization",
     "events_asof_purchase",
+    "events_hourly_agg",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
 ]
 
 
@@ -548,6 +551,25 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # sf1 scale-validation section (VERDICT r4 item 2) runs RIGHT AFTER
+    # the headline loop, before the streaming/KVT benches: measured ~3x
+    # inflation on the sf1 joins when they inherit end-of-session GC
+    # debt and shuffle-dir churn. Only when the derived 10x dataset
+    # exists (scripts/make_scale_data.py) and isn't disabled.
+    sf1: dict = {}
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"),
+    )
+    if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        try:
+            sf1 = _bench_sf1_section(spark, qs, sf1_dir)
+        except Exception as e:
+            errors["sf1"] = _err_str(e)
+            print(f"# sf1: ERROR {errors['sf1']}", file=sys.stderr)
+
     # streaming tier last: its query machinery/caches would tax the
     # relational loop if it ran first. Settle the JVM first — measured
     # ~2x slower when it inherits the query loop's GC debt (same
@@ -577,23 +599,6 @@ def main() -> None:
     except Exception as e:
         errors["kvt_compaction"] = _err_str(e)
         print(f"# kvt_compaction: ERROR {errors['kvt_compaction']}", file=sys.stderr)
-
-    # sf1 scale-validation section (VERDICT r4 item 2): runs only when
-    # the derived 10x dataset exists (scripts/make_scale_data.py) and
-    # isn't disabled. One rep per query — the point is the GROWTH RATIO
-    # vs the sf0.1 medians above (~10x rows => ~10x wall or less thanks
-    # to fixed per-query overheads), not a low-variance absolute.
-    sf1: dict = {}
-    sf1_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"),
-    )
-    if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        try:
-            sf1 = _bench_sf1_section(spark, qs, sf1_dir)
-        except Exception as e:
-            errors["sf1"] = _err_str(e)
-            print(f"# sf1: ERROR {errors['sf1']}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

@@ -46,8 +46,11 @@ BASES = {
     "suppkey": 100_000,
     "user": 10_000_000,
     "event": 100_000_000,
-    "doc": 1_000_000,
-    "vec": 1_000_000,
+    # documents queries synthesize in-query duplicates at doc_id +1M/+2M
+    # (queries/text.py); copy shifts must stay clear of that band or two
+    # DIFFERENT texts collide on one doc_id (breaks Jaccard invariants)
+    "doc": 100_000_000,
+    "vec": 100_000_000,
 }
 
 # table -> {column: base_name}
