@@ -35,6 +35,13 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
+    # -- new in round 5 (never gated): the remaining TPC-H shapes ---------
+    "q9_product_type_profit",
+    "q11_important_part_value",
+    "q12_priority_shipping_class",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
     # -- round-5 rotation (VERDICT r4 item 3): the 14 queries that sat
     # -- past the r4 50-entry cap (latest driver rows r2/r3; judge-
     # -- verified in r4) — the LLM-pipeline layer gets fresh driver

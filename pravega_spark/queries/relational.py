@@ -1224,6 +1224,348 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------- q9
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: nation profit by order year over a part-name scan.
+
+    Adapted to this schema (no partsupp table): supply cost is modeled
+    as 10% of ``p_retailprice * l_quantity``, keeping Q9's plan shape —
+    LIKE-filtered part scan broadcast into the fact, supplier/nation
+    broadcast, fact-fact join lineitem⋈orders, 2-key aggregate.
+    All money math is exact decimal until the final round/cast, so both
+    engines agree bit-for-bit.
+    """
+    d12 = "decimal(12,4)"
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    gross = F.col("l_extendedprice").cast(d12) * (1 - F.col("l_discount").cast(d12))
+    cost = (
+        F.col("p_retailprice").cast(d12)
+        * F.col("l_quantity").cast(d12)
+        * F.lit("0.1").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(gross - cost), 4).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                      - CAST(p_retailprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))
+                        * CAST(0.1 AS DECIMAL(2,1))), 4) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------- q11
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value with a HAVING against a global
+    scalar aggregate (the classic uncorrelated-scalar-subquery plan).
+
+    Adapted (no partsupp): part "value" is shipped-volume value
+    ``p_retailprice * l_quantity`` from one nation's suppliers; keep
+    parts whose value exceeds 0.1% of the total. The global total is a
+    1-row aggregate broadcast-crossed into the filter — no second scan
+    shuffle, and the comparison stays exact decimal on both engines.
+    """
+    d12 = "decimal(12,4)"
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    part = _t(spark, sf_dir, "part")
+    value = F.col("p_retailprice").cast(d12) * F.col("l_quantity").cast(d12)
+    per_part = (
+        li.join(
+            F.broadcast(
+                supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+                .select("s_suppkey")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("total_dec") * F.lit("0.001").cast("decimal(4,3)"))
+        .select("p_partkey", F.round("value_dec", 4).cast("double").alias("value"))
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT p_partkey,
+         sum(CAST(p_retailprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY p_partkey
+)
+SELECT p_partkey, CAST(round(value_dec, 4) AS DOUBLE) AS value
+FROM per_part
+WHERE value_dec > (SELECT sum(value_dec) FROM per_part) * CAST(0.001 AS DECIMAL(4,3))
+ORDER BY value DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------- q12
+def q12_priority_shipping_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional-sum pivot.
+
+    Adapted (no l_shipmode/commit/receipt dates): lineitems shipped in
+    1996 after their order date, classed by return flag, counting
+    high-priority (1-URGENT/2-HIGH) vs other orders. One shuffle for
+    the join; the CASE sums fold into partial aggregation.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------- q20
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested aggregate threshold feeding a semi join.
+
+    Adapted (no partsupp availqty): suppliers who shipped MORE than half
+    of a 'blue' part's total 1996 volume (the "excess share" analogue of
+    availqty > ½ yearly demand). Two aggregations over the same slice —
+    the per-(part,supplier) rollup re-aggregates to per-part totals, so
+    the raw fact is scanned once — then a broadcast semi join into
+    supplier. Quantities are integral doubles: sums are exact.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
+    supp = _t(spark, sf_dir, "supplier")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    tot = ps.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        ps.join(F.broadcast(tot), ps.l_partkey == F.col("pk"))
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(dominant), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM ps
+  JOIN (SELECT l_partkey AS pk, sum(supp_qty) AS part_qty FROM ps GROUP BY l_partkey) t
+    ON ps.l_partkey = t.pk
+  WHERE supp_qty > 0.5 * part_qty
+)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------- q21
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact.
+
+    Adapted (no commit/receipt dates): a lineitem is "late" when it
+    shipped >60 days after the order date. For finished ('F') orders,
+    count per supplier (one nation) the orders where it was late, some
+    other supplier participated (semi join), and no other supplier was
+    also late (anti join). Both self-joins are equi on l_orderkey with
+    a residual suppkey inequality — shuffle-once SMJ shape.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    late = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = (
+        late.join(
+            F.broadcast(
+                supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+                .select("s_suppkey", "s_name")
+            ),
+            late.l_suppkey == F.col("s_suppkey"),
+        )
+        .alias("l1")
+    )
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------- q22
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-average scalar subquery + anti join.
+
+    Adapted (no c_phone): the "country code" is the last two digits of
+    the fixed-width customer name. Customers in the code list with a
+    balance above the positive-balance average of that list and no
+    RECENT order (none since 1999 — this testdata has no order-less
+    customers, so "lapsed" keeps the anti join non-vacuous), grouped by
+    code. The average is formed as exact-decimal sum ÷ count, cast to
+    double identically on both engines, so the threshold comparison is
+    bit-deterministic.
+    """
+    codes = ["13", "17", "18", "23", "29", "30", "31"]
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring("c_name", 17, 2)
+    ).filter(F.col("cntrycode").isin(codes))
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    return (
+        cust.join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = """
+SELECT substr(c_name, 17, 2) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE substr(c_name, 17, 2) IN ('13','17','18','23','29','30','31')
+  AND c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+    FROM customer
+    WHERE substr(c_name, 17, 2) IN ('13','17','18','23','29','30','31')
+      AND c_acctbal > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY substr(c_name, 17, 2)
+ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_min_price_supplier": min_price_supplier,
@@ -1235,7 +1577,10 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q8_bucketed_colocated_join": q8_market_share_bucketed,
+    "q9_product_type_profit": q9_product_type_profit,
     "q10_returned_items": q10_returned_items,
+    "q11_important_part_value": q11_important_part_value,
+    "q12_priority_shipping_class": q12_priority_shipping_class,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -1243,6 +1588,9 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q20_dominant_part_suppliers": q20_dominant_part_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "cust_segment_set_ops": cust_segment_set_ops,
     "events_approx_distinct": events_approx_distinct,
     "events_value_percentiles": events_value_percentiles,
@@ -1271,7 +1619,10 @@ ORACLES = {
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q8_bucketed_colocated_join": Q8_SQL,
+    "q9_product_type_profit": Q9_SQL,
     "q10_returned_items": Q10_SQL,
+    "q11_important_part_value": Q11_SQL,
+    "q12_priority_shipping_class": Q12_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q15_top_supplier": Q15_SQL,
@@ -1279,6 +1630,9 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_volume_customers": Q18_SQL,
     "q19_disjunctive_predicates": Q19_SQL,
+    "q20_dominant_part_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
+    "q22_global_sales_opportunity": Q22_SQL,
     "cust_segment_set_ops": SET_OPS_SQL,
     "events_approx_distinct": APPROX_DISTINCT_SQL,
     "events_value_percentiles": PERCENTILES_SQL,
