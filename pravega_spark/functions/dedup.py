@@ -90,7 +90,51 @@ def minhash_lsh_pairs(
     # one pass over the shingle table: signatures + sizes + the set
     # itself; verification is array_intersect against this doc-level
     # table, never a re-join over raw shingles
-    sigs = minhash_signatures(sh, n_hashes=n_hashes).persist()
+    sigs = minhash_signatures(sh, n_hashes=n_hashes)
+    # EXACT-COLLAPSE pre-pass (the standard pipeline order: exact dedup
+    # before near-dedup). Docs with identical shingle SETS have identical
+    # signatures, identical band keys and Jaccard 1.0 with each other, so
+    # the LSH + verify stages only ever need ONE representative per set;
+    # member pairs are reconstructed afterwards. Output is provably
+    # identical to running LSH over the full corpus — identical sets ⇒
+    # identical candidacy and identical verified Jaccard — but the
+    # quadratic stages (band self-join, exact verification) shrink by the
+    # corpus's duplication factor, which is exactly the factor that blows
+    # up on real crawl data. Beware: a degenerate mass-duplicate group
+    # still emits O(|group|²) pairs, because those pairs ARE the answer.
+    groups = (
+        # per-shingle md5 before sort/concat: hex digests contain no "|",
+        # so the concatenation is prefix-unambiguous for any text
+        sigs.withColumn(
+            "set_key",
+            F.md5(F.concat_ws("|", F.array_sort(F.transform("sh_set", F.md5)))),
+        )
+        .groupBy("set_key")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_sh").alias("n_sh"),
+            F.first("sig").alias("sig"),
+            F.first("sh_set").alias("sh_set"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .persist()
+    )
+    # all-pairs within one exact group: ms[i] < every element of the
+    # sorted tail it is paired with, so (id_a, id_b) ordering holds
+    intra = (
+        groups.filter(F.size("members") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(members)-2), "
+                    "i -> transform(slice(members, i+2, size(members)-i-1), "
+                    "y -> struct(members[i] AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    sigs = groups  # representatives only, one per distinct shingle set
     band_keys = F.array(
         *[
             F.struct(
@@ -127,21 +171,42 @@ def minhash_lsh_pairs(
             F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
         )
     )
-    out = (
+    rep_pairs = (
         inter.withColumn(
             "jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # materialize the (small) verified-pairs result while sigs is hot,
-    # then free the cache: sigs carries the corpus's full shingle sets —
-    # leaving it persisted would pin O(corpus) executor storage for the
-    # session. If the cached result is ever evicted, lineage recompute
-    # is still correct, just slower.
+    # expand rep-level near-dup pairs back to member pairs: every member
+    # of group(rep_a) pairs with every member of group(rep_b) at the same
+    # Jaccard (identical sets per side). Groups are disjoint, so the
+    # cross product never emits a self-pair; least/greatest restores the
+    # id_a < id_b convention. Most groups are singletons — both joins hit
+    # the persisted groups table and the explosion is the duplicate mass
+    # itself, not a blow-up.
+    inter_pairs = (
+        rep_pairs.join(
+            groups.select(F.col("doc_id").alias("id_a"), F.col("members").alias("ms_a")), "id_a"
+        )
+        .join(groups.select(F.col("doc_id").alias("id_b"), F.col("members").alias("ms_b")), "id_b")
+        .select(F.explode("ms_a").alias("a"), "ms_b", "jaccard")
+        .select("a", F.explode("ms_b").alias("b"), "jaccard")
+        .select(
+            F.least("a", "b").alias("id_a"),
+            F.greatest("a", "b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    out = intra.unionByName(inter_pairs)
+    # materialize the (small) verified-pairs result while groups is hot,
+    # then free the cache: groups carries the corpus's distinct shingle
+    # sets — leaving it persisted would pin O(corpus) executor storage
+    # for the session. If the cached result is ever evicted, lineage
+    # recompute is still correct, just slower.
     out = out.persist()
     out.count()
-    sigs.unpersist()
+    groups.unpersist()
     return out
 
 

@@ -294,7 +294,42 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"seed{k}:"), F.col("shingle")))).alias(f"mh{k}")
             for k in range(_N_HASHES)
         ],
-    ).persist()
+    )
+    # exact-collapse pre-pass (see functions/dedup.py for the proof):
+    # docs with identical shingle sets share signatures and pair at
+    # Jaccard exactly 1.0, so LSH + verification run on ONE rep per
+    # distinct set and member pairs are reconstructed afterwards —
+    # output-identical, but the quadratic stages shrink by the corpus's
+    # duplication factor (the factor that explodes on crawl data).
+    groups = (
+        sigs.withColumn(
+            "set_key",
+            F.md5(F.concat_ws("|", F.array_sort(F.transform("sh_set", F.md5)))),
+        )
+        .groupBy("set_key")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_sh").alias("n_sh"),
+            F.first("sh_set").alias("sh_set"),
+            *[F.first(f"mh{k}").alias(f"mh{k}") for k in range(_N_HASHES)],
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .persist()
+    )
+    intra = (
+        groups.filter(F.size("members") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(members)-2), "
+                    "i -> transform(slice(members, i+2, size(members)-i-1), "
+                    "y -> struct(members[i] AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    sigs = groups  # representatives only from here on
     # no distinct here: duplicate (doc,band) rows (two hashes colliding
     # on one doc) only produce duplicate candidates, which cand's
     # distinct already removes — one less shuffle
@@ -331,22 +366,38 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
         )
     )
-    out = (
+    rep_pairs = (
         inter.withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
         )
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
-    # materialize the (small) verified pairs while sigs is hot, then free
-    # it: sigs carries every doc's full shingle set — leaving it cached
-    # would pin O(corpus) executor storage for the rest of the session
-    # (the driver gate runs ~50 queries in ONE session; leaks compound).
+    # expand rep pairs across both groups' members (groups are disjoint;
+    # least/greatest restores id_a < id_b) and add the intra-group
+    # exact-duplicate pairs at Jaccard 1.0
+    inter_pairs = (
+        rep_pairs.join(
+            groups.select(F.col("doc_id").alias("id_a"), F.col("members").alias("ms_a")), "id_a"
+        )
+        .join(groups.select(F.col("doc_id").alias("id_b"), F.col("members").alias("ms_b")), "id_b")
+        .select(F.explode("ms_a").alias("a"), "ms_b", "jaccard")
+        .select("a", F.explode("ms_b").alias("b"), "jaccard")
+        .select(
+            F.least("a", "b").alias("id_a"),
+            F.greatest("a", "b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    out = intra.unionByName(inter_pairs).orderBy("id_a", "id_b")
+    # materialize the (small) verified pairs while groups is hot, then
+    # free it: groups carries every distinct shingle set — leaving it
+    # cached would pin O(corpus) executor storage for the rest of the
+    # session (the driver gate runs ~50 queries in ONE session).
     out = out.persist()
     out.count()
-    sigs.unpersist()
+    groups.unpersist()
     return out
 
 
