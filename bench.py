@@ -24,8 +24,11 @@ HEADLINE = [
     "q5_bucketed_colocated_join",
     "q8_market_share",
     "q8_bucketed_colocated_join",
+    "q9_product_type_profit",
     "q10_returned_items",
+    "q12_priority_shipping_class",
     "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "events_hourly_agg",
     "events_sessionization",
     "events_asof_purchase",
@@ -408,7 +411,9 @@ SF1_QUERIES = [
     "q5_bucketed_colocated_join",
     "q8_market_share",
     "q8_bucketed_colocated_join",
+    "q9_product_type_profit",
     "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "events_sessionization",
     "events_asof_purchase",
     "events_hourly_agg",

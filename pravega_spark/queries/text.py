@@ -278,46 +278,38 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard over distinct shingle sets; pairs ≥ threshold.
 
     Scale shape: band self-join is near-linear (buckets are small);
-    exact Jaccard runs only on candidates — never all-pairs.
+    exact Jaccard runs only on candidates — never all-pairs. An
+    exact-collapse pre-pass at the TEXT level (the standard pipeline
+    order: exact dedup before near-dedup) means shingling, LSH and
+    verification all run on ONE representative per distinct text:
+    identical texts share shingle sets and signatures and pair with each
+    other at Jaccard exactly 1.0, so intra-group pairs are emitted
+    combinatorially and rep-level near-dup pairs expand through group
+    membership — output-identical (see functions/dedup.py for the
+    argument), while the quadratic stages shrink by the corpus's exact-
+    duplication factor. The collapse groupBy REPLACES the repartition
+    the CPU-heavy shingle stage needed anyway, so a unique corpus pays
+    ~nothing and a duplicated corpus skips shingling its duplicate mass.
     """
-    sh = _shingles(spark, sf_dir)
-    # ONE aggregation produces signatures, set sizes AND the shingle set
-    # itself (bounded by doc length), so exact-Jaccard verification is
-    # array_intersect against this doc-level table — the raw shingle
-    # table is scanned exactly once and never persisted or re-joined
-    # (the old shape paid two more shuffle joins over it to count
-    # intersections)
-    sigs = sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_sh"),
-        F.collect_set("shingle").alias("sh_set"),
-        *[
-            F.min(F.md5(F.concat(F.lit(f"seed{k}:"), F.col("shingle")))).alias(f"mh{k}")
-            for k in range(_N_HASHES)
-        ],
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzduplicate marker")).alias("text"),
     )
-    # exact-collapse pre-pass (see functions/dedup.py for the proof):
-    # docs with identical shingle sets share signatures and pair at
-    # Jaccard exactly 1.0, so LSH + verification run on ONE rep per
-    # distinct set and member pairs are reconstructed afterwards —
-    # output-identical, but the quadratic stages shrink by the corpus's
-    # duplication factor (the factor that explodes on crawl data).
-    groups = (
-        sigs.withColumn(
-            "set_key",
-            F.md5(F.concat_ws("|", F.array_sort(F.transform("sh_set", F.md5)))),
-        )
-        .groupBy("set_key")
+    pool = docs.unionByName(dup)
+    tg = (
+        pool.groupBy(F.md5("text").alias("tkey"))
         .agg(
             F.min("doc_id").alias("doc_id"),
-            F.first("n_sh").alias("n_sh"),
-            F.first("sh_set").alias("sh_set"),
-            *[F.first(f"mh{k}").alias(f"mh{k}") for k in range(_N_HASHES)],
+            F.first("text").alias("text"),
             F.array_sort(F.collect_list("doc_id")).alias("members"),
         )
         .persist()
     )
+    # all-pairs within one exact-text group: members is sorted, so
+    # (id_a, id_b) ordering holds by construction
     intra = (
-        groups.filter(F.size("members") > 1)
+        tg.filter(F.size("members") > 1)
         .select(
             F.explode(
                 F.expr(
@@ -329,7 +321,25 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
     )
-    sigs = groups  # representatives only from here on
+    reps = tg.withColumn("w", _tokens(F.col("text")))
+    shx = F.expr(
+        "CASE WHEN size(w) >= 3 "
+        "THEN transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])) "
+        "ELSE array(concat_ws(' ', w)) END"
+    )
+    sh = reps.select("doc_id", F.explode(F.array_distinct(shx)).alias("shingle"))
+    # ONE aggregation produces signatures, set sizes AND the shingle set
+    # itself (bounded by doc length), so exact-Jaccard verification is
+    # array_intersect against this doc-level table — the raw shingle
+    # table is scanned exactly once and never persisted or re-joined
+    sigs = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        F.collect_set("shingle").alias("sh_set"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"seed{k}:"), F.col("shingle")))).alias(f"mh{k}")
+            for k in range(_N_HASHES)
+        ],
+    ).persist()
     # no distinct here: duplicate (doc,band) rows (two hashes colliding
     # on one doc) only produce duplicate candidates, which cand's
     # distinct already removes — one less shuffle
@@ -374,14 +384,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
     )
-    # expand rep pairs across both groups' members (groups are disjoint;
+    # expand rep pairs across both groups\' members (groups are disjoint;
     # least/greatest restores id_a < id_b) and add the intra-group
     # exact-duplicate pairs at Jaccard 1.0
     inter_pairs = (
         rep_pairs.join(
-            groups.select(F.col("doc_id").alias("id_a"), F.col("members").alias("ms_a")), "id_a"
+            tg.select(F.col("doc_id").alias("id_a"), F.col("members").alias("ms_a")), "id_a"
         )
-        .join(groups.select(F.col("doc_id").alias("id_b"), F.col("members").alias("ms_b")), "id_b")
+        .join(tg.select(F.col("doc_id").alias("id_b"), F.col("members").alias("ms_b")), "id_b")
         .select(F.explode("ms_a").alias("a"), "ms_b", "jaccard")
         .select("a", F.explode("ms_b").alias("b"), "jaccard")
         .select(
@@ -391,13 +401,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = intra.unionByName(inter_pairs).orderBy("id_a", "id_b")
-    # materialize the (small) verified pairs while groups is hot, then
-    # free it: groups carries every distinct shingle set — leaving it
-    # cached would pin O(corpus) executor storage for the rest of the
+    # materialize the (small) verified pairs while the caches are hot,
+    # then free them: sigs carries every distinct shingle set — leaving
+    # it cached would pin O(corpus) executor storage for the rest of the
     # session (the driver gate runs ~50 queries in ONE session).
     out = out.persist()
     out.count()
-    groups.unpersist()
+    sigs.unpersist()
+    tg.unpersist()
     return out
 
 

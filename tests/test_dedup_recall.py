@@ -70,3 +70,64 @@ def test_lsh_params_validated(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         minhash_lsh_pairs(shingle(df), n_hashes=100, bands=16)
+
+
+def test_exact_collapse_preserves_pairs(spark):
+    """The r5 exact-collapse pre-pass must be output-invisible: planted
+    EXACT duplicate groups yield every intra-group pair at jaccard 1.0,
+    and near-dup pairs expand across both groups' members — identical to
+    brute-force all-pairs Jaccard over the full (uncollapsed) corpus."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(80))))
+    # exact-duplicate groups: 3 copies of doc 0..4 (group size 4 incl. original)
+    nid = 1000
+    for base in range(5):
+        for _ in range(3):
+            docs.append((nid, docs[base][1]))
+            nid += 1
+    # a near-dup of doc 0 (~3% token flip) -> its pair must expand to ALL
+    # of doc 0's exact copies as well
+    toks = docs[0][1].split()
+    for _ in range(2):
+        toks[rng.randrange(len(toks))] = rng.choice(vocab)
+    docs.append((2000, " ".join(toks)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = shingle(df, n=2).cache()
+    sh.count()
+
+    # brute-force ground truth over the FULL corpus (no collapse)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    truth = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("j", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("j") >= THRESHOLD)
+    )
+    true_map = {(r["id_a"], r["id_b"]): r["j"] for r in truth.collect()}
+    # the planting worked: 5 groups x C(4,2)=6 intra pairs = 30 exact pairs
+    exact_true = {p for p, j in true_map.items() if j == 1.0}
+    assert len(exact_true) == 30
+
+    found = minhash_lsh_pairs(sh, threshold=THRESHOLD, n_hashes=128, bands=16)
+    found_map = {(r["id_a"], r["id_b"]): r["jaccard"] for r in found.collect()}
+
+    # every exact pair present at exactly 1.0 (identical sigs -> always candidates)
+    for p in exact_true:
+        assert found_map.get(p) == 1.0, f"missing/wrong exact pair {p}"
+    # near-dup expansion: doc 2000 pairs with doc 0 AND all 3 exact copies
+    near_true = {p for p in true_map if 2000 in p and p not in exact_true}
+    near_found = {p for p in found_map if 2000 in p}
+    assert near_found == near_true, (near_found, near_true)
+    # jaccard values must match brute force exactly on every emitted pair
+    for p, j in found_map.items():
+        assert p in true_map and abs(true_map[p] - j) < 1e-12, (p, j)
+    sh.unpersist()
