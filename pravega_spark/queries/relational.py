@@ -1282,9 +1282,13 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adapted (no partsupp): part "value" is shipped-volume value
     ``p_retailprice * l_quantity`` from one nation's suppliers; keep
-    parts whose value exceeds 0.1% of the total. The global total is a
-    1-row aggregate broadcast-crossed into the filter — no second scan
-    shuffle, and the comparison stays exact decimal on both engines.
+    parts whose value exceeds 2× the average per-part value. The
+    threshold is a ratio, not a fixed fraction, so the query stays
+    non-degenerate at every scale factor (stock TPC-H scales its
+    FRACTION by 1/SF for exactly this reason). The global aggregate is
+    one broadcast row crossed into the filter; the comparison is formed
+    as 2.0 * (sum/count) with identical IEEE association on both
+    engines, so the boundary is bit-deterministic.
     """
     d12 = "decimal(12,4)"
     li = _t(spark, sf_dir, "lineitem")
@@ -1304,13 +1308,25 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         .agg(F.sum(value).alias("value_dec"))
     )
-    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
-    return (
+    # per_part feeds both the global total and the filter; persist the
+    # (one row per part — tiny vs the fact) aggregate so lineitem is
+    # scanned once, not twice
+    per_part = per_part.persist()
+    total = per_part.agg(
+        F.sum("value_dec").cast("double").alias("tot"), F.count("*").alias("n")
+    )
+    out = (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec") > F.col("total_dec") * F.lit("0.001").cast("decimal(4,3)"))
+        .filter(
+            F.col("value_dec").cast("double") > F.lit(2.0) * (F.col("tot") / F.col("n"))
+        )
         .select("p_partkey", F.round("value_dec", 4).cast("double").alias("value"))
         .orderBy(F.desc("value"), "p_partkey")
     )
+    out = out.persist()
+    out.count()
+    per_part.unpersist()
+    return out
 
 
 Q11_SQL = """
@@ -1326,7 +1342,8 @@ WITH per_part AS (
 )
 SELECT p_partkey, CAST(round(value_dec, 4) AS DOUBLE) AS value
 FROM per_part
-WHERE value_dec > (SELECT sum(value_dec) FROM per_part) * CAST(0.001 AS DECIMAL(4,3))
+WHERE CAST(value_dec AS DOUBLE) >
+      2.0 * (SELECT CAST(sum(value_dec) AS DOUBLE) / count(*) FROM per_part)
 ORDER BY value DESC, p_partkey
 """
 
@@ -1394,9 +1411,12 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
-    tot = ps.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("supp_qty").alias("part_qty"))
+    # per-part total via a window over the grouped result — the fact is
+    # scanned and aggregated ONCE (a second groupBy would recompute the
+    # whole ps subtree; .explain showed no exchange reuse)
+    part_win = Window.partitionBy("l_partkey")
     dominant = (
-        ps.join(F.broadcast(tot), ps.l_partkey == F.col("pk"))
+        ps.withColumn("part_qty", F.sum("supp_qty").over(part_win))
         .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
         .select("l_suppkey")
         .distinct()
