@@ -418,7 +418,10 @@ SF1_QUERIES = [
     "events_asof_purchase",
     "events_hourly_agg",
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_clusters",
+    "embedding_near_dup",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
 ]

@@ -121,18 +121,72 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The label join carries WHOLE vectors through the vectorized cosine —
     64× less shuffle volume than a positional explode; AQE skew-join
-    splits any hot label cell."""
+    splits any hot label cell.
+
+    Exact-collapse pre-pass (same argument as the MinHash paths):
+    bit-identical vectors in the same cell pair with each other at
+    cosine exactly 1.0 and with everything else at identical values, so
+    the quadratic within-cell join runs on one representative per
+    distinct (label, embedding) and member pairs are reconstructed
+    afterwards. The groupBy uses the raw array as the key (exact binary
+    equality, no hashing heuristics); its one linear shuffle replaces
+    quadratic growth in the cell's duplicate mass. round(·, 6) absorbs
+    the ≤1-ulp x/sqrt(x·x) wobble, so the intra-pair 1.0 is exactly
+    what both engines compute for identical vectors."""
     from pravega_spark.functions.vectors import cosine as v_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), "label", F.col("embedding").alias("vec_a"))
-    b = emb.select(F.col("vec_id").alias("b_id"), "label", F.col("embedding").alias("vec_b"))
-    sims = (
+    g = (
+        emb.groupBy("label", "embedding")
+        .agg(
+            F.min("vec_id").alias("rep"),
+            F.array_sort(F.collect_list("vec_id")).alias("members"),
+        )
+        .persist()
+    )
+    intra = (
+        g.filter(F.size("members") > 1)
+        .select(
+            "label",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(members)-2), "
+                    "i -> transform(slice(members, i+2, size(members)-i-1), "
+                    "y -> struct(members[i] AS a_id, y AS b_id))))"
+                )
+            ).alias("p"),
+        )
+        .select("label", "p.a_id", "p.b_id", F.lit(1.0).alias("cosine"))
+    )
+    a = g.select(F.col("rep").alias("a_id"), "label", F.col("embedding").alias("vec_a"))
+    b = g.select(F.col("rep").alias("b_id"), "label", F.col("embedding").alias("vec_b"))
+    rep_pairs = (
         a.join(b, "label")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("label", "a_id", "b_id", F.round(v_cosine("vec_a", "vec_b"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
     )
-    return sims.filter(F.col("cosine") >= 0.35).select("label", "a_id", "b_id", "cosine").orderBy("a_id", "b_id")
+    # expand across both groups' members (groups are disjoint within a
+    # label; least/greatest restores a_id < b_id)
+    expanded = (
+        rep_pairs.join(
+            g.select(F.col("rep").alias("a_id"), F.col("members").alias("ms_a")), "a_id"
+        )
+        .join(g.select(F.col("rep").alias("b_id"), F.col("members").alias("ms_b")), "b_id")
+        .select("label", F.explode("ms_a").alias("a"), "ms_b", "cosine")
+        .select("label", "a", F.explode("ms_b").alias("b"), "cosine")
+        .select(
+            "label",
+            F.least("a", "b").alias("a_id"),
+            F.greatest("a", "b").alias("b_id"),
+            "cosine",
+        )
+    )
+    out = intra.unionByName(expanded).orderBy("a_id", "b_id")
+    out = out.persist()
+    out.count()
+    g.unpersist()
+    return out
 
 
 NEAR_DUP_SQL = """
