@@ -1456,47 +1456,56 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adapted (no commit/receipt dates): a lineitem is "late" when it
     shipped >60 days after the order date. For finished ('F') orders,
-    count per supplier (one nation) the orders where it was late, some
-    other supplier participated (semi join), and no other supplier was
-    also late (anti join). Both self-joins are equi on l_orderkey with
-    a residual suppkey inequality — shuffle-once SMJ shape.
+    count per supplier (one nation) the late lineitems on orders where
+    some other supplier participated (EXISTS) and no other supplier was
+    also late (NOT EXISTS).
+
+    Decorrelated the way modern optimizers rewrite Q21: ONE
+    lineitem⋈orders join followed by a per-order aggregate.
+    EXISTS(other supplier) ⇔ min(suppkey) ≠ max(suppkey);
+    NOT EXISTS(other LATE supplier) ⇔ min(late suppkey) = max(late
+    suppkey) non-null (the probe row itself is late, so "exactly one
+    distinct late supplier" means "no other"). min/max/count only — no
+    countDistinct, whose multi-distinct Expand would triple the joined
+    rows. The self-join formulation scans the fact three times; this
+    scans lineitem ONCE, and the groupBy reuses the join's partitioning
+    on l_orderkey — no extra exchange. The oracle keeps the canonical
+    EXISTS/NOT-EXISTS SQL, so the gate also checks the rewrite's
+    equivalence.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    late = (
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    late_supp = F.when(late, F.col("l_suppkey"))
+    per_order = (
         li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+            F.min(late_supp).alias("late_min"),
+            F.max(late_supp).alias("late_max"),
+            F.count(late_supp).alias("n_rows"),
+        )
     )
-    l1 = (
-        late.join(
+    return (
+        per_order.filter(
+            (F.col("supp_min") != F.col("supp_max"))
+            & F.col("late_min").isNotNull()
+            & (F.col("late_min") == F.col("late_max"))
+        )
+        .select(F.col("late_min").alias("the_supp"), "n_rows")
+        .join(
             F.broadcast(
                 supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
                 .select("s_suppkey", "s_name")
             ),
-            late.l_suppkey == F.col("s_suppkey"),
-        )
-        .alias("l1")
-    )
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    return (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
+            F.col("the_supp") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count("*").cast("long").alias("numwait"))
+        .agg(F.sum("n_rows").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
