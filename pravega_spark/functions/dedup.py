@@ -48,21 +48,73 @@ def minhash_signatures(
     """(id, n_sh, sig ARRAY<STRING>[n_hashes]) — one aggregation pass.
 
     Permutation k = md5("seed<k>:" || shingle); the signature element is
-    the minimum over the doc's shingle set. Size rides along so the
-    band join can prune candidates without a second aggregate.
+    the minimum over the doc's shingle set. ``n_sh`` is the DISTINCT-set
+    size (``size(sh_set)``, not the input row count) so the size-ratio
+    prune and the Jaccard denominator stay correct and deterministic
+    even when a caller passes duplicate (doc, shingle) rows.
     """
     mins = [
         F.min(F.md5(F.concat(F.lit(f"seed{k}:"), F.col(shingle_col)))).alias(f"_mh{k}")
         for k in range(n_hashes)
     ]
     sigs = shingles.groupBy(F.col(id_col).alias("doc_id")).agg(
-        F.count("*").alias("n_sh"), F.collect_set(shingle_col).alias("sh_set"), *mins
+        F.collect_set(shingle_col).alias("sh_set"), *mins
     )
     return sigs.select(
         "doc_id",
-        "n_sh",
+        F.size("sh_set").alias("n_sh"),
         "sh_set",
         F.array(*[F.col(f"_mh{k}") for k in range(n_hashes)]).alias("sig"),
+    )
+
+
+def member_pairs(groups: DataFrame, a_name: str = "id_a", b_name: str = "id_b",
+                 carry: tuple = ()) -> DataFrame:
+    """All ordered pairs within each group's sorted ``members`` array.
+
+    ``members`` must be sorted ascending, so ``members[i]`` is smaller
+    than every element of the tail it is paired with — the (a, b)
+    ordering holds by construction. ``carry`` lists group columns to
+    pass through onto every emitted pair.
+    """
+    return (
+        groups.filter(F.size("members") > 1)
+        .select(
+            *carry,
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(members)-2), "
+                    "i -> transform(slice(members, i+2, size(members)-i-1), "
+                    f"y -> struct(members[i] AS {a_name}, y AS {b_name}))))"
+                )
+            ).alias("_p"),
+        )
+        .select(*carry, f"_p.{a_name}", f"_p.{b_name}")
+    )
+
+
+def expand_pairs(pairs: DataFrame, groups: DataFrame, a_col: str = "id_a",
+                 b_col: str = "id_b", rep_col: str = "doc_id") -> DataFrame:
+    """Representative-level pairs → member-level pairs via ``groups``'
+    membership lists (cross product of both sides' members).
+
+    Groups partition the id space, so the expansion never emits a
+    self-pair or a duplicate; least/greatest restores a < b. All other
+    ``pairs`` columns are carried through unchanged.
+    """
+    carry = [c for c in pairs.columns if c not in (a_col, b_col)]
+    return (
+        pairs.join(
+            groups.select(F.col(rep_col).alias(a_col), F.col("members").alias("_ms_a")), a_col
+        )
+        .join(groups.select(F.col(rep_col).alias(b_col), F.col("members").alias("_ms_b")), b_col)
+        .select(*carry, F.explode("_ms_a").alias("_a"), "_ms_b")
+        .select(*carry, "_a", F.explode("_ms_b").alias("_b"))
+        .select(
+            *carry,
+            F.least("_a", "_b").alias(a_col),
+            F.greatest("_a", "_b").alias(b_col),
+        )
     )
 
 
@@ -119,21 +171,8 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    # all-pairs within one exact group: ms[i] < every element of the
-    # sorted tail it is paired with, so (id_a, id_b) ordering holds
-    intra = (
-        groups.filter(F.size("members") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(members)-2), "
-                    "i -> transform(slice(members, i+2, size(members)-i-1), "
-                    "y -> struct(members[i] AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
-    )
+    # all-pairs within one exact group at Jaccard exactly 1.0
+    intra = member_pairs(groups).withColumn("jaccard", F.lit(1.0))
     sigs = groups  # representatives only, one per distinct shingle set
     band_keys = F.array(
         *[
@@ -180,25 +219,10 @@ def minhash_lsh_pairs(
     )
     # expand rep-level near-dup pairs back to member pairs: every member
     # of group(rep_a) pairs with every member of group(rep_b) at the same
-    # Jaccard (identical sets per side). Groups are disjoint, so the
-    # cross product never emits a self-pair; least/greatest restores the
-    # id_a < id_b convention. Most groups are singletons — both joins hit
-    # the persisted groups table and the explosion is the duplicate mass
-    # itself, not a blow-up.
-    inter_pairs = (
-        rep_pairs.join(
-            groups.select(F.col("doc_id").alias("id_a"), F.col("members").alias("ms_a")), "id_a"
-        )
-        .join(groups.select(F.col("doc_id").alias("id_b"), F.col("members").alias("ms_b")), "id_b")
-        .select(F.explode("ms_a").alias("a"), "ms_b", "jaccard")
-        .select("a", F.explode("ms_b").alias("b"), "jaccard")
-        .select(
-            F.least("a", "b").alias("id_a"),
-            F.greatest("a", "b").alias("id_b"),
-            "jaccard",
-        )
-    )
-    out = intra.unionByName(inter_pairs)
+    # Jaccard (identical sets per side). Most groups are singletons —
+    # both joins hit the persisted groups table and the explosion is the
+    # duplicate mass itself, not a blow-up.
+    out = intra.unionByName(expand_pairs(rep_pairs, groups), allowMissingColumns=False)
     # materialize the (small) verified-pairs result while groups is hot,
     # then free the cache: groups carries the corpus's distinct shingle
     # sets — leaving it persisted would pin O(corpus) executor storage

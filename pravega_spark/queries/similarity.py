@@ -144,20 +144,23 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    intra = (
-        g.filter(F.size("members") > 1)
-        .select(
-            "label",
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(members)-2), "
-                    "i -> transform(slice(members, i+2, size(members)-i-1), "
-                    "y -> struct(members[i] AS a_id, y AS b_id))))"
-                )
-            ).alias("p"),
-        )
-        .select("label", "p.a_id", "p.b_id", F.lit(1.0).alias("cosine"))
-    )
+    # the intra-pair cosine is the group's SELF-cosine, computed through
+    # the same kernel — not a hardcoded 1.0. For unit vectors the
+    # x/sqrt(x·x) wobble is ≤1 ulp and round(·,6) lands on exactly 1.0;
+    # for degenerate groups (zero vector → NaN, NULL → NULL) the value
+    # and the ≥-threshold filter behave exactly as the uncollapsed join
+    # and the oracle do (NaN sorts above numbers in both engines; NULL
+    # rows drop), so parity holds on any input.
+    from pravega_spark.functions.dedup import expand_pairs, member_pairs
+
+    intra = member_pairs(
+        g.withColumn("cosine", F.round(v_cosine("embedding", "embedding"), 6)).filter(
+            F.col("cosine") >= 0.35
+        ),
+        a_name="a_id",
+        b_name="b_id",
+        carry=("label", "cosine"),
+    ).select("label", "a_id", "b_id", "cosine")
     a = g.select(F.col("rep").alias("a_id"), "label", F.col("embedding").alias("vec_a"))
     b = g.select(F.col("rep").alias("b_id"), "label", F.col("embedding").alias("vec_b"))
     rep_pairs = (
@@ -168,21 +171,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # expand across both groups' members (groups are disjoint within a
     # label; least/greatest restores a_id < b_id)
-    expanded = (
-        rep_pairs.join(
-            g.select(F.col("rep").alias("a_id"), F.col("members").alias("ms_a")), "a_id"
-        )
-        .join(g.select(F.col("rep").alias("b_id"), F.col("members").alias("ms_b")), "b_id")
-        .select("label", F.explode("ms_a").alias("a"), "ms_b", "cosine")
-        .select("label", "a", F.explode("ms_b").alias("b"), "cosine")
-        .select(
-            "label",
-            F.least("a", "b").alias("a_id"),
-            F.greatest("a", "b").alias("b_id"),
-            "cosine",
-        )
+    expanded = expand_pairs(rep_pairs, g, a_col="a_id", b_col="b_id", rep_col="rep")
+    out = (
+        intra.unionByName(expanded)
+        .select("label", "a_id", "b_id", "cosine")
+        .orderBy("a_id", "b_id")
     )
-    out = intra.unionByName(expanded).orderBy("a_id", "b_id")
     out = out.persist()
     out.count()
     g.unpersist()

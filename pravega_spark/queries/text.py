@@ -232,12 +232,29 @@ _DUCK_SHINGLES = f"""
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+# trigram shingle expression over a materialized token array `w`; the
+# single Spark-side twin of the oracle's _DUCK_SHINGLES expression
+_SHINGLE_EXPR = (
+    "CASE WHEN size(w) >= 3 "
+    "THEN transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])) "
+    "ELSE array(concat_ws(' ', w)) END"
+)
+
+
+def _marker_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies (every 10th doc, ' zzduplicate marker'
+    appended under doc_id+1M) — the Spark twin of _DUCK_POOL. ONE
+    definition so the two near-dup queries and the oracle can never
+    drift apart."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzduplicate marker")).alias("text"),
     )
+    return docs.unionByName(dup)
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split materialized once (see dedup_ngram_jaccard: transform lambdas
     # re-evaluate captured expressions per element); the documents table
     # arrives in O(file-count) partitions, far fewer than cores at small
@@ -245,13 +262,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (at 100 TB the scan already has enough partitions; the cheap
     # doc-level shuffle is still dwarfed by the shingle explosion)
     par = spark.sparkContext.defaultParallelism
-    pool = docs.unionByName(dup).repartition(par).withColumn("w", _tokens(F.col("text")))
-    sh = F.expr(
-        "CASE WHEN size(w) >= 3 "
-        "THEN transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])) "
-        "ELSE array(concat_ws(' ', w)) END"
+    pool = _marker_pool(spark, sf_dir).repartition(par).withColumn("w", _tokens(F.col("text")))
+    return pool.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_EXPR))).alias("shingle")
     )
-    return pool.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,12 +305,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CPU-heavy shingle stage needed anyway, so a unique corpus pays
     ~nothing and a duplicated corpus skips shingling its duplicate mass.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzduplicate marker")).alias("text"),
-    )
-    pool = docs.unionByName(dup)
+    pool = _marker_pool(spark, sf_dir)
     tg = (
         pool.groupBy(F.md5("text").alias("tkey"))
         .agg(
@@ -306,28 +315,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # all-pairs within one exact-text group: members is sorted, so
-    # (id_a, id_b) ordering holds by construction
-    intra = (
-        tg.filter(F.size("members") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(members)-2), "
-                    "i -> transform(slice(members, i+2, size(members)-i-1), "
-                    "y -> struct(members[i] AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
-    )
+    from pravega_spark.functions.dedup import expand_pairs, member_pairs
+
+    # all-pairs within one exact-text group at Jaccard exactly 1.0
+    intra = member_pairs(tg).withColumn("jaccard", F.lit(1.0))
     reps = tg.withColumn("w", _tokens(F.col("text")))
-    shx = F.expr(
-        "CASE WHEN size(w) >= 3 "
-        "THEN transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])) "
-        "ELSE array(concat_ws(' ', w)) END"
+    sh = reps.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_EXPR))).alias("shingle")
     )
-    sh = reps.select("doc_id", F.explode(F.array_distinct(shx)).alias("shingle"))
     # ONE aggregation produces signatures, set sizes AND the shingle set
     # itself (bounded by doc length), so exact-Jaccard verification is
     # array_intersect against this doc-level table — the raw shingle
@@ -384,23 +379,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
     )
-    # expand rep pairs across both groups\' members (groups are disjoint;
-    # least/greatest restores id_a < id_b) and add the intra-group
-    # exact-duplicate pairs at Jaccard 1.0
-    inter_pairs = (
-        rep_pairs.join(
-            tg.select(F.col("doc_id").alias("id_a"), F.col("members").alias("ms_a")), "id_a"
-        )
-        .join(tg.select(F.col("doc_id").alias("id_b"), F.col("members").alias("ms_b")), "id_b")
-        .select(F.explode("ms_a").alias("a"), "ms_b", "jaccard")
-        .select("a", F.explode("ms_b").alias("b"), "jaccard")
-        .select(
-            F.least("a", "b").alias("id_a"),
-            F.greatest("a", "b").alias("id_b"),
-            "jaccard",
-        )
+    # expand rep pairs across both groups' members and add the
+    # intra-group exact-duplicate pairs
+    out = (
+        intra.unionByName(expand_pairs(rep_pairs, tg))
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
     )
-    out = intra.unionByName(inter_pairs).orderBy("id_a", "id_b")
     # materialize the (small) verified pairs while the caches are hot,
     # then free them: sigs carries every distinct shingle set — leaving
     # it cached would pin O(corpus) executor storage for the rest of the

@@ -8,6 +8,7 @@ invariants are exactly-once delivery across the restart, aborted-txn
 invisibility, and per-key order across the epoch boundary.
 """
 
+import threading
 import time
 
 from pyspark.sql import Window
@@ -49,6 +50,7 @@ def test_txn_writers_scale_and_reader_failover(store, events):
     # -- read plane: drain phase A, then FAIL OVER (stop the query) ------
     rg = ReaderGroup(store, "s", "ev", "rg-failover")
     seen: dict[int, list[int]] = {}
+    seen_lock = threading.Lock()  # collect() runs on the query's thread
 
     def collect(df, batch_id):
         ids = [
@@ -59,7 +61,12 @@ def test_txn_writers_scale_and_reader_failover(store, events):
                 .alias("eid")
             ).collect()
         ]
-        seen[batch_id] = ids  # keyed by batch id: a retry overwrites, not double-counts
+        with seen_lock:
+            seen[batch_id] = ids  # keyed by batch id: a retry overwrites, not double-counts
+
+    def n_seen():
+        with seen_lock:
+            return sum(len(v) for v in seen.values())
 
     def run_until(target, deadline_s=300):
         q = (
@@ -70,13 +77,13 @@ def test_txn_writers_scale_and_reader_failover(store, events):
             .start()
         )
         deadline = time.time() + deadline_s
-        while time.time() < deadline and sum(len(v) for v in seen.values()) < target:
+        while time.time() < deadline and n_seen() < target:
             time.sleep(0.5)
         q.stop()
         q.awaitTermination(60)
 
     run_until(150)  # drain phase A, then the reader "fails"
-    assert sum(len(v) for v in seen.values()) == 150
+    assert n_seen() == 150
 
     # -- while the reader is down: scale (split the first segment), then
     # -- a post-scale txn and a post-scale plain batch -------------------
