@@ -443,41 +443,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the shingle→doc inverted index turns all-pairs into a
     per-shingle self-join; language is a blocking key so buckets stay
     small. At 100 TB add a document-frequency cap on hot shingles."""
+    from pravega_spark.functions.dedup import expand_pairs, member_pairs
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     dup = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         "lang",
         F.concat(F.col("text"), F.lit(" tail variation")).alias("text"),
     )
-    # materialize the split ONCE as a column: a split referenced inside a
+    pool = docs.unionByName(dup)
+    # exact-collapse at the (lang, text) level — same argument as the
+    # MinHash path, with ONE twist: the document-frequency cap must
+    # count DOCS, not groups, so each rep posting carries its group's
+    # member count and the cap filters on the weighted sum. With that,
+    # candidate generation, the cap, and every Jaccard are provably
+    # identical to the uncollapsed formulation (identical texts share
+    # every surviving shingle ⇒ intra pairs at exactly 1.0; rep pairs
+    # expand across members unchanged). The collapse groupBy replaces
+    # the repartition the tokenize stage needed anyway.
+    tg = (
+        pool.groupBy("lang", F.md5("text").alias("tkey"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("text").alias("text"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .persist()
+    )
+    # split materialized once as a column: a split referenced inside a
     # transform() lambda is re-evaluated per element (no CSE inside
-    # higher-order functions) — 8x slower measured. Repartition before
-    # the CPU-heavy tokenize/shingle stage for the same reason as
-    # _shingles: the documents scan yields O(file-count) partitions,
-    # which serializes the hottest stage on a handful of cores
-    # (3.7x faster measured at sf0.1).
-    par = spark.sparkContext.defaultParallelism
-    pool = docs.unionByName(dup).repartition(par).withColumn("w", _tokens(F.col("text")))
+    # higher-order functions) — 8x slower measured
+    reps = tg.withColumn("w", _tokens(F.col("text")))
     bigrams = F.expr(
         "CASE WHEN size(w) >= 2 "
         "THEN transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i])) "
         "ELSE array(concat_ws(' ', w)) END"
     )
-    all_sh = pool.select(
-        "doc_id", "lang", F.explode(F.array_distinct(bigrams)).alias("shingle")
+    all_sh = reps.select(
+        "doc_id",
+        "lang",
+        F.size("members").alias("weight"),
+        F.explode(F.array_distinct(bigrams)).alias("shingle"),
     )
     # Inverted index in ONE map-side-combined aggregation: posting list +
-    # document frequency per (lang, shingle). The df cap (shingles shared
-    # by many docs are stopword bigrams — non-discriminative for
-    # jaccard>=0.5 but quadratic in candidate fan-out) is a filter on the
-    # aggregate, so the old full-sort window AND the index self-join are
-    # both gone: candidate pairs come straight out of each posting list
-    # (≤ C(_DF_CAP, 2) per shingle — bounded at ANY corpus size; the
-    # oracle applies the same cap).
+    # WEIGHTED document frequency per (lang, shingle). The df cap
+    # (shingles shared by many docs are stopword bigrams —
+    # non-discriminative for jaccard>=0.5 but quadratic in candidate
+    # fan-out) filters on the aggregate, so candidate pairs come straight
+    # out of each posting list — bounded by C(cap, 2) per shingle at ANY
+    # corpus size; the oracle applies the same (doc-counted) cap.
     idx = (
         all_sh.groupBy("lang", "shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") <= _DF_CAP)
+        .agg(
+            F.array_sort(F.collect_list("doc_id")).alias("docs"),
+            F.sum("weight").alias("df"),
+        )
+        .filter(F.col("df") <= _DF_CAP)
     )
     sizes = (
         idx.select(F.explode("docs").alias("doc_id"))
@@ -493,7 +514,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.id_a", "p.id_b")
     inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
-    return (
+    rep_pairs = (
         inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
@@ -502,8 +523,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
+    )
+    # intra pairs exist only for groups whose rep kept ≥1 surviving
+    # shingle (a fully-capped doc has no index presence and pairs with
+    # nothing in the uncollapsed formulation either)
+    intra = member_pairs(
+        tg.join(sizes.select("doc_id"), "doc_id", "left_semi")
+    ).withColumn("jaccard", F.lit(1.0))
+    out = (
+        intra.unionByName(expand_pairs(rep_pairs, tg))
+        .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+    out = out.persist()
+    out.count()
+    tg.unpersist()
+    return out
 
 
 _DUCK_NGRAM_POOL = """
