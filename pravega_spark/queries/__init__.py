@@ -34,6 +34,11 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
+# r6 rotation note: with 70 registered and a 50-entry driver cap, the 20
+# past-cap entries this round are the multi-round-green block
+# cust_segment_set_ops .. events_running_value (positions 50-69; all
+# have r2/r3/r4 driver rows and r5 judge-session parity). Front them
+# next round so every query keeps accumulating post-churn evidence.
 _GATE_ORDER = [
     # -- new in round 5 (never gated): the remaining TPC-H shapes ---------
     "q9_product_type_profit",
