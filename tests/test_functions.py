@@ -193,3 +193,35 @@ def test_connected_components(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_member_pairs_and_expand_pairs(spark):
+    """Unit pins for the shared exact-collapse helpers: ordered intra
+    pairs from sorted member lists; member-level expansion of rep pairs
+    with carried columns and a<b restoration."""
+    from pravega_spark.functions.dedup import expand_pairs, member_pairs
+    import pyspark.sql.functions as F
+
+    groups = spark.createDataFrame(
+        [(1, [1, 5, 9]), (2, [2]), (3, [3, 4])],
+        "doc_id long, members array<long>",
+    )
+    intra = {(r["id_a"], r["id_b"]) for r in member_pairs(groups).collect()}
+    assert intra == {(1, 5), (1, 9), (5, 9), (3, 4)}
+
+    pairs = spark.createDataFrame([(1, 3, 0.75)], "id_a long, id_b long, score double")
+    got = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in expand_pairs(pairs, groups).collect()
+    }
+    # every member of group(1) x every member of group(3), a<b restored
+    assert got == {
+        (1, 3, 0.75), (1, 4, 0.75),
+        (3, 5, 0.75), (4, 5, 0.75),
+        (3, 9, 0.75), (4, 9, 0.75),
+    }
+    # carry column preserved on intra too
+    carried = member_pairs(
+        groups.withColumn("tag", F.lit("x")), carry=("tag",)
+    ).select("tag").distinct().collect()
+    assert [r["tag"] for r in carried] == ["x"]
