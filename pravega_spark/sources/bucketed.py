@@ -61,10 +61,31 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str, n_buckets: int |
     sfh = _source_fingerprint(sf_dir, name)
     tbl = f"pvs_{name}_b{n}_{sfh}"
     if not spark.catalog.tableExists(tbl):
-        # a previous session may have left files without a catalog entry
-        # (in-memory catalog); clear them so saveAsTable can't collide
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         loc = os.path.join(wh.removeprefix("file:"), tbl)
+        # a previous SESSION may have left a complete bucketed copy on
+        # disk that the in-memory catalog forgot. The bucket id lives in
+        # each file's name, so re-registering the files as an external
+        # bucketed table restores the no-shuffle join without rewriting
+        # (the sf10 copy costs ~37 s to build; re-registration is
+        # metadata-only). _SUCCESS gates against half-written crashes;
+        # the fingerprinted name gates against stale sources.
+        if os.path.isfile(os.path.join(loc, "_SUCCESS")):
+            try:
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in load_table(spark, sf_dir, name).schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n} BUCKETS "
+                    f"LOCATION '{os.path.abspath(loc)}'"
+                )
+                return spark.table(tbl)
+            except Exception:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # fall through to rebuild
+        # no reusable copy: clear any partial files so saveAsTable can't
+        # collide, then build
         if os.path.isdir(loc):
             import shutil
 
