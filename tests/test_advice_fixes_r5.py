@@ -199,3 +199,47 @@ def test_row_count_hint_skips_probe_for_oversized(spark, store, monkeypatch):
     store.write_events("s", "ev", small, routing_key_col="user_id", row_count_hint=30)
     assert calls["toArrow"] == 0, "oversized hint must skip the probe collect"
     assert store.read("s", "ev").count() == 30
+
+
+def test_bucketed_copy_reregisters_across_sessions(spark, tmp_path):
+    """A complete bucketed copy left on disk by a previous session must
+    re-attach via DDL (metadata-only) in a new session — same bucketed
+    no-shuffle plan, no rewrite. Simulated in-process by dropping the
+    catalog entry while keeping the files, which is exactly the state a
+    fresh session sees."""
+    import os
+    import time
+
+    from pravega_spark.sources.bucketed import _source_fingerprint, bucketed_table
+    from pravega_spark.sources.bucketing import is_shuffle_free_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    od = bucketed_table(spark, sf_dir, "orders")
+    li.count(), od.count()
+
+    # forget the catalog entries but keep the files (= new session)
+    for name in ("lineitem", "orders"):
+        from pravega_spark.sources.bucketed import BUCKETS
+
+        tbl = f"pvs_{name}_b{BUCKETS}_{_source_fingerprint(sf_dir, name)}"
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), tbl)
+        assert os.path.isfile(os.path.join(loc, "_SUCCESS"))
+        # drop metadata only: external-table DROP leaves files, but these
+        # were created managed — snapshot and restore the files instead
+        import shutil
+
+        shutil.copytree(loc, str(tmp_path / tbl))
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if not os.path.isdir(loc):
+            shutil.copytree(str(tmp_path / tbl), loc)
+
+    t0 = time.time()
+    li2 = bucketed_table(spark, sf_dir, "lineitem")
+    od2 = bucketed_table(spark, sf_dir, "orders")
+    attach_s = time.time() - t0
+    assert attach_s < 5, f"re-attach took {attach_s:.1f}s — rebuilt?"
+    j = li2.join(od2, li2.l_orderkey == od2.o_orderkey)
+    assert is_shuffle_free_join(j)
+    assert li2.count() == li.count() and od2.count() == od.count()
