@@ -131,3 +131,47 @@ def test_exact_collapse_preserves_pairs(spark):
     for p, j in found_map.items():
         assert p in true_map and abs(true_map[p] - j) < 1e-12, (p, j)
     sh.unpersist()
+
+
+def test_vector_lsh_recall(spark):
+    """Recall property for the random-hyperplane LSH kernel (the ANN
+    analogue of the MinHash recall test): planted near-dup vectors at
+    cosine ≥ ~0.99 must surface with recall ≥ 0.9 under the banded
+    OR-construction, with zero false positives (exact cosine verify).
+    Deterministic: hyperplanes derive from md5(seed, plane, dim) and the
+    corpus from a fixed numpy seed."""
+    import numpy as np
+
+    from pravega_spark.functions.vectors import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(200, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for j in range(30):  # planted: tiny perturbation -> cosine ~0.999
+        v = base[j] + 0.03 * rng.normal(size=32)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + j, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # brute-force ground truth
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows])
+    sims = mat @ mat.T
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.9
+    }
+    assert len(truth) >= 30  # the planting worked
+
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_lsh(
+            emb, threshold=0.9, n_planes=8, bands=6
+        ).collect()
+    }
+    assert found <= truth  # precision 1.0 by construction
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
