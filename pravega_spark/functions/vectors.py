@@ -187,14 +187,36 @@ def embedding_near_dup_lsh(
     (recall ≈ 1-(1-p^planes)^bands), then the exact cosine filters.
     All-pairs is quadratic; the band join is per-bucket — the 100 TB
     path (same shape as the MinHash band join for text).
+
+    Exact-collapse pre-pass (same argument as the MinHash kernel):
+    bit-identical vectors share every bucket and every cosine, so the
+    band join runs on one representative per distinct vector; intra
+    pairs carry the group's SELF-cosine (≈1.0 for real vectors; NaN/
+    NULL degenerate vectors behave exactly as uncollapsed) and rep
+    pairs expand through group membership. The quadratic stage shrinks
+    by the corpus's duplicate mass.
     """
-    with_buckets = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+    from pravega_spark.functions.dedup import expand_pairs, member_pairs
+
+    g = (
+        df.groupBy(F.col(vec_col).alias("vec"))
+        .agg(
+            F.min(id_col).alias("rep"),
+            F.array_sort(F.collect_list(id_col)).alias("members"),
+        )
+        .persist()
+    )
+    intra = member_pairs(
+        g.withColumn("cosine", cosine("vec", "vec")).filter(F.col("cosine") >= threshold),
+        carry=("cosine",),
+    ).select("id_a", "id_b", "cosine")
+    with_buckets = g.select(
+        F.col("rep").alias("id"),
+        "vec",
         F.explode(
             F.array(
                 *[
-                    F.concat_ws("#", F.lit(b), lsh_bucket(vec_col, n_planes, seed=42 + b))
+                    F.concat_ws("#", F.lit(b), lsh_bucket("vec", n_planes, seed=42 + b))
                     for b in range(bands)
                 ]
             )
@@ -202,7 +224,7 @@ def embedding_near_dup_lsh(
     )
     a = with_buckets.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = with_buckets.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-    return (
+    rep_pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "vec_a", "vec_b")
@@ -210,3 +232,8 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    out = intra.unionByName(expand_pairs(rep_pairs, g, rep_col="rep"))
+    out = out.persist()
+    out.count()
+    g.unpersist()
+    return out

@@ -152,6 +152,8 @@ def test_vector_lsh_recall(spark):
         v = base[j] + 0.03 * rng.normal(size=32)
         v /= np.linalg.norm(v)
         rows.append((1000 + j, v.tolist()))
+    for j in range(5):  # exact copies: must ALWAYS surface (collapse path)
+        rows.append((2000 + j, base[j].tolist()))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
     # brute-force ground truth
@@ -175,3 +177,7 @@ def test_vector_lsh_recall(spark):
     assert found <= truth  # precision 1.0 by construction
     recall = len(found & truth) / len(truth)
     assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
+    # exact duplicates are deterministic finds (identical buckets), not
+    # subject to the LSH recall curve
+    exact_pairs = {(j, 2000 + j) for j in range(5)}
+    assert exact_pairs <= found
