@@ -181,14 +181,22 @@ FROM documents ORDER BY doc_id
 
 # ---------------------------------------------------------------- exact dedup
 # Fixture: adjoin verbatim copies of every 10th doc under doc_id+1_000_000.
+def _verbatim_pool(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
+    """documents ∪ VERBATIM copies of every 10th doc (doc_id+1M) — the
+    exact-dup fixture shared by dedup_exact / dedup_clusters /
+    pipeline_corpus_clean and their oracles."""
+    cols = ["doc_id", *extra_cols, "text"]
+    docs = load_table(spark, sf_dir, "documents").select(*cols)
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), *extra_cols, "text"
+    )
+    return docs.unionByName(dup)
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep min doc_id (hash-groupBy —
     the linear-scale exact strategy), report survivors that had dups."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    pool = docs.unionByName(dup)
+    pool = _verbatim_pool(spark, sf_dir)
     return (
         pool.groupBy(F.md5(F.col("text")).alias("content_hash"))
         .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
@@ -637,11 +645,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two linear shuffles over the corpus (lang count +
     content-hash dedup buckets) and a tiny per-lang join — no
     all-pairs, no window over the full pool."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
-    )
-    pool = docs.unionByName(dup)
+    pool = _verbatim_pool(spark, sf_dir, "lang")
     raw = pool.groupBy("lang").agg(F.count("*").alias("n_raw"))
     # exact dedup: texts in a hash bucket are identical, so min() of
     # lang/text is THE value — one aggregation, no window
@@ -713,11 +717,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pravega_spark.functions.dedup import connected_components
 
     near = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    pool = docs.unionByName(dup)
+    pool = _verbatim_pool(spark, sf_dir)
     exact = (
         pool.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("id_a"), F.max("doc_id").alias("id_b"), F.count("*").alias("n"))
