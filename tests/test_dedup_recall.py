@@ -72,12 +72,18 @@ def test_lsh_params_validated(spark):
         minhash_lsh_pairs(shingle(df), n_hashes=100, bands=16)
 
 
-def test_exact_collapse_preserves_pairs(spark):
+import pytest
+
+
+@pytest.mark.parametrize("seed", [11, 29, 83])
+def test_exact_collapse_preserves_pairs(spark, seed):
     """The r5 exact-collapse pre-pass must be output-invisible: planted
     EXACT duplicate groups yield every intra-group pair at jaccard 1.0,
     and near-dup pairs expand across both groups' members — identical to
-    brute-force all-pairs Jaccard over the full (uncollapsed) corpus."""
-    rng = random.Random(11)
+    brute-force all-pairs Jaccard over the full (uncollapsed) corpus.
+    Parametrized over corpora (deterministic seeds): the equivalence is
+    an algebraic claim, so any seed must pass."""
+    rng = random.Random(seed)
     vocab = [f"w{i}" for i in range(500)]
     docs = []
     for i in range(30):
@@ -113,9 +119,10 @@ def test_exact_collapse_preserves_pairs(spark):
         .filter(F.col("j") >= THRESHOLD)
     )
     true_map = {(r["id_a"], r["id_b"]): r["j"] for r in truth.collect()}
-    # the planting worked: 5 groups x C(4,2)=6 intra pairs = 30 exact pairs
+    # the planting worked: 5 groups x C(4,2)=6 intra pairs = 30 exact
+    # pairs (a seed could add accidental exact dups; never fewer)
     exact_true = {p for p, j in true_map.items() if j == 1.0}
-    assert len(exact_true) == 30
+    assert len(exact_true) >= 30
 
     found = minhash_lsh_pairs(sh, threshold=THRESHOLD, n_hashes=128, bands=16)
     found_map = {(r["id_a"], r["id_b"]): r["jaccard"] for r in found.collect()}
