@@ -28,6 +28,7 @@ HEADLINE = [
     "q10_returned_items",
     "q12_priority_shipping_class",
     "q18_large_volume_customers",
+    "q18_bucketed_colocated_agg",
     "q21_waiting_suppliers",
     "events_hourly_agg",
     "events_sessionization",
@@ -413,6 +414,7 @@ SF1_QUERIES = [
     "q8_bucketed_colocated_join",
     "q9_product_type_profit",
     "q18_large_volume_customers",
+    "q18_bucketed_colocated_agg",
     "q21_waiting_suppliers",
     "events_sessionization",
     "events_asof_purchase",

@@ -47,6 +47,7 @@ _GATE_ORDER = [
     "q20_dominant_part_suppliers",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
+    "q18_bucketed_colocated_agg",
     # -- round-5 rotation (VERDICT r4 item 3): the 14 queries that sat
     # -- past the r4 50-entry cap (latest driver rows r2/r3; judge-
     # -- verified in r4) — the LLM-pipeline layer gets fresh driver

@@ -971,6 +971,36 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_large_volume_customers_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 on BUCKETED facts: bucketing pays twice here — the per-order
+    aggregation groups on the BUCKET KEY, so it needs no Exchange at
+    all (partial+final agg run in place per bucket), and the
+    big⋈orders join is bucket-aligned on the same key. The whole query
+    runs with ZERO fact shuffles; only the tiny dim broadcast and the
+    final top-100 sort move data. Same values as the shuffling twin
+    (one oracle serves both)."""
+    from pravega_spark.sources.bucketed import bucketed_table
+
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    orders = bucketed_table(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate,
        o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
@@ -1616,6 +1646,7 @@ QUERIES = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "q18_bucketed_colocated_agg": q18_large_volume_customers_bucketed,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q20_dominant_part_suppliers": q20_dominant_part_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -1658,6 +1689,7 @@ ORACLES = {
     "q16_supplier_part_counts": Q16_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_volume_customers": Q18_SQL,
+    "q18_bucketed_colocated_agg": Q18_SQL,
     "q19_disjunctive_predicates": Q19_SQL,
     "q20_dominant_part_suppliers": Q20_SQL,
     "q21_waiting_suppliers": Q21_SQL,
