@@ -232,7 +232,14 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-    out = intra.unionByName(expand_pairs(rep_pairs, g, rep_col="rep"))
+    # duplicate ids in the INPUT (same vec_id twice) can reach here as
+    # same-id members of one group or as same-id reps of two groups; the
+    # pre-collapse id_a < id_b formulation never emitted a self-pair, so
+    # drop them to keep the contract
+    out = (
+        intra.unionByName(expand_pairs(rep_pairs, g, rep_col="rep"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
     out = out.persist()
     out.count()
     g.unpersist()

@@ -34,11 +34,12 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
-# r6 rotation note: with 70 registered and a 50-entry driver cap, the 20
+# r6 rotation note: with 71 registered and a 50-entry driver cap, the 21
 # past-cap entries this round are the multi-round-green block
-# cust_segment_set_ops .. events_running_value (positions 50-69; all
-# have r2/r3/r4 driver rows and r5 judge-session parity). Front them
-# next round so every query keeps accumulating post-churn evidence.
+# q16_supplier_part_counts .. events_running_value (positions 50-70 —
+# q16 was pushed out when q18_bucketed_colocated_agg was fronted; all 21
+# have r1-r4 driver rows and r5 judge-session parity). Front them next
+# round so every query keeps accumulating post-churn evidence.
 _GATE_ORDER = [
     # -- new in round 5 (never gated): the remaining TPC-H shapes ---------
     "q9_product_type_profit",

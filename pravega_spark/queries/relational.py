@@ -987,7 +987,9 @@ def q18_large_volume_customers_bucketed(spark: SparkSession, sf_dir: str) -> Dat
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
         .filter(F.col("total_qty") > 200)
     )
-    orders = bucketed_table(spark, sf_dir, "orders")
+    # the merge hint keeps AQE from broadcasting the small post-agg side
+    # at test SFs — the bucket-aligned SortMergeJoin IS the demonstration
+    orders = bucketed_table(spark, sf_dir, "orders").hint("merge")
     cust = _t(spark, sf_dir, "customer")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)

@@ -716,7 +716,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive-CTE oracle so even the loop is hash-checked."""
     from pravega_spark.functions.dedup import connected_components
 
-    near = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    near_full = dedup_ngram_jaccard(spark, sf_dir)  # returns persisted
+    near = near_full.select("id_a", "id_b")
     pool = _verbatim_pool(spark, sf_dir)
     exact = (
         pool.groupBy(F.md5("text").alias("h"))
@@ -725,6 +726,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     cc = connected_components(near.union(exact).distinct())
+    # connected_components has materialized (driver union-find collects;
+    # the distributed tier persists+counts its label frame), so the pair
+    # cache from the ngram sub-query can be released — otherwise each
+    # dedup_clusters run pins a second copy of the pair list
+    near_full.unpersist()
     return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 

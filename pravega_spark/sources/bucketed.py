@@ -82,8 +82,16 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str, n_buckets: int |
                     f"LOCATION '{os.path.abspath(loc)}'"
                 )
                 return spark.table(tbl)
-            except Exception:
-                spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # fall through to rebuild
+            except Exception as e:
+                # loud fall-through: a systematic DDL failure would
+                # otherwise silently demote every session to a rebuild
+                import warnings
+
+                warnings.warn(f"bucketed re-attach of {tbl} failed ({e!r}); rebuilding")
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                except Exception:
+                    pass  # half-created entry may make DROP fail too; rebuild below
         # no reusable copy: clear any partial files so saveAsTable can't
         # collide, then build
         if os.path.isdir(loc):

@@ -235,11 +235,28 @@ def test_bucketed_copy_reregisters_across_sessions(spark, tmp_path):
         if not os.path.isdir(loc):
             shutil.copytree(str(tmp_path / tbl), loc)
 
+    def _file_state(name):
+        from pravega_spark.sources.bucketed import BUCKETS
+
+        tbl = f"pvs_{name}_b{BUCKETS}_{_source_fingerprint(sf_dir, name)}"
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), tbl)
+        return {
+            f: os.stat(os.path.join(loc, f)).st_mtime_ns
+            for f in os.listdir(loc)
+            if f.endswith(".parquet")
+        }
+
+    before = {n: _file_state(n) for n in ("lineitem", "orders")}
     t0 = time.time()
     li2 = bucketed_table(spark, sf_dir, "lineitem")
     od2 = bucketed_table(spark, sf_dir, "orders")
     attach_s = time.time() - t0
     assert attach_s < 5, f"re-attach took {attach_s:.1f}s — rebuilt?"
+    # the REAL pin: re-attach must reuse the exact files, not rewrite
+    # them (a silent fall-through to rebuild passes the wall-clock check
+    # at this SF but changes every file)
+    assert {n: _file_state(n) for n in ("lineitem", "orders")} == before
     j = li2.join(od2, li2.l_orderkey == od2.o_orderkey)
     assert is_shuffle_free_join(j)
     assert li2.count() == li.count() and od2.count() == od.count()

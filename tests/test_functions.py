@@ -63,6 +63,12 @@ def test_lsh_near_dup_recall(spark, emb):
     hits = len(top_pairs & lsh_pairs)
     assert hits >= len(top_pairs) * 0.5
     assert lsh.count() < 500 * 499 / 2  # far fewer than all pairs
+    # contract: never a self-pair, even when the INPUT carries duplicate
+    # ids (collapse groups are keyed by vector, so a duplicated row or an
+    # id reused with two vectors could otherwise pair with itself)
+    dup_in = emb.limit(5).unionByName(emb.limit(5))
+    dup_pairs = vectors.embedding_near_dup_lsh(dup_in, threshold=0.0, n_planes=2, bands=4)
+    assert dup_pairs.filter("id_a = id_b").count() == 0
 
 
 def test_json_serializer_roundtrip(spark):
