@@ -103,6 +103,9 @@ def expand_pairs(pairs: DataFrame, groups: DataFrame, a_col: str = "id_a",
     ``pairs`` columns are carried through unchanged.
     """
     carry = [c for c in pairs.columns if c not in (a_col, b_col)]
+    reserved = {"_a", "_b", "_ms_a", "_ms_b"}
+    if reserved & set(pairs.columns):
+        raise ValueError(f"pairs may not carry reserved columns {reserved & set(pairs.columns)}")
     return (
         pairs.join(
             groups.select(F.col(rep_col).alias(a_col), F.col("members").alias("_ms_a")), a_col
