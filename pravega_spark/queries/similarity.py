@@ -174,6 +174,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanded = expand_pairs(rep_pairs, g, a_col="a_id", b_col="b_id", rep_col="rep")
     out = (
         intra.unionByName(expanded)
+        # contract: never a self-pair even if the input carries duplicate
+        # vec_ids (the oracle's a.vec_id < b.vec_id is strict)
+        .filter(F.col("a_id") != F.col("b_id"))
         .select("label", "a_id", "b_id", "cosine")
         .orderBy("a_id", "b_id")
     )
