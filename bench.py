@@ -483,7 +483,8 @@ def main() -> None:
     # host-contention spike (NOTES_r2: 2-10x variance) can't masquerade
     # as a regression
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    from pravega_spark.queries import queries
+    from pravega_spark.caching import release_result_caches
+from pravega_spark.queries import queries
     from pravega_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -551,7 +552,9 @@ def main() -> None:
             samples_by_q.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
             # each rep pays its own cache-population cost inside the
             # timed region; drop leftovers so later reps/queries aren't
-            # taxed by GC
+            # taxed by GC (clearCache unpersists; the registry drain
+            # also frees the driver-side references)
+            release_result_caches()
             spark.catalog.clearCache()
     for name, samples in samples_by_q.items():
         timings[name] = sorted(samples)[len(samples) // 2]

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pravega_spark.caching import register_result_cache
+
 
 def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingle) pairs: distinct word n-grams per document."""
@@ -97,6 +99,15 @@ def expand_pairs(pairs: DataFrame, groups: DataFrame, a_col: str = "id_a",
                  b_col: str = "id_b", rep_col: str = "doc_id") -> DataFrame:
     """Representative-level pairs → member-level pairs via ``groups``'
     membership lists (cross product of both sides' members).
+
+    PRECONDITION: ``rep_col`` values are UNIQUE across ``groups`` rows
+    (one group per representative). A rep shared by two groups would
+    join both membership lists onto the same pair and cross-attach one
+    group's carried columns (e.g. cosine) to the other's members.
+    Callers must therefore collapse duplicate ids BEFORE grouping —
+    both kernels here do (minhash groups by set_key with min(doc_id)
+    rep over a per-doc signature table; embedding_near_dup_lsh dedups
+    (id, vec) rows first).
 
     Groups partition the id space, so the expansion never emits a
     self-pair or a duplicate; least/greatest restores a < b. All other
@@ -231,7 +242,7 @@ def minhash_lsh_pairs(
     # sets — leaving it persisted would pin O(corpus) executor storage
     # for the session. If the cached result is ever evicted, lineage
     # recompute is still correct, just slower.
-    out = out.persist()
+    out = register_result_cache(out.persist())
     out.count()
     groups.unpersist()
     return out

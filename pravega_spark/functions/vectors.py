@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pravega_spark.caching import register_result_cache
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """JVM-side dot product of two array columns (no UDF, no explode)."""
@@ -198,6 +200,13 @@ def embedding_near_dup_lsh(
     """
     from pravega_spark.functions.dedup import expand_pairs, member_pairs
 
+    # expand_pairs requires UNIQUE reps: an id reused with two different
+    # vectors would land in two groups and could become the rep (min id)
+    # of both, cross-attaching one group's cosine to the other's members
+    # in the expansion join. Collapse to one deterministic (id, vec) row
+    # per id first (min over the array's lexicographic order) — for the
+    # well-formed unique-id corpus this is a no-op aggregation.
+    df = df.groupBy(F.col(id_col).alias(id_col)).agg(F.min(vec_col).alias(vec_col))
     g = (
         df.groupBy(F.col(vec_col).alias("vec"))
         .agg(
@@ -240,7 +249,7 @@ def embedding_near_dup_lsh(
         intra.unionByName(expand_pairs(rep_pairs, g, rep_col="rep"))
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    out = out.persist()
+    out = register_result_cache(out.persist())
     out.count()
     g.unpersist()
     return out

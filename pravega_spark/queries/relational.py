@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pravega_spark.caching import register_result_cache
+
 from pravega_spark.sources import load_table
 
 
@@ -1355,7 +1357,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", F.round("value_dec", 4).cast("double").alias("value"))
         .orderBy(F.desc("value"), "p_partkey")
     )
-    out = out.persist()
+    out = register_result_cache(out.persist())
     out.count()
     per_part.unpersist()
     return out

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pravega_spark.caching import register_result_cache
+
 from pravega_spark.sources import load_table
 
 _TOP_K = 3
@@ -180,7 +182,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "a_id", "b_id", "cosine")
         .orderBy("a_id", "b_id")
     )
-    out = out.persist()
+    out = register_result_cache(out.persist())
     out.count()
     g.unpersist()
     return out

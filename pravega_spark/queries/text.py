@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pravega_spark.caching import register_result_cache
+
 from pravega_spark.sources import load_table
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
@@ -398,7 +400,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then free them: sigs carries every distinct shingle set — leaving
     # it cached would pin O(corpus) executor storage for the rest of the
     # session (the driver gate runs ~50 queries in ONE session).
-    out = out.persist()
+    out = register_result_cache(out.persist())
     out.count()
     sigs.unpersist()
     tg.unpersist()
@@ -543,7 +545,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
-    out = out.persist()
+    out = register_result_cache(out.persist())
     out.count()
     tg.unpersist()
     return out

@@ -70,15 +70,26 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str, n_buckets: int |
         # (the sf10 copy costs ~37 s to build; re-registration is
         # metadata-only). _SUCCESS gates against half-written crashes;
         # the fingerprinted name gates against stale sources.
-        if os.path.isfile(os.path.join(loc, "_SUCCESS")):
+        # the DDL must declare exactly the layout the files HAVE: the
+        # writer records its spec in a marker, and re-attach derives
+        # CLUSTERED/SORTED BY from it. A copy without a matching marker
+        # (pre-marker leftovers, foreign spec) is rebuilt — declaring a
+        # sort order the files lack would let a merge join silently
+        # elide a needed sort.
+        from pravega_spark.sources.bucketing import read_bucket_spec
+
+        spec = read_bucket_spec(loc)
+        spec_ok = spec is not None and spec.get("keys") == [key] and spec.get("n_buckets") == n
+        if os.path.isfile(os.path.join(loc, "_SUCCESS")) and spec_ok:
             try:
                 cols = ", ".join(
                     f"`{f.name}` {f.dataType.simpleString()}"
                     for f in load_table(spark, sf_dir, name).schema.fields
                 )
+                sorted_by = f"SORTED BY ({key}) " if spec.get("sorted") else ""
                 spark.sql(
                     f"CREATE TABLE {tbl} ({cols}) USING parquet "
-                    f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n} BUCKETS "
+                    f"CLUSTERED BY ({key}) {sorted_by}INTO {n} BUCKETS "
                     f"LOCATION '{os.path.abspath(loc)}'"
                 )
                 return spark.table(tbl)

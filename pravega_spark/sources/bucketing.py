@@ -25,7 +25,24 @@ sides (Spark requires equal bucket counts for exchange elimination).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Written next to the bucketed files so a later session can re-register
+# the copy as an external table with the SAME bucket/sort spec the
+# writer used (bucketed.py re-attach) instead of hardcoding SORTED BY.
+BUCKET_SPEC_MARKER = "_PVS_BUCKET_SPEC.json"
+
+
+def read_bucket_spec(location: str) -> dict | None:
+    """The writer's recorded spec for a bucketed copy, or None."""
+    try:
+        with open(os.path.join(location, BUCKET_SPEC_MARKER)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
 
 
 def bucketize(
@@ -44,6 +61,19 @@ def bucketize(
     if sort:
         writer = writer.sortBy(*keys)
     writer.mode("overwrite").saveAsTable(table_name)
+    # record the spec the files actually have, for cross-session
+    # re-attach: the DDL there must declare sortedness from THIS
+    # invariant, never assume it
+    try:
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
+            .filter("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        ).removeprefix("file:")
+        with open(os.path.join(loc, BUCKET_SPEC_MARKER), "w") as fh:
+            json.dump({"keys": keys, "n_buckets": n_buckets, "sorted": bool(sort)}, fh)
+    except Exception:
+        pass  # non-local warehouse: re-attach will rebuild instead
 
 
 def is_shuffle_free_join(joined: DataFrame) -> bool:

@@ -123,12 +123,15 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    from pravega_spark.caching import release_result_caches
+
     qs, oracles = queries(), oracle_sql()
     n_pass = n_fail = 0
     failed: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        release_result_caches()  # free the previous query's result cache
         t0 = time.time()
         try:
             spdf = fn(spark, sf_dir).toPandas()

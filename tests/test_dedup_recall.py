@@ -9,6 +9,7 @@ the 1-(1-J^r)^b curve promises at these parameters.
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from pravega_spark.functions.dedup import minhash_lsh_pairs, shingle
@@ -65,14 +66,9 @@ def test_lsh_recall_at_production_params(spark):
 
 
 def test_lsh_params_validated(spark):
-    import pytest
-
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         minhash_lsh_pairs(shingle(df), n_hashes=100, bands=16)
-
-
-import pytest
 
 
 @pytest.mark.parametrize("seed", [11, 29, 83])
