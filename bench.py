@@ -41,6 +41,10 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    # the two heavy pipeline tails were in the r5 driver record — keep
+    # the driver-visible list stable so r6→r5 comparisons are clean
+    "dedup_clusters",
+    "embedding_near_dup",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "multimodal_frame_samples",
@@ -482,9 +486,12 @@ def main() -> None:
     # per-query repetitions; the median is reported so a single
     # host-contention spike (NOTES_r2: 2-10x variance) can't masquerade
     # as a regression
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # floor of 3 (VERDICT r5): with 2 reps the median IS the max, so one
+    # bad host minute skews every number; 3 interleaved reps cost ~45 s
+    # more and make round-over-round comparisons meaningful
+    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     from pravega_spark.caching import release_result_caches
-from pravega_spark.queries import queries
+    from pravega_spark.queries import queries
     from pravega_spark.session import get_spark
 
     spark = get_spark("bench")

@@ -29,6 +29,21 @@ import uuid
 
 _SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}  # spark scheme -> pyarrow scheme
 
+# user/test-registered filesystems by scheme: lets callers mount any
+# pyarrow FileSystem (a PyFileSystem over fsspec, the in-process
+# S3-semantics conformance store in pravega_spark.testing, a custom
+# backend) without it being resolvable by pafs.FileSystem.from_uri
+_FS_REGISTRY: dict[str, object] = {}
+
+
+def register_filesystem(scheme: str, fs) -> None:
+    """Route ``<scheme>://`` control-plane paths through ``fs`` (a
+    ``pyarrow.fs.FileSystem``). Registering None removes the mapping."""
+    if fs is None:
+        _FS_REGISTRY.pop(scheme, None)
+    else:
+        _FS_REGISTRY[scheme] = fs
+
 
 def _split(path: str):
     """Return (pyarrow_fs_or_None, normalized_path)."""
@@ -36,6 +51,9 @@ def _split(path: str):
         return None, path
     scheme, rest = path.split("://", 1)
     scheme = _SCHEME_ALIASES.get(scheme, scheme)
+    reg = _FS_REGISTRY.get(scheme)
+    if reg is not None:
+        return reg, rest
     # file:// intentionally goes through pyarrow too: it keeps the
     # object-store code path exercised by ordinary local test runs
     from pyarrow import fs as pafs

@@ -318,7 +318,8 @@ def connected_components(
         edges.select(F.col("src").alias("id")).distinct().withColumn("cluster", F.col("id"))
     ).persist()
     labels.count()
-    for _ in range(max_iters):
+    changed = 0
+    for i in range(max_iters):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -338,5 +339,32 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        if (i + 1) % 5 == 0:
+            # cut lineage periodically: persist caches DATA but the
+            # logical plan still nests one level per round, so a
+            # high-diameter graph (rare for near-dup clusters, but the
+            # path exists) would pay exponential plan-compilation blowup
+            # past ~10 rounds. localCheckpoint materializes the labels
+            # and restarts the plan from the stored partitions.
+            cut = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            labels = cut
     edges.unpersist()
+    if changed:
+        # labels flow one direction per round (edges are pre-doubled, so
+        # both directions arrive over successive rounds): a component
+        # whose diameter exceeds max_iters would silently come back
+        # SPLIT. Make that loud; PRAVEGA_SPARK_CC_STRICT=1 escalates to
+        # an error for pipelines where a split cluster corrupts dedup.
+        import os as _os
+        import warnings
+
+        msg = (
+            f"connected_components did not converge in max_iters={max_iters} "
+            f"rounds ({changed} labels still changing) — components wider "
+            "than max_iters are split; raise max_iters"
+        )
+        if _os.environ.get("PRAVEGA_SPARK_CC_STRICT", "") == "1":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("cluster").alias("cluster_id"))

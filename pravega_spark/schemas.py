@@ -9,9 +9,10 @@ around out of band:
 - schemas are versioned documents in the metadata store
   (``_metadata/<scope>/<stream>/schemas.json``), format ``json`` or
   ``avro``;
-- backward-compatibility enforcement on register (a new version may
-  add fields but not remove or retype existing ones — the registry
-  project's BACKWARD mode default);
+- compatibility enforcement on register with the registry project's
+  full mode matrix (NONE / BACKWARD / FORWARD / FULL and their
+  _TRANSITIVE variants; default FULL: a new version may add nullable
+  fields and widen numeric types, but not remove or retype fields);
 - ``read_typed`` lifts the binary payload into typed columns with the
   registered schema (from_json / from_avro), so consumers get columns
   without knowing the writer's contract.
@@ -33,13 +34,28 @@ class SchemaCompatibilityError(PravegaSparkError):
     pass
 
 
-# StructType.json() type names (integer/long/float/double)
+# StructType.json() type names (integer/long/float/double). Widenings
+# are treated as readable in BOTH directions: JSON numbers are
+# width-less, and Avro readers resolve writer int→long / float→double
+# promotions; a reader pinned to an old version keeps decoding with
+# that exact version via get(version).
 _ALLOWED_WIDENINGS = {
     ("integer", "long"),
     ("float", "double"),
     ("integer", "double"),
     ("long", "double"),
 }
+
+COMPATIBILITY_MODES = (
+    "NONE",
+    "BACKWARD",
+    "FORWARD",
+    "FULL",
+    "BACKWARD_TRANSITIVE",
+    "FORWARD_TRANSITIVE",
+    "FULL_TRANSITIVE",
+)
+DEFAULT_COMPATIBILITY = "FULL"
 
 
 def _fields(schema_json: str) -> dict[str, str]:
@@ -48,6 +64,79 @@ def _fields(schema_json: str) -> dict[str, str]:
     if isinstance(doc, dict) and doc.get("type") == "struct":
         return {f["name"]: str(f["type"]) for f in doc["fields"]}
     raise SchemaCompatibilityError("schema must be a Spark struct JSON document")
+
+
+def _fields_nullable(schema_json: str) -> dict[str, tuple[str, bool]]:
+    """{name: (type, nullable)} for the compatibility checks."""
+    doc = json.loads(schema_json)
+    if isinstance(doc, dict) and doc.get("type") == "struct":
+        return {
+            f["name"]: (str(f["type"]), bool(f.get("nullable", True)))
+            for f in doc["fields"]
+        }
+    raise SchemaCompatibilityError("schema must be a Spark struct JSON document")
+
+
+def _type_readable(t_writer: str, t_reader: str) -> bool:
+    return (
+        t_writer == t_reader
+        or (t_writer, t_reader) in _ALLOWED_WIDENINGS
+        or (t_reader, t_writer) in _ALLOWED_WIDENINGS
+    )
+
+
+def _can_read(reader_json: str, writer_json: str, absent_ok_if_nullable: bool) -> str | None:
+    """None if a consumer on ``reader_json`` can decode payloads written
+    with ``writer_json``; else a human-readable reason.
+
+    A reader field must be present in the writer schema with a readable
+    type. A reader field ABSENT from the writer is tolerated only when
+    ``absent_ok_if_nullable`` and the field is nullable (it lifts to
+    NULL — from_json semantics): right for the BACKWARD direction,
+    where a NEW nullable field simply reads null over old data; wrong
+    for FORWARD, where a REMOVED field would strand existing consumers
+    (their schema's nullability describes their data, not their needs).
+    Extra writer fields are ignored (the reader never selects them).
+    """
+    writer = _fields_nullable(writer_json)
+    for name, (t_r, nullable) in _fields_nullable(reader_json).items():
+        if name in writer:
+            if not _type_readable(writer[name][0], t_r):
+                return f"field retyped: {name} {writer[name][0]} -> {t_r}"
+        elif absent_ok_if_nullable and nullable:
+            continue
+        else:
+            return f"field removed or added non-nullable: {name}"
+    return None
+
+
+def _check_compat(mode: str, new_json: str, prior: list[str]) -> None:
+    """Raise unless ``new_json`` is admissible after ``prior`` versions
+    (oldest first) under ``mode``:
+
+    - BACKWARD: consumers on the NEW schema can read data written with
+      the previous schema (fields may be dropped; additions must be
+      nullable).
+    - FORWARD: consumers on the PREVIOUS schema can read data written
+      with the new one (fields may be added freely; removals break old
+      consumers and are rejected).
+    - FULL: both. _TRANSITIVE variants check against every registered
+      version, not just the latest.
+    """
+    if mode == "NONE" or not prior:
+        return
+    base = mode.removesuffix("_TRANSITIVE")
+    against = prior if mode.endswith("_TRANSITIVE") else prior[-1:]
+    for i, old_json in enumerate(against):
+        ver_note = "" if len(against) == 1 else f" (vs version {i + 1})"
+        if base in ("BACKWARD", "FULL"):
+            reason = _can_read(new_json, old_json, absent_ok_if_nullable=True)
+            if reason:
+                raise SchemaCompatibilityError(f"{mode}: new reader breaks: {reason}{ver_note}")
+        if base in ("FORWARD", "FULL"):
+            reason = _can_read(old_json, new_json, absent_ok_if_nullable=False)
+            if reason:
+                raise SchemaCompatibilityError(f"{mode}: old readers break: {reason}{ver_note}")
 
 
 class SchemaRegistry:
@@ -59,30 +148,45 @@ class SchemaRegistry:
     def _doc(self, scope: str, stream: str) -> dict:
         return self.meta._read(self.meta._doc_path(scope, stream, "schemas.json"), {"versions": []})
 
+    def set_compatibility(self, scope: str, stream: str, mode: str) -> None:
+        """Set the stream's compatibility mode (one of
+        COMPATIBILITY_MODES); applies to subsequent register() calls."""
+        mode = mode.upper()
+        if mode not in COMPATIBILITY_MODES:
+            raise SchemaCompatibilityError(
+                f"unknown compatibility mode {mode!r}; one of {COMPATIBILITY_MODES}"
+            )
+        self.meta.get_stream(scope, stream)  # stream must exist
+        doc = self._doc(scope, stream)
+        doc["compatibility"] = mode
+        self.meta._write(self.meta._doc_path(scope, stream, "schemas.json"), doc)
+
+    def get_compatibility(self, scope: str, stream: str) -> str:
+        return self._doc(scope, stream).get("compatibility", DEFAULT_COMPATIBILITY)
+
     def register(self, scope: str, stream: str, spark_schema, fmt: str = "json",
-                 check_compatibility: bool = True) -> int:
+                 check_compatibility: bool = True, mode: str | None = None) -> int:
         """Register a schema version; returns the new version number.
 
-        ``spark_schema`` is a StructType (or its .json() string).
-        BACKWARD compatibility: every existing field must survive with
-        the same (or widened) type.
+        ``spark_schema`` is a StructType (or its .json() string). The
+        compatibility mode is, in order: ``mode`` argument, the
+        stream's configured mode (set_compatibility), DEFAULT (FULL).
+        ``check_compatibility=False`` is shorthand for NONE.
         """
         schema_json = spark_schema if isinstance(spark_schema, str) else spark_schema.json()
         if fmt not in ("json", "avro"):
             raise SchemaCompatibilityError(f"unsupported format: {fmt}")
+        _fields(schema_json)  # validate the document shape up front
         self.meta.get_stream(scope, stream)  # stream must exist
         doc = self._doc(scope, stream)
-        new_fields = _fields(schema_json)
-        if doc["versions"] and check_compatibility:
-            last = doc["versions"][-1]
-            old_fields = _fields(last["schema"])
-            for name, typ in old_fields.items():
-                if name not in new_fields:
-                    raise SchemaCompatibilityError(f"field removed: {name}")
-                if new_fields[name] != typ and (typ, new_fields[name]) not in _ALLOWED_WIDENINGS:
-                    raise SchemaCompatibilityError(
-                        f"field retyped: {name} {typ} -> {new_fields[name]}"
-                    )
+        eff = "NONE" if not check_compatibility else (
+            (mode or doc.get("compatibility", DEFAULT_COMPATIBILITY)).upper()
+        )
+        if eff not in COMPATIBILITY_MODES:
+            raise SchemaCompatibilityError(
+                f"unknown compatibility mode {eff!r}; one of {COMPATIBILITY_MODES}"
+            )
+        _check_compat(eff, schema_json, [v["schema"] for v in doc["versions"]])
         version = len(doc["versions"]) + 1
         doc["versions"].append({"version": version, "format": fmt, "schema": schema_json})
         self.meta._write(self.meta._doc_path(scope, stream, "schemas.json"), doc)

@@ -164,6 +164,11 @@ def _pump_batch(store: StreamStore, source, scope: str, stream: str,
         import pyarrow as pa
 
         tbl = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+        if tbl.num_rows != total:
+            # slice read disagrees with the offsets log (concurrent
+            # truncation, half-visible compaction): never commit a
+            # miscounted copy — the Spark path re-plans from the log
+            return False
         store.append_table(scope, stream, tbl, writer_id=writer_id, batch_seq=batch_id)
         if note_time:
             import pyarrow.compute as pc
@@ -199,7 +204,18 @@ def write_stream_batch(
     The declaration is the caller's contract: a filtered/projected
     pipeline handed here would copy unfiltered data (a projection is
     caught by the column check; a filter cannot be). Catch-up and
-    oversized batches still take the distributed path."""
+    oversized batches still take the distributed path.
+
+    Runtime guard on that contract (r6): before the first few pumped
+    triggers (and a sampled trigger thereafter) the sink counts the
+    actual micro-batch and compares it against the offsets-derived
+    slice size. A filtered pipeline shows fewer batch rows than the
+    slice on the first nonempty trigger — the sink then emits a loud
+    warning, permanently falls back to the Spark path for this query,
+    and writes THIS batch through it too, so a misdeclared pipeline is
+    caught before anything is miscopied. ``PRAVEGA_SPARK_PUMP_VERIFY``
+    tunes it: ``sampled`` (default), ``always``, ``never`` (trusted
+    pipelines that cannot afford the count job on any trigger)."""
     if writer_id is None:
         if checkpoint_location is None:
             raise ValueError(
@@ -214,24 +230,77 @@ def write_stream_batch(
         and routing_key_col == "routing_key"
         and event_time_col in (None, "event_time")
     )
+    # purity-guard state: how many nonempty triggers have been verified,
+    # and whether a mismatch permanently disabled the pump for this query
+    _guard = {"verified": 0, "since": 0, "disabled": False}
+    _VERIFY_MODE = os.environ.get("PRAVEGA_SPARK_PUMP_VERIFY", "sampled").lower()
+    _VERIFY_FIRST = 3     # verify this many nonempty triggers up front
+    _VERIFY_EVERY = 64    # then re-verify one trigger in every this many
+
+    def _purity_ok(batch_df: DataFrame, expected: int) -> bool:
+        """True if the batch provably matches its slice (or verification
+        is off/deferred this trigger). One count job per verified
+        trigger — bounded by _VERIFY_FIRST plus 1/_VERIFY_EVERY."""
+        if _VERIFY_MODE in ("never", "off", "0"):
+            return True
+        due = (
+            _VERIFY_MODE == "always"
+            or _guard["verified"] < _VERIFY_FIRST
+            or _guard["since"] >= _VERIFY_EVERY
+        )
+        if not due:
+            _guard["since"] += 1
+            return True
+        actual = batch_df.count()
+        if actual != expected:
+            import warnings
+
+            _guard["disabled"] = True
+            warnings.warn(
+                f"passthrough_from purity violation: micro-batch has "
+                f"{actual} rows but the source slice has {expected} — the "
+                "pipeline transforms between read_stream() and the sink. "
+                "Falling back to the Spark path for this query; remove "
+                "passthrough_from from this sink.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            return False
+        _guard["verified"] += 1
+        _guard["since"] = 0
+        return True
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         hint = None
-        if pump_ok and batch_df.columns == _ENVELOPE_COLS:
+        if (
+            pump_ok
+            and not _guard["disabled"]
+            and batch_df.columns == _ENVELOPE_COLS
+        ):
             bounds = _batch_bounds(passthrough_from, batch_id)
-            if _pump_batch(store, passthrough_from, scope, stream,
-                           writer_id, batch_id, note_time, bounds=bounds):
-                return
             start, end = bounds
-            if start is not None and end is not None:
-                # pump declined but the slice size is still exact
-                # knowledge: oversized batches skip the bounded probe
-                # (no double scan), small ones still take it
-                hint = sum(
+            expected = (
+                sum(
                     int(hi) - int(start.get(sid, 0))
                     for sid, hi in end.items()
                     if int(hi) > int(start.get(sid, 0))
                 )
+                if start is not None and end is not None
+                else None
+            )
+            if (
+                expected is not None
+                and (expected == 0 or _purity_ok(batch_df, expected))
+            ) and _pump_batch(store, passthrough_from, scope, stream,
+                              writer_id, batch_id, note_time, bounds=bounds):
+                return
+            if expected is not None and not _guard["disabled"]:
+                # pump declined but the slice size is still exact
+                # knowledge: oversized batches skip the bounded probe
+                # (no double scan), small ones still take it. After a
+                # purity violation the slice size no longer describes
+                # the (transformed) batch — no hint then.
+                hint = expected
         store.write_events(
             scope,
             stream,

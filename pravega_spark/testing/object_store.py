@@ -1,0 +1,254 @@
+"""In-process object store with S3 semantics — a conformance harness.
+
+The engine's control plane (manifest commits, lease locks, fsck, the
+driver-side hot tier) reaches non-local storage through ``pyarrow.fs``
+(fsio.py). Every ordinary test run exercises that code over ``file://``,
+whose POSIX behaviors (atomic rename, exclusive create, real
+directories) are exactly what an object store does NOT give you. The
+reference project ships per-backend storage bindings with their own
+integration suites (bindings/src/main/java/io/pravega/storage/{s3,gcp,
+hdfs,filesystem}); this module is our equivalent seam: a
+``pyarrow.fs.FileSystemHandler`` that faithfully reproduces the
+object-store contract so the commit protocol can be proven against it
+without network or external processes:
+
+- **whole-object PUT**: bytes become visible atomically at stream
+  close, never partially (S3 PutObject);
+- **no atomic rename**: ``move`` is copy-then-delete, two separately
+  observable (and separately crashable) steps;
+- **no exclusive create**: existence probe + put, so CAS is advisory
+  (matches fsio.create_exclusive's documented degradation);
+- **implicit directories**: prefixes exist only while objects live
+  under them; ``create_dir`` is a no-op, listing is by prefix;
+- **ranged GET**: input files are seekable over the stored bytes.
+
+Fault injection: ``fail_on(op, substring)`` arms a one-shot exception
+for the next matching operation — e.g. kill the window between a
+manifest shard PUT and the segments-doc flip, or between move's copy
+and delete — so crash-replay tests can hit the exact seams a real
+deployment hits.
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+
+import pyarrow as pa
+from pyarrow import fs as pafs
+
+
+class InjectedFailure(OSError):
+    """Raised by an armed fault; subclasses OSError so generic IO
+    handling treats it like a real storage error."""
+
+
+class _PutOnClose(io.BytesIO):
+    """Output buffer that commits to the store atomically on close —
+    the whole-object PUT. A crash (close never called, or an armed
+    fault) leaves NOTHING visible."""
+
+    def __init__(self, store: "ObjectStoreHandler", key: str):
+        super().__init__()
+        self._store = store
+        self._key = key
+
+    def close(self) -> None:
+        if not self.closed:
+            data = self.getvalue()
+            # close BEFORE committing: pyarrow's PythonFile closes again
+            # from GC/__exit__ after an error, and a failed PUT must
+            # stay failed — not silently succeed on the second close
+            super().close()
+            self._store._commit_put(self._key, data)
+        else:
+            super().close()
+
+
+class ObjectStoreHandler(pafs.FileSystemHandler):
+    """S3-semantics in-memory filesystem for ``pyarrow.fs.PyFileSystem``."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.RLock()
+        self._faults: list[tuple[str, str]] = []  # (op, path substring)
+        # counters let tests assert which physical ops a protocol issued
+        self.op_counts: dict[str, int] = {}
+
+    # -- fault injection ---------------------------------------------------
+
+    def fail_on(self, op: str, substring: str) -> None:
+        """Arm a one-shot InjectedFailure for the next ``op`` whose path
+        contains ``substring``. Ops: put, delete, move_delete, copy."""
+        with self._lock:
+            self._faults.append((op, substring))
+
+    def _maybe_fail(self, op: str, path: str) -> None:
+        with self._lock:
+            for i, (fop, sub) in enumerate(self._faults):
+                if fop == op and sub in path:
+                    del self._faults[i]
+                    raise InjectedFailure(f"injected {op} failure at {path}")
+
+    def _count(self, op: str) -> None:
+        with self._lock:
+            self.op_counts[op] = self.op_counts.get(op, 0) + 1
+
+    # -- helpers -----------------------------------------------------------
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        return path.strip("/")
+
+    def _commit_put(self, key: str, data: bytes) -> None:
+        self._maybe_fail("put", key)
+        self._count("put")
+        with self._lock:
+            self._objects[key] = data
+
+    def _is_implicit_dir(self, key: str) -> bool:
+        if key == "":
+            return True
+        prefix = key + "/"
+        with self._lock:
+            return any(k.startswith(prefix) for k in self._objects)
+
+    # -- FileSystemHandler interface ----------------------------------------
+
+    def get_type_name(self) -> str:
+        return "mock-object-store"
+
+    def normalize_path(self, path: str) -> str:
+        return self._norm(path)
+
+    def get_file_info(self, paths):
+        out = []
+        for p in paths:
+            key = self._norm(p)
+            with self._lock:
+                if key in self._objects:
+                    out.append(
+                        pafs.FileInfo(key, pafs.FileType.File, size=len(self._objects[key]))
+                    )
+                    continue
+            if self._is_implicit_dir(key):
+                out.append(pafs.FileInfo(key, pafs.FileType.Directory))
+            else:
+                out.append(pafs.FileInfo(key, pafs.FileType.NotFound))
+        return out
+
+    def get_file_info_selector(self, selector):
+        base = self._norm(selector.base_dir)
+        self._count("list")
+        prefix = base + "/" if base else ""
+        with self._lock:
+            keys = [k for k in self._objects if k.startswith(prefix)]
+        if not keys and base and not self._is_implicit_dir(base):
+            if selector.allow_not_found:
+                return []
+            raise FileNotFoundError(base)
+        infos, dirs_seen = [], set()
+        for k in keys:
+            rest = k[len(prefix):]
+            if "/" in rest:
+                d = prefix + rest.split("/", 1)[0]
+                if d not in dirs_seen:
+                    dirs_seen.add(d)
+                    infos.append(pafs.FileInfo(d, pafs.FileType.Directory))
+                if not selector.recursive:
+                    continue
+                infos.append(
+                    pafs.FileInfo(k, pafs.FileType.File, size=len(self._objects[k]))
+                )
+            else:
+                infos.append(
+                    pafs.FileInfo(k, pafs.FileType.File, size=len(self._objects[k]))
+                )
+        return infos
+
+    def create_dir(self, path, recursive=True):
+        # S3: directories are implicit; PutObject of a marker is what
+        # consoles do, but the namespace needs nothing
+        return None
+
+    def delete_dir(self, path):
+        key = self._norm(path)
+        prefix = key + "/" if key else ""
+        with self._lock:
+            doomed = [k for k in self._objects if k.startswith(prefix)]
+            if not doomed and key and not self._is_implicit_dir(key):
+                raise FileNotFoundError(path)
+            for k in doomed:
+                self._maybe_fail("delete", k)
+                del self._objects[k]
+
+    def delete_dir_contents(self, path, missing_dir_ok=False):
+        try:
+            self.delete_dir(path)
+        except FileNotFoundError:
+            if not missing_dir_ok:
+                raise
+
+    def delete_root_dir_contents(self):
+        with self._lock:
+            self._objects.clear()
+
+    def delete_file(self, path):
+        key = self._norm(path)
+        self._maybe_fail("delete", key)
+        self._count("delete")
+        with self._lock:
+            if key not in self._objects:
+                raise FileNotFoundError(path)
+            del self._objects[key]
+
+    def move(self, src, dest):
+        # the load-bearing difference vs POSIX: two steps, each visible
+        # (and failable) on its own — there is no atomic rename
+        self.copy_file(src, dest)
+        key = self._norm(src)
+        self._maybe_fail("move_delete", key)
+        self._count("move_delete")
+        with self._lock:
+            self._objects.pop(key, None)
+
+    def copy_file(self, src, dest):
+        s, d = self._norm(src), self._norm(dest)
+        self._maybe_fail("copy", s)
+        self._count("copy")
+        with self._lock:
+            if s not in self._objects:
+                raise FileNotFoundError(src)
+            data = self._objects[s]
+        self._commit_put(d, data)
+
+    def open_input_stream(self, path):
+        return self.open_input_file(path)
+
+    def open_input_file(self, path):
+        key = self._norm(path)
+        self._count("get")
+        with self._lock:
+            if key not in self._objects:
+                raise FileNotFoundError(path)
+            data = self._objects[key]
+        return pa.PythonFile(io.BytesIO(data), mode="r")
+
+    def open_output_stream(self, path, metadata=None):
+        return pa.PythonFile(_PutOnClose(self, self._norm(path)), mode="w")
+
+    def open_append_stream(self, path, metadata=None):
+        raise NotImplementedError("object stores do not support append")
+
+
+def mount_object_store(scheme: str = "mock-s3") -> tuple[ObjectStoreHandler, pafs.PyFileSystem]:
+    """Create an S3-semantics store and register it with fsio under
+    ``scheme`` so every ``<scheme>://...`` path the engine touches goes
+    through it. Returns (handler, filesystem) — the handler for fault
+    injection and op-count assertions."""
+    from pravega_spark import fsio
+
+    handler = ObjectStoreHandler()
+    f = pafs.PyFileSystem(handler)
+    fsio.register_filesystem(scheme, f)
+    return handler, f

@@ -184,3 +184,51 @@ def test_pump_serves_batch0_catchup(spark, store, monkeypatch):
     assert hits and hits[0] is True, hits
     assert store.read("s", "dst").count() == n
     assert _key_seqs(store, "s", "src") == _key_seqs(store, "s", "dst")
+
+
+def test_pump_purity_guard_catches_filter(spark, store, monkeypatch):
+    """A FILTERED pipeline passes the envelope-column check (columns are
+    unchanged) — only the r6 runtime row-count guard can catch it. The
+    sink must warn, permanently fall back to the Spark path, and write
+    the FILTERED rows (never the unfiltered slice)."""
+    import warnings
+
+    _setup(store)
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    n = ev.count()
+    store.write_events("s", "src", ev, routing_key_col="user_id", event_time_col="ts")
+    expected_rows = store.read("s", "src").filter("pmod(offset, 2) = 0").count()
+    assert 0 < expected_rows < n  # the filter must actually drop rows
+    rg = ReaderGroup(store, "s", "src", "g-filter")
+    hits = _spy(monkeypatch)
+    sink = write_stream_batch(store, "s", "dst", writer_id="w", passthrough_from=rg)
+
+    def filtered_sink(df, b):
+        sink(df.filter("pmod(offset, 2) = 0"), b)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = (
+            rg.read_stream()
+            .writeStream.foreachBatch(filtered_sink)
+            .option("checkpointLocation", rg.checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if sum(store.meta.tail_offsets("s", "dst").values()) >= expected_rows:
+                    break
+                time.sleep(0.1)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    assert True not in hits, "pump committed a miscopied (unfiltered) batch"
+    assert any("purity violation" in str(w.message) for w in caught), (
+        "guard did not warn on the filtered pipeline"
+    )
+    # the destination holds exactly the filtered rows — nothing miscopied
+    assert store.read("s", "dst").count() == expected_rows

@@ -74,3 +74,69 @@ def test_typed_roundtrip(store, events):
     tot = back.agg(F.round(F.sum("value"), 4).alias("s")).collect()[0]["s"]
     want_tot = src.agg(F.round(F.sum("value"), 4).alias("s")).collect()[0]["s"]
     assert abs(tot - want_tot) < 1e-6
+
+
+def _st(*fields):
+    return StructType([StructField(n, t, nullable) for n, t, nullable in fields])
+
+
+def test_compatibility_mode_matrix(store):
+    """Accept/reject per mode for the canonical transitions: add
+    nullable, add non-nullable, remove, widen, retype. Mirrors the
+    registry project's mode semantics on our field model."""
+    store.create_scope("s")
+    reg = SchemaRegistry(store.meta)
+    base = _st(("a", LongType(), True), ("b", DoubleType(), True))
+    add_nullable = _st(("a", LongType(), True), ("b", DoubleType(), True),
+                       ("c", StringType(), True))
+    add_required = _st(("a", LongType(), True), ("b", DoubleType(), True),
+                       ("c", StringType(), False))
+    removed = _st(("a", LongType(), True))
+    widened = _st(("a", DoubleType(), True), ("b", DoubleType(), True))
+    retyped = _st(("a", StringType(), True), ("b", DoubleType(), True))
+    cases = {
+        # mode: (accepted, rejected)
+        "BACKWARD": ([add_nullable, removed, widened], [add_required, retyped]),
+        "FORWARD": ([add_nullable, add_required, widened], [removed, retyped]),
+        "FULL": ([add_nullable, widened], [add_required, removed, retyped]),
+        "NONE": ([add_nullable, add_required, removed, widened, retyped], []),
+    }
+    i = 0
+    for mode, (ok, bad) in cases.items():
+        for nxt in ok + bad:
+            i += 1
+            stream = f"m{i}"
+            store.create_stream(
+                "s", stream, StreamConfiguration(scaling=ScalingPolicy.fixed(1))
+            )
+            reg.set_compatibility("s", stream, mode)
+            assert reg.get_compatibility("s", stream) == mode
+            assert reg.register("s", stream, base) == 1
+            if nxt in ok:
+                assert reg.register("s", stream, nxt) == 2, (mode, "should accept")
+            else:
+                with pytest.raises(SchemaCompatibilityError):
+                    reg.register("s", stream, nxt)
+
+
+def test_compatibility_transitive(store):
+    """_TRANSITIVE checks against EVERY version: a change acceptable
+    vs the latest but not vs an ancestor is rejected."""
+    store.create_scope("s")
+    store.create_stream("s", "t", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    reg = SchemaRegistry(store.meta)
+    reg.set_compatibility("s", "t", "BACKWARD")
+    v1 = _st(("a", LongType(), True), ("b", DoubleType(), True))
+    v2 = _st(("a", LongType(), True))          # BACKWARD: removal ok
+    assert reg.register("s", "t", v1) == 1
+    assert reg.register("s", "t", v2) == 2
+    # re-adding b as a STRING is backward-ok vs v2 (b absent there) but
+    # retypes it vs v1 — plain BACKWARD accepts, TRANSITIVE must reject
+    v3 = _st(("a", LongType(), True), ("b", StringType(), True))
+    assert reg.register("s", "t", v3) == 3
+    reg.set_compatibility("s", "t", "BACKWARD_TRANSITIVE")
+    with pytest.raises(SchemaCompatibilityError):
+        reg.register("s", "t", v3)
+    # default mode is FULL when none configured
+    store.create_stream("s", "d", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    assert reg.get_compatibility("s", "d") == "FULL"
