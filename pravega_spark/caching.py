@@ -21,10 +21,23 @@ from pyspark.sql import DataFrame
 
 _RESULT_CACHES: list[DataFrame] = []
 
+# Self-limiting even when NO harness calls release_result_caches() (the
+# driver's gate doesn't): keep at most this many result caches live —
+# registering one more evicts the oldest. Evicting only costs a lineage
+# recompute if that stale result is read again, which back-to-back query
+# harnesses never do.
+MAX_LIVE_RESULT_CACHES = 8
+
 
 def register_result_cache(df: DataFrame) -> DataFrame:
     """Record a persisted result frame for later bulk release."""
     _RESULT_CACHES.append(df)
+    while len(_RESULT_CACHES) > MAX_LIVE_RESULT_CACHES:
+        old = _RESULT_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return df
 
 

@@ -1180,12 +1180,22 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch IS the 100 TB strategy (mergeable partial aggregates, no
     distinct shuffle); the emitted columns are the exact count plus a
     sketch-within-2% flag so the DuckDB oracle — whose own HLL would
-    differ bit-wise — can verify the guarantee rather than the sketch."""
+    differ bit-wise — can verify the guarantee rather than the sketch.
+
+    r6 plan change: both aggregates run over the DEDUPED (event_type,
+    user_id) pairs instead of the raw rows — HLL registers are
+    duplicate-insensitive, so the sketch is bit-identical, while the
+    exact count becomes a plain count and Spark drops the expand the
+    mixed countDistinct+HLL aggregation needed (~4x at sf1: 8.6 →
+    2.2 s warm; map-side partial dedup shrinks the shuffle to the
+    distinct pair count)."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy("event_type")
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
         )
         .select(
