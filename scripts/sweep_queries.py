@@ -34,7 +34,9 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            n = len(fn(spark, sf_dir).collect())
+            # count(), not collect(): multi-million-row pair lists would
+            # make the sweep time driver materialization, not the plan
+            n = fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
             out["queries"][name] = {"s": dt, "rows": n}
             print(f"ok   {name}: {dt:.2f}s rows={n}")
