@@ -35,6 +35,9 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
+    # -- new in round 6 (never gated): training-pipeline curation ops --
+    "corpus_stratified_sample",
+    "corpus_decontaminate",
     # -- r6 rotation (VERDICT r5 item 1): the 21 queries past the r5
     # -- 50-entry cap (latest driver rows r4; judge-verified in r5) —
     # -- fronted so driver evidence never goes two rounds stale --------

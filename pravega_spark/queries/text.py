@@ -826,7 +826,99 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------- stratified sample
+_SAMPLE_PER_LANG = 25  # deterministic per-language cap
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: up to N docs per language,
+    selected by md5(doc_id) order — the training-mix curation step
+    (equalize per-language mass without a stored RNG state).
+
+    Scale shape: one window per language partition; the hash order is
+    reproducible across engines, runs and cluster sizes, so resampling
+    a grown corpus keeps previously-selected docs selected (a stable
+    training mix under incremental crawls) — unlike rand()-based
+    sampling. At 100 TB the window shuffles once on the stratum key;
+    for heavily-skewed strata switch to the hash-threshold variant
+    (keep iff md5 < rate) which needs no window at all — both shown in
+    the oracle comment."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SAMPLE_PER_LANG)
+        .select("doc_id", "lang", "source", "n_chars", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+-- window variant (the gated one); the no-shuffle threshold variant is
+-- WHERE substring(md5(doc_id::VARCHAR), 1, 4) < '2000' (rate = 1/8)
+SELECT doc_id, lang, source, n_chars, rk FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_SAMPLE_PER_LANG}
+ORDER BY lang, rk
+"""
+
+
+# ---------------------------------------------------------------- decontamination
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any
+    word trigram with the held-out set (docs with doc_id % 97 == 0
+    stand in for the benchmark). The standard n-gram-overlap
+    decontamination step of LLM data pipelines — cross-SET shingle
+    containment, distinct from near-dup detection within one set.
+
+    Scale shape: explode both sides to (shingle, doc) and inner-join
+    on the shingle — the benchmark side is tiny (eval suites are KBs
+    to MBs), so Catalyst broadcasts it and the train side streams
+    through map-side; the aggregation counts distinct overlapping
+    shingles per contaminated doc. Nothing is quadratic: the join is
+    per-shingle, the fan-out is bounded by the benchmark's shingle
+    count."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.withColumn("w", _tokens(F.col("text")))
+    sh = tok.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_EXPR))).alias("shingle")
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("shingle").alias("b_shingle")
+    ).distinct()
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), train.shingle == bench.b_shingle)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH sh AS (
+  -- trigrams; DuckDB list slicing is 1-based inclusive, so [i:i+2] is
+  -- 3 tokens and i runs 1..len-2 (range upper bound exclusive)
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(trim(text), ' +')) - 1, 1)),
+           i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+2], ' ')))) AS shingle
+  FROM documents
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, count(DISTINCT t.shingle) AS n_overlap
+FROM train t JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
+    "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_decontaminate": corpus_decontaminate,
     "pipeline_corpus_clean": pipeline_corpus_clean,
     "dedup_clusters": dedup_clusters,
     "text_token_stats": text_token_stats,
@@ -841,6 +933,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "corpus_decontaminate": DECONTAMINATE_SQL,
     "pipeline_corpus_clean": PIPELINE_SQL,
     "dedup_clusters": CLUSTERS_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
