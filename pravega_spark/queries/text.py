@@ -916,9 +916,126 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------- chunking / packing
+_CHUNK_TOKENS = 64   # context-window size (tokens)
+_CHUNK_OVERLAP = 16  # sliding-window overlap
+_PACK_BUDGET = 2048  # tokens per training shard (per language stratum)
+
+
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into ≤64-token
+    windows with 16-token overlap — the pretraining tokenize-and-chunk
+    step. Emits (doc_id, chunk_idx, n_tokens, checksum).
+
+    Scale shape: pure per-row transform + explode — NO shuffle, no
+    window, embarrassingly parallel; whole-stage codegen end to end
+    (array slice + md5 are JVM built-ins). The one shuffle in the
+    gated query is the final presentation orderBy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    step = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    tok = docs.withColumn("w", _tokens(F.col("text")))
+    chunks = tok.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil((F.size("w") - F.lit(_CHUNK_OVERLAP)) / F.lit(step)) - 1,
+                    F.lit(0),
+                ),
+            )
+        ).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("w"), F.col("chunk_idx") * step + 1, _CHUNK_TOKENS)
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            F.size(piece).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", piece)).alias("checksum"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_WINDOWS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(CAST(ceil((len(w) - {_CHUNK_OVERLAP}) /
+                 ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP})::DOUBLE) AS BIGINT), 1))) AS chunk_idx
+  FROM tok
+)
+SELECT doc_id, chunk_idx,
+       len(w[chunk_idx * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP}) + 1 :
+             chunk_idx * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP}) + {_CHUNK_TOKENS}]) AS n_tokens,
+       md5(array_to_string(w[chunk_idx * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP}) + 1 :
+             chunk_idx * ({_CHUNK_TOKENS} - {_CHUNK_OVERLAP}) + {_CHUNK_TOKENS}], ' ')) AS checksum
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def corpus_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing: within each language stratum, docs
+    in deterministic md5 order accumulate into shards of ≤2048 tokens
+    (a doc goes to the shard where its running sum starts) — the
+    build-training-shards step after sampling/chunking.
+
+    Scale shape: packing is inherently sequential IN ITS ORDER, so the
+    running sum runs per stratum (window over lang) — strata pack in
+    parallel, and at 100 TB you first split each stratum into
+    fixed-count salt groups (hash(doc) % G) packed independently; the
+    per-stratum window here is that G=1 case. Emits per-shard
+    occupancy so the oracle can verify the assignment exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    w = Window.partitionBy("lang").orderBy("ord", "doc_id")
+    assigned = tok.select(
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_PACK_BUDGET)
+        ).alias("shard"),
+    )
+    return (
+        assigned.groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+TOKEN_PACKING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, len(string_split_regex(trim(text), ' +')) AS n_tokens,
+         md5(doc_id::VARCHAR) AS ord
+  FROM documents
+),
+assigned AS (
+  SELECT lang, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord, doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS shard
+  FROM tok
+)
+SELECT lang, shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+FROM assigned GROUP BY lang, shard ORDER BY lang, shard
+"""
+
+
 QUERIES = {
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_chunk_windows": corpus_chunk_windows,
+    "corpus_token_packing": corpus_token_packing,
     "pipeline_corpus_clean": pipeline_corpus_clean,
     "dedup_clusters": dedup_clusters,
     "text_token_stats": text_token_stats,
@@ -935,6 +1052,8 @@ QUERIES = {
 ORACLES = {
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
+    "corpus_chunk_windows": CHUNK_WINDOWS_SQL,
+    "corpus_token_packing": TOKEN_PACKING_SQL,
     "pipeline_corpus_clean": PIPELINE_SQL,
     "dedup_clusters": CLUSTERS_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
