@@ -40,6 +40,7 @@ _GATE_ORDER = [
     "corpus_decontaminate",
     "corpus_chunk_windows",
     "corpus_token_packing",
+    "events_percentile_sketch",
     # -- r6 rotation (VERDICT r5 item 1): the 21 queries past the r5
     # -- 50-entry cap (latest driver rows r4; judge-verified in r5) —
     # -- fronted so driver evidence never goes two rounds stale --------

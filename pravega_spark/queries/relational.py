@@ -1147,6 +1147,51 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile, accuracy 10000)
+    cross-checked against exact percentile_cont in-query — the twin of
+    events_approx_distinct for quantiles.
+
+    The sketch IS the 100 TB strategy: approx_percentile's KLL-style
+    summary is a mergeable partial aggregate with bounded memory,
+    where exact percentile_cont must buffer every group value (fine at
+    bench SF, an OOM at corpus scale). As with the HLL query, the
+    emitted columns are the EXACT values plus a sketch-within-1% flag,
+    so the DuckDB oracle verifies the guarantee rather than the
+    sketch's bit pattern."""
+    ev = _t(spark, sf_dir, "events")
+    exact = [
+        F.expr(f"percentile_cont({q}) WITHIN GROUP (ORDER BY value)").alias(f"e{tag}")
+        for q, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+    ]
+    approx = [
+        F.expr(f"approx_percentile(value, {q}, 10000)").alias(f"a{tag}")
+        for q, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+    ]
+    agg = ev.groupBy("event_type").agg(*exact, *approx)
+    within = None
+    for tag in ("50", "90", "99"):
+        ok = F.abs(F.col(f"a{tag}") - F.col(f"e{tag}")) <= F.abs(F.col(f"e{tag}")) * 0.01 + 0.01
+        within = ok if within is None else (within & ok)
+    return agg.select(
+        "event_type",
+        F.round("e50", 6).alias("p50"),
+        F.round("e90", 6).alias("p90"),
+        F.round("e99", 6).alias("p99"),
+        within.alias("sketch_within_1pct"),
+    ).orderBy("event_type")
+
+
+PERCENTILE_SKETCH_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       true AS sketch_within_1pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------- cube
 def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all grouping-set combinations."""
@@ -1668,6 +1713,7 @@ QUERIES = {
     "cust_segment_set_ops": cust_segment_set_ops,
     "events_approx_distinct": events_approx_distinct,
     "events_value_percentiles": events_value_percentiles,
+    "events_percentile_sketch": events_percentile_sketch,
     "orders_status_cube": orders_status_cube,
     "cust_above_nation_avg": cust_above_nation_avg,
     "top_parts_per_brand": top_parts_per_brand,
@@ -1711,6 +1757,7 @@ ORACLES = {
     "cust_segment_set_ops": SET_OPS_SQL,
     "events_approx_distinct": APPROX_DISTINCT_SQL,
     "events_value_percentiles": PERCENTILES_SQL,
+    "events_percentile_sketch": PERCENTILE_SKETCH_SQL,
     "orders_status_cube": CUBE_SQL,
     "cust_above_nation_avg": ABOVE_AVG_SQL,
     "top_parts_per_brand": TOP_PARTS_SQL,
