@@ -36,6 +36,7 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
     # -- new in round 6 (never gated): training-pipeline curation ops --
+    "text_bpe_token_stats",
     "corpus_stratified_sample",
     "corpus_decontaminate",
     "corpus_chunk_windows",

@@ -826,6 +826,45 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------- BPE-ish tokens
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-realistic counting: per language, whitespace tokens vs
+    BPE-ish proto-tokens (letter runs / digit runs / single punctuation
+    — the byte-level-BPE pre-split shape) and their ratio, the number
+    that actually sizes a training budget.
+
+    JVM-side regexp_extract_all inside whole-stage codegen — one linear
+    scan, one partial-aggregated groupBy; no Python."""
+    from pravega_spark.functions.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(_tokens(F.col("text"))).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+            F.round(F.sum("bpe") / F.sum("ws"), 4).alias("bpe_per_ws"),
+        )
+        .orderBy("lang")
+    )
+
+
+BPE_TOKEN_STATS_SQL = r"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+       round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+             / sum(len(string_split_regex(trim(text), ' +'))), 4) AS bpe_per_ws
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------- stratified sample
 _SAMPLE_PER_LANG = 25  # deterministic per-language cap
 
@@ -1032,6 +1071,7 @@ FROM assigned GROUP BY lang, shard ORDER BY lang, shard
 
 
 QUERIES = {
+    "text_bpe_token_stats": text_bpe_token_stats,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_chunk_windows": corpus_chunk_windows,
@@ -1050,6 +1090,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
     "corpus_chunk_windows": CHUNK_WINDOWS_SQL,
