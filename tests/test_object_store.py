@@ -229,3 +229,41 @@ def test_state_and_bytestream(object_store):
     assert r.read(6, 5) == b"world"  # ranged GET
     w.truncate_data_before(6)
     assert r.fetch_head_offset() == 6
+
+
+def test_kvt_unconditional_hot_path(object_store):
+    """KVT unconditional puts on the object store: the hot tier skips
+    the CAS read (no Spark), writes per-bucket parquet, and flips the
+    meta doc — including torn-commit invisibility when the meta PUT is
+    killed after the data landed."""
+    from pravega_spark.config import KeyValueTableConfiguration
+    from pravega_spark.kvt import KeyValueTableManager
+    from pravega_spark.testing.object_store import InjectedFailure
+
+    handler, root = object_store
+    mgr = KeyValueTableManager(None, root)  # spark unused on this path
+    kvt = mgr.create_key_value_table(
+        "s", "t", KeyValueTableConfiguration(partition_count=4)
+    )
+    v1 = kvt.update([("k1", None, "a"), ("k2", None, "b")], ["put", "put"])
+    v2 = kvt.update([("k1", None, "a2")], ["put"])
+    assert v2 == v1 + 1
+    data_files = [
+        f for f in fsio.list_files_recursive(fsio.join(root, "kvt", "s", "t", "log"))
+        if f.endswith(".parquet")
+    ]
+    assert data_files and all(f.split("/")[0].startswith("bucket=") for f in data_files)
+    rows = sum(
+        fsio.parquet_num_rows(fsio.join(root, "kvt", "s", "t", "log", f))
+        for f in data_files
+    )
+    assert rows == 3
+    # torn commit: kill the meta PUT after the bucket files land
+    handler.fail_on("put", "_kvt_meta.json")
+    with pytest.raises(InjectedFailure):
+        kvt.update([("k3", None, "c")], ["put"])
+    # a fresh handle (crash restart) sees the pre-crash version and the
+    # retry applies at the same version number
+    kvt2 = mgr.open("s", "t")
+    v3 = kvt2.update([("k3", None, "c")], ["put"])
+    assert v3 == v2 + 1
