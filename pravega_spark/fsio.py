@@ -50,8 +50,11 @@ def _split(path: str):
     if "://" not in path:
         return None, path
     scheme, rest = path.split("://", 1)
+    # registry lookup sees the RAW scheme first, then the alias — a
+    # filesystem registered as "s3a" must not be bypassed by the
+    # s3a->s3 normalization meant for pafs.FileSystem.from_uri
+    reg = _FS_REGISTRY.get(scheme) or _FS_REGISTRY.get(_SCHEME_ALIASES.get(scheme, scheme))
     scheme = _SCHEME_ALIASES.get(scheme, scheme)
-    reg = _FS_REGISTRY.get(scheme)
     if reg is not None:
         return reg, rest
     # file:// intentionally goes through pyarrow too: it keeps the

@@ -1156,29 +1156,44 @@ def events_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary is a mergeable partial aggregate with bounded memory,
     where exact percentile_cont must buffer every group value (fine at
     bench SF, an OOM at corpus scale). As with the HLL query, the
-    emitted columns are the EXACT values plus a sketch-within-1% flag,
-    so the DuckDB oracle verifies the guarantee rather than the
-    sketch's bit pattern."""
+    emitted columns are the EXACT values plus a flag verifying the
+    sketch's ACTUAL guarantee — which is a RANK bound (the returned
+    element's rank is within 1/accuracy of the target), NOT a value
+    bound: on a gapped distribution a one-rank-off result can differ
+    from percentile_cont by any amount. The flag therefore checks the
+    approx value lies inside the exact [q-eps, q+eps] value envelope
+    (eps = 0.002 = 20x the accuracy-10000 rank error), which the
+    DuckDB oracle asserts as constant true."""
+    eps = 0.002
     ev = _t(spark, sf_dir, "events")
-    exact = [
-        F.expr(f"percentile_cont({q}) WITHIN GROUP (ORDER BY value)").alias(f"e{tag}")
-        for q, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
-    ]
-    approx = [
-        F.expr(f"approx_percentile(value, {q}, 10000)").alias(f"a{tag}")
-        for q, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
-    ]
-    agg = ev.groupBy("event_type").agg(*exact, *approx)
+    qs = ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+    aggs = []
+    for q, tag in qs:
+        aggs.append(
+            F.expr(f"percentile_cont({q}) WITHIN GROUP (ORDER BY value)").alias(f"e{tag}")
+        )
+        aggs.append(
+            F.expr(f"percentile_cont({q - eps}) WITHIN GROUP (ORDER BY value)").alias(f"lo{tag}")
+        )
+        aggs.append(
+            F.expr(
+                f"percentile_cont({min(q + eps, 1.0)}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"hi{tag}")
+        )
+        aggs.append(F.expr(f"approx_percentile(value, {q}, 10000)").alias(f"a{tag}"))
+    agg = ev.groupBy("event_type").agg(*aggs)
     within = None
-    for tag in ("50", "90", "99"):
-        ok = F.abs(F.col(f"a{tag}") - F.col(f"e{tag}")) <= F.abs(F.col(f"e{tag}")) * 0.01 + 0.01
+    for _q, tag in qs:
+        ok = (F.col(f"a{tag}") >= F.col(f"lo{tag}") - 1e-9) & (
+            F.col(f"a{tag}") <= F.col(f"hi{tag}") + 1e-9
+        )
         within = ok if within is None else (within & ok)
     return agg.select(
         "event_type",
         F.round("e50", 6).alias("p50"),
         F.round("e90", 6).alias("p90"),
         F.round("e99", 6).alias("p99"),
-        within.alias("sketch_within_1pct"),
+        within.alias("sketch_in_rank_bound"),
     ).orderBy("event_type")
 
 
@@ -1187,7 +1202,7 @@ SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99,
-       true AS sketch_within_1pct
+       true AS sketch_in_rank_bound
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -1240,7 +1255,9 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("event_type")
         .agg(
-            F.count("*").alias("exact_users"),
+            # count(user_id), not count(*): a NULL user_id must stay
+            # excluded exactly as countDistinct and the oracle exclude it
+            F.count("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
         )
         .select(

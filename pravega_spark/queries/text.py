@@ -234,10 +234,11 @@ _DUCK_POOL = """
 
 _DUCK_SHINGLES = f"""
   SELECT doc_id, shingle FROM (
-    SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, greatest(len(string_split_regex(trim(text), ' +')) - 1, 1)),
-             i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+2], ' ')))) AS shingle
-    FROM ({_DUCK_POOL})
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+             THEN list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM ({_DUCK_POOL}))
   )
 """
 
@@ -940,11 +941,14 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECONTAMINATE_SQL = """
 WITH sh AS (
   -- trigrams; DuckDB list slicing is 1-based inclusive, so [i:i+2] is
-  -- 3 tokens and i runs 1..len-2 (range upper bound exclusive)
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(string_split_regex(trim(text), ' +')) - 1, 1)),
-           i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+2], ' ')))) AS shingle
-  FROM documents
+  -- 3 tokens and i runs 1..len-2 (range upper bound exclusive). Docs
+  -- under 3 tokens emit the whole text as one degenerate shingle —
+  -- mirroring the Spark side's _SHINGLE_EXPR ELSE branch exactly
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+           THEN list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> array_to_string(w[i:i+2], ' ')))
+           ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents)
 ),
 bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
 train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)

@@ -77,15 +77,15 @@ def _fields_nullable(schema_json: str) -> dict[str, tuple[str, bool]]:
     raise SchemaCompatibilityError("schema must be a Spark struct JSON document")
 
 
-def _type_readable(t_writer: str, t_reader: str) -> bool:
-    return (
-        t_writer == t_reader
-        or (t_writer, t_reader) in _ALLOWED_WIDENINGS
-        or (t_reader, t_writer) in _ALLOWED_WIDENINGS
-    )
+def _type_ok(t_old: str, t_new: str) -> bool:
+    """A field's type may only stay equal or WIDEN over time (the old
+    register() rule): narrowing (long->integer) silently NULLs/overflows
+    large values on read, so it is rejected in every mode/direction."""
+    return t_old == t_new or (t_old, t_new) in _ALLOWED_WIDENINGS
 
 
-def _can_read(reader_json: str, writer_json: str, absent_ok_if_nullable: bool) -> str | None:
+def _can_read(reader_json: str, writer_json: str, absent_ok_if_nullable: bool,
+              new_is_reader: bool = True) -> str | None:
     """None if a consumer on ``reader_json`` can decode payloads written
     with ``writer_json``; else a human-readable reason.
 
@@ -101,8 +101,14 @@ def _can_read(reader_json: str, writer_json: str, absent_ok_if_nullable: bool) -
     writer = _fields_nullable(writer_json)
     for name, (t_r, nullable) in _fields_nullable(reader_json).items():
         if name in writer:
-            if not _type_readable(writer[name][0], t_r):
-                return f"field retyped: {name} {writer[name][0]} -> {t_r}"
+            t_w = writer[name][0]
+            # the chronologically-old side is the writer in the BACKWARD
+            # check and the reader in the FORWARD check; the caller
+            # passes new_is_reader accordingly so the equal-or-widen
+            # rule always runs on the old->new transition
+            t_old, t_new = (t_w, t_r) if new_is_reader else (t_r, t_w)
+            if not _type_ok(t_old, t_new):
+                return f"field retyped: {name} {t_old} -> {t_new}"
         elif absent_ok_if_nullable and nullable:
             continue
         else:
@@ -130,11 +136,11 @@ def _check_compat(mode: str, new_json: str, prior: list[str]) -> None:
     for i, old_json in enumerate(against):
         ver_note = "" if len(against) == 1 else f" (vs version {i + 1})"
         if base in ("BACKWARD", "FULL"):
-            reason = _can_read(new_json, old_json, absent_ok_if_nullable=True)
+            reason = _can_read(new_json, old_json, absent_ok_if_nullable=True, new_is_reader=True)
             if reason:
                 raise SchemaCompatibilityError(f"{mode}: new reader breaks: {reason}{ver_note}")
         if base in ("FORWARD", "FULL"):
-            reason = _can_read(old_json, new_json, absent_ok_if_nullable=False)
+            reason = _can_read(old_json, new_json, absent_ok_if_nullable=False, new_is_reader=False)
             if reason:
                 raise SchemaCompatibilityError(f"{mode}: old readers break: {reason}{ver_note}")
 

@@ -107,9 +107,20 @@ def _batch_bounds(source, batch_id: int):
     return start, end
 
 
+def _slice_total(start: dict, end: dict) -> int:
+    """Row count of the [start, end) offset slice — the ONE definition
+    shared by the pump's size gate, the purity guard's expected value,
+    and the fallback's row-count hint, so they can never drift."""
+    return sum(
+        int(hi) - int(start.get(sid, 0))
+        for sid, hi in end.items()
+        if int(hi) > int(start.get(sid, 0))
+    )
+
+
 def _pump_batch(store: StreamStore, source, scope: str, stream: str,
                 writer_id: str, batch_id: int, note_time: bool,
-                bounds=None) -> bool:
+                bounds=None, total: int | None = None) -> bool:
     """Driver-side fast path for a pure stream-to-stream copy: re-read
     the micro-batch's slice straight from the source stream's committed
     parquet (the same ``_read_slice_table`` the executors run) and
@@ -139,8 +150,7 @@ def _pump_batch(store: StreamStore, source, scope: str, stream: str,
     start, end = bounds if bounds is not None else _batch_bounds(source, batch_id)
     if end is None or start is None:
         return False
-    total = sum(int(hi) - int(start.get(sid, 0)) for sid, hi in end.items()
-                if int(hi) > int(start.get(sid, 0)))
+    total = _slice_total(start, end) if total is None else total
     if total == 0 or total > _store_mod.HOT_MAX_ROWS:
         return False
     try:
@@ -280,19 +290,24 @@ def write_stream_batch(
             bounds = _batch_bounds(passthrough_from, batch_id)
             start, end = bounds
             expected = (
-                sum(
-                    int(hi) - int(start.get(sid, 0))
-                    for sid, hi in end.items()
-                    if int(hi) > int(start.get(sid, 0))
-                )
+                _slice_total(start, end)
                 if start is not None and end is not None
                 else None
             )
+            # oversized slices never pump (the size gate declines), so
+            # counting them here would double-scan exactly the most
+            # expensive catch-up batches — defer verification to the
+            # next pump-eligible trigger instead
+            verifiable = (
+                expected is not None and 0 < expected <= _store_mod.HOT_MAX_ROWS
+            )
             if (
                 expected is not None
-                and (expected == 0 or _purity_ok(batch_df, expected))
-            ) and _pump_batch(store, passthrough_from, scope, stream,
-                              writer_id, batch_id, note_time, bounds=bounds):
+                and (expected == 0 or not verifiable or _purity_ok(batch_df, expected))
+                and _pump_batch(store, passthrough_from, scope, stream,
+                                writer_id, batch_id, note_time,
+                                bounds=bounds, total=expected)
+            ):
                 return
             if expected is not None and not _guard["disabled"]:
                 # pump declined but the slice size is still exact

@@ -142,13 +142,17 @@ class ObjectStoreHandler(pafs.FileSystemHandler):
         self._count("list")
         prefix = base + "/" if base else ""
         with self._lock:
-            keys = [k for k in self._objects if k.startswith(prefix)]
-        if not keys and base and not self._is_implicit_dir(base):
+            # sizes captured inside the lock: a concurrent delete between
+            # snapshotting the keys and reading sizes must not KeyError
+            entries = [
+                (k, len(v)) for k, v in self._objects.items() if k.startswith(prefix)
+            ]
+        if not entries and base and not self._is_implicit_dir(base):
             if selector.allow_not_found:
                 return []
             raise FileNotFoundError(base)
         infos, dirs_seen = [], set()
-        for k in keys:
+        for k, size in entries:
             rest = k[len(prefix):]
             if "/" in rest:
                 d = prefix + rest.split("/", 1)[0]
@@ -157,13 +161,9 @@ class ObjectStoreHandler(pafs.FileSystemHandler):
                     infos.append(pafs.FileInfo(d, pafs.FileType.Directory))
                 if not selector.recursive:
                     continue
-                infos.append(
-                    pafs.FileInfo(k, pafs.FileType.File, size=len(self._objects[k]))
-                )
+                infos.append(pafs.FileInfo(k, pafs.FileType.File, size=size))
             else:
-                infos.append(
-                    pafs.FileInfo(k, pafs.FileType.File, size=len(self._objects[k]))
-                )
+                infos.append(pafs.FileInfo(k, pafs.FileType.File, size=size))
         return infos
 
     def create_dir(self, path, recursive=True):

@@ -203,3 +203,44 @@ def test_ngram_probe_paths_identical(spark, tmp_path):
     release_result_caches()
     ukey = _source_fingerprint(str(uniq_dir), "documents")
     assert text_mod._NGRAM_COLLAPSE_MEMO[ukey] is False
+
+
+def test_short_doc_shingle_fallback_parity(spark, tmp_path):
+    """Docs under 3 tokens emit one whole-text shingle on BOTH engines
+    (the _SHINGLE_EXPR ELSE branch and the oracle CASE added in r6) —
+    pinned with a corpus of empty/1/2-token docs where a benchmark doc
+    and a train doc share a short text."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pravega_spark.queries.text import DECONTAMINATE_SQL, corpus_decontaminate
+
+    rows = [
+        (0, "en", "tiny text"),          # benchmark (0 % 97 == 0)
+        (97, "en", "word alone"),        # benchmark
+        (1, "en", "tiny text"),          # train: shares the 2-token text
+        (2, "en", ""),                   # train: empty
+        (3, "en", "one two three four"), # train: normal, no overlap
+        (4, "en", "word alone"),         # train: shares 2-token text
+    ]
+    d = tmp_path / "short"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = sorted(
+        (r.doc_id, r.n_overlap) for r in corpus_decontaminate(spark, str(d)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.sql(DECONTAMINATE_SQL).fetchall())
+    assert got == want
+    assert (1, 1) in got and (4, 1) in got, "short-text overlap must be flagged"

@@ -2,7 +2,7 @@
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType
 
 from pravega_spark.config import ScalingPolicy, StreamConfiguration
 from pravega_spark.schemas import (
@@ -94,12 +94,20 @@ def test_compatibility_mode_matrix(store):
     removed = _st(("a", LongType(), True))
     widened = _st(("a", DoubleType(), True), ("b", DoubleType(), True))
     retyped = _st(("a", StringType(), True), ("b", DoubleType(), True))
+    # NARROWING (long->integer, double->float) silently NULLs/overflows
+    # large values on read — rejected in every checking mode/direction
+    narrowed = _st(("a", IntegerType(), True), ("b", DoubleType(), True))
+    narrowed2 = _st(("a", LongType(), True), ("b", FloatType(), True))
     cases = {
         # mode: (accepted, rejected)
-        "BACKWARD": ([add_nullable, removed, widened], [add_required, retyped]),
-        "FORWARD": ([add_nullable, add_required, widened], [removed, retyped]),
-        "FULL": ([add_nullable, widened], [add_required, removed, retyped]),
-        "NONE": ([add_nullable, add_required, removed, widened, retyped], []),
+        "BACKWARD": ([add_nullable, removed, widened],
+                     [add_required, retyped, narrowed, narrowed2]),
+        "FORWARD": ([add_nullable, add_required, widened],
+                    [removed, retyped, narrowed, narrowed2]),
+        "FULL": ([add_nullable, widened],
+                 [add_required, removed, retyped, narrowed, narrowed2]),
+        "NONE": ([add_nullable, add_required, removed, widened, retyped,
+                  narrowed, narrowed2], []),
     }
     i = 0
     for mode, (ok, bad) in cases.items():
