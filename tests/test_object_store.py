@@ -267,3 +267,20 @@ def test_kvt_unconditional_hot_path(object_store):
     kvt2 = mgr.open("s", "t")
     v3 = kvt2.update([("k3", None, "c")], ["put"])
     assert v3 == v2 + 1
+
+
+def test_lock_reap_survives_torn_move(object_store):
+    """A reaping contender whose copy+delete move is killed between the
+    steps (lock file AND reap copy both left behind) must not deadlock
+    the lock: the next contender still acquires after the lease."""
+    handler, root = object_store
+    lock = fsio.join(root, "locks/torn")
+    stale = fsio.acquire_lock(lock, lease_ms=30, timeout_ms=2000)
+    time.sleep(0.06)  # lease expired, holder crashed
+    handler.fail_on("move_delete", "locks/torn")
+    tok = fsio.acquire_lock(lock, lease_ms=500, timeout_ms=10000)
+    assert tok != stale
+    fsio.release_lock(lock, tok)
+    # and the lock is reusable afterwards
+    tok2 = fsio.acquire_lock(lock, lease_ms=500, timeout_ms=5000)
+    fsio.release_lock(lock, tok2)
