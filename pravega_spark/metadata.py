@@ -56,7 +56,12 @@ class MetadataStore:
     def __init__(self, root: str):
         self.root = root
         self.meta_root = fsio.join(root, "_metadata")
-        fsio.makedirs(self.meta_root)
+        try:
+            fsio.makedirs(self.meta_root)
+        except OSError:
+            # read-side construction (data source workers, read-only
+            # replicas): the store must open without write access
+            pass
 
     # ---------- low-level doc I/O (local or object store, fsio.py) ----------
     def _doc_path(self, *parts: str) -> str:

@@ -114,12 +114,33 @@ class RetentionJob:
         if pol.retention_type != RetentionType.CONSUMPTION:
             sub_cut = self.consumption_cut(scope, stream)
             if sub_cut is not None:
+                # a segment with NO subscriber position defaults to 0
+                # (hold truncation), matching consumption_cut's own
+                # conservative choice — after a scale, a successor the
+                # group hasn't drained yet must not be truncated out
+                # from under it
                 cut = StreamCut.of(
                     {
-                        s: min(cut.offset_for(s, 0), sub_cut.offset_for(s, 10**18))
+                        s: min(cut.offset_for(s, 0), sub_cut.offset_for(s, 0))
                         for s in cut.positions
                     }
                 )
+                # ... but the policy's MAX bound caps how far a stalled
+                # subscriber can pin retention (the reference applies
+                # the max bound exactly to lagging subscribers:
+                # StreamMetadataTasks truncation bounds). TIME's max is
+                # milliseconds, SIZE's max is events.
+                if pol.retention_max:
+                    if pol.retention_type == RetentionType.TIME:
+                        floor = self.cut_by_time(scope, stream, pol.retention_max, now=now)
+                    else:
+                        floor = self.cut_by_size(scope, stream, pol.retention_max)
+                    cut = StreamCut.of(
+                        {
+                            s: max(cut.offset_for(s, 0), floor.offset_for(s, 0))
+                            for s in cut.positions
+                        }
+                    )
         self.store.truncate_stream(scope, stream, cut)
         if compact:
             self.store.compact_stream(scope, stream)

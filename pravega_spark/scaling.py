@@ -41,9 +41,18 @@ class AutoScaler:
     def __init__(self, store: StreamStore):
         self.store = store
 
-    def segment_rates(self, scope: str, stream: str, now=None) -> dict[int, dict[int, float]]:
-        """events/sec per segment over trailing 2/5/10/20-minute windows
-        of ingest_time (the rate the reference tracks with EWMAs)."""
+    def segment_rates(self, scope: str, stream: str, now=None,
+                      metric: str = "events") -> dict[int, dict[int, float]]:
+        """Per-segment trailing 2/5/10/20-minute rates from ingest_time
+        (the rate the reference tracks with EWMAs): events/sec, or
+        KB/sec of payload when ``metric="kbytes"`` (the
+        BY_RATE_IN_KBYTES_PER_SEC unit).
+
+        The widest-window filter is applied BEFORE the aggregation so
+        parquet row-group stats prune everything older than 20 minutes
+        — on a long-lived stream the scan touches only the tail files,
+        not the whole history (segments with no recent rows simply
+        drop out of the result; plan() already defaults them to 0)."""
         df = self.store._raw_read(scope, stream)
         if "ingest_time" not in df.columns:
             return {}
@@ -52,15 +61,27 @@ class AutoScaler:
             if row["m"] is None:
                 return {}
             now = row["m"]
+        unit = (
+            F.octet_length(F.col("payload")).cast("double") / 1024.0
+            if metric == "kbytes"
+            else F.lit(1.0)
+        )
+        horizon = F.lit(now) - F.expr(f"INTERVAL {max(WINDOWS_MIN)} MINUTES")
         aggs = [
             F.sum(
                 F.when(
-                    F.col("ingest_time") >= F.lit(now) - F.expr(f"INTERVAL {m} MINUTES"), 1
-                ).otherwise(0)
+                    F.col("ingest_time") >= F.lit(now) - F.expr(f"INTERVAL {m} MINUTES"),
+                    unit,
+                ).otherwise(0.0)
             ).alias(f"n{m}")
             for m in WINDOWS_MIN
         ]
-        rows = df.groupBy("segment_id").agg(*aggs).collect()
+        rows = (
+            df.filter(F.col("ingest_time") >= horizon)
+            .groupBy("segment_id")
+            .agg(*aggs)
+            .collect()
+        )
         return {
             r["segment_id"]: {m: r[f"n{m}"] / (m * 60.0) for m in WINDOWS_MIN} for r in rows
         }
@@ -78,7 +99,17 @@ class AutoScaler:
         if cfg.scaling.scale_type == ScaleType.FIXED_NUM_SEGMENTS:
             return []
         target = max(cfg.scaling.target_rate, 1)
-        rates = rates if rates is not None else self.segment_rates(scope, stream)
+        if rates is None:
+            # measure in the POLICY's unit: events/s for BY_RATE_IN_
+            # EVENTS_PER_SEC, payload KB/s for BY_RATE_IN_KBYTES_PER_SEC
+            # — comparing an events/s rate against a KB/s target would
+            # scale tiny-event streams up and fat-event streams never
+            metric = (
+                "kbytes"
+                if cfg.scaling.scale_type == ScaleType.BY_RATE_IN_KBYTES_PER_SEC
+                else "events"
+            )
+            rates = self.segment_rates(scope, stream, metric=metric)
         epoch = self.store.meta.active_epoch(scope, stream)
         import time as _time
 

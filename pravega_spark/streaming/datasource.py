@@ -89,16 +89,30 @@ def _read_slice_table(sl: SegmentSlice):
     import pyarrow as pa
     import pyarrow.dataset as ds
 
-    seg_dir = os.path.join(sl.path, f"segment_id={sl.segment_id}")
+    from pravega_spark import fsio
+
+    # URI roots (object stores, fsio-registered filesystems) resolve to
+    # a pyarrow filesystem + normalized path; local stays on the os
+    # fast path. ds.dataset(filesystem=None) means "infer local".
+    fs, base = fsio._split(sl.path)
+    join = (lambda *p: "/".join(x.rstrip("/") for x in p)) if fs is not None else os.path.join
+    seg_dir = join(base, f"segment_id={sl.segment_id}")
     if sl.files is not None:
-        paths = [os.path.join(sl.path, f) for f in sl.files]
+        paths = [join(base, f) for f in sl.files]
         if not paths:
             return None
-        dataset = ds.dataset(paths, format="parquet")
-    elif os.path.isdir(seg_dir):
-        dataset = ds.dataset(seg_dir, format="parquet")
+        dataset = ds.dataset(paths, format="parquet", filesystem=fs)
     else:
-        return None
+        # pre-manifest stream: read the whole segment directory
+        if fs is not None:
+            from pyarrow import fs as pafs
+
+            present = fs.get_file_info(seg_dir).type == pafs.FileType.Directory
+        else:
+            present = os.path.isdir(seg_dir)
+        if not present:
+            return None
+        dataset = ds.dataset(seg_dir, format="parquet", filesystem=fs)
     flt = (ds.field("offset") >= sl.start) & (ds.field("offset") < sl.end)
     names = [f.name for f in ENVELOPE.fields]
     have = set(dataset.schema.names)
@@ -162,46 +176,112 @@ def _load_heads(root: str, scope: str, stream: str) -> dict[int, int]:
     return {int(k): v["head_offset"] for k, v in _load_segments(root, scope, stream).items()}
 
 
-def _load_files(root: str, scope: str, stream: str) -> dict[int, list[str] | None]:
+def _load_files(root: str, scope: str, stream: str,
+                only_sids: set[int] | None = None) -> dict[int, list[str] | None]:
     """Per-segment committed-file manifest; None = pre-manifest stream.
 
-    Resolves the sharded per-segment manifest pointers (``manifest`` =
-    version of ``manifests/<sid>.<v>.json``) with the legacy inline
-    ``files`` list as fallback — same protocol as MetadataStore.
-    segment_files, duplicated here because data source workers have no
-    JVM/driver objects, only fsio."""
+    Shard resolution delegates to ``MetadataStore.segment_files`` (pure
+    fsio/stdlib — constructible inside data source workers), wrapped in
+    the lockless doc→shard retry: a concurrent commit GCs the old shard
+    right after its doc flip, so a missing shard means OUR doc snapshot
+    is stale — re-read and retry; silently treating a non-empty segment
+    as empty would skip committed events in a planned micro-batch.
+
+    ``only_sids`` restricts resolution to the segments a plan actually
+    touches: per-trigger planning then issues O(active segments)
+    metadata reads, not O(all segments) — on an object-store root with
+    hundreds of idle segments that is the difference between a few GETs
+    per trigger and hundreds."""
     import time as _time
 
-    from pravega_spark import fsio
+    from pravega_spark.errors import ConcurrentModificationException
+    from pravega_spark.metadata import MetadataStore
 
-    # doc → shard is a lockless two-step read: a concurrent commit GCs
-    # the old shard right after its doc flip, so a missing shard means
-    # OUR doc snapshot is stale — re-read the doc and retry. Treating
-    # it as an empty segment would silently skip committed events in a
-    # planned micro-batch (permanent loss under exactly-once).
+    ms = MetadataStore(root)
+    last: Exception | None = None
     for attempt in range(5):
         out: dict[int, list[str] | None] = {}
-        stale = False
-        for k, v in _load_segments(root, scope, stream).items():
-            if "files" in v:
-                out[int(k)] = list(v["files"])
-            elif v.get("manifest") is not None:
-                doc = fsio.read_json(
-                    fsio.join(root, "_metadata", scope, stream, "manifests", f"{k}.{v['manifest']}.json"),
-                    None,
-                )
-                if doc is None:
-                    stale = True
-                    break
-                out[int(k)] = list(doc["files"])
-            else:
-                out[int(k)] = None
-        if not stale:
+        try:
+            for k, v in _load_segments(root, scope, stream).items():
+                if only_sids is not None and int(k) not in only_sids:
+                    continue
+                if "files" in v or v.get("manifest") is not None:
+                    out[int(k)] = ms.segment_files(scope, stream, k, v)
+                else:
+                    out[int(k)] = None  # pre-manifest: read the whole dir
             return out
-        _time.sleep(0.05 * (attempt + 1))
-    raise RuntimeError(
-        f"{scope}/{stream}: manifest shards kept changing across retries"
+        except ConcurrentModificationException as e:
+            last = e
+            _time.sleep(0.05 * (attempt + 1))
+    raise last
+
+
+def read_offsets_log(checkpoint_dir: str, batch_id: int) -> dict[str, int] | None:
+    """The single-source offset vector Spark logged for ``batch_id`` —
+    THE one validated parser of the offsets-log format (version line,
+    batch-metadata line, then ONE line per source). Exactly one source
+    line is required: in a multi-source query a batch cannot be
+    attributed to one stream slice, and blindly taking the last line
+    would return some OTHER source's offsets. Reads via fsio so
+    checkpoints on URI roots work too."""
+    from pravega_spark import fsio
+
+    text = fsio.read_text(fsio.join(checkpoint_dir, "offsets", str(batch_id)))
+    if text is None:
+        return None
+    try:
+        lines = [ln for ln in text.splitlines() if ln.strip()]
+        if len(lines) != 3:
+            return None
+        off = json.loads(lines[2])
+        if not isinstance(off, dict):
+            return None
+        return {str(k): int(v) for k, v in off.items()}
+    except (ValueError, json.JSONDecodeError):
+        return None
+
+
+def logged_batch_ids(checkpoint_dir: str, subdir: str) -> list[int]:
+    """Sorted batch ids present in a checkpoint log dir (offsets/
+    commits), via fsio so URI-rooted checkpoints list correctly."""
+    from pravega_spark import fsio
+
+    return sorted(
+        int(name)
+        for name in fsio.list_files_recursive(fsio.join(checkpoint_dir, subdir))
+        if name.isdigit()
     )
+
+
+def bound_tails_by_cut(root: str, scope: str, stream: str,
+                       tails: dict[int, int], end_positions: dict) -> dict[int, int]:
+    """Cap per-segment tails at a bounded-read end cut. A segment the
+    cut does not mention is either a PREDECESSOR (sealed before the cut
+    — entirely before it, read fully) or a SUCCESSOR created by a scale
+    after the cut (entirely after it, read NOTHING). Epoch records
+    decide which: segments first appearing in an epoch newer than every
+    cut segment's epoch are successors. Defaulting them to their tail
+    would leak post-cut events into a bounded read
+    (BoundedStreamReaderTest semantics). Shared by the source's
+    latestOffset and ReaderGroup.drain's target computation."""
+    ends = {str(k): int(v) for k, v in end_positions.items()}
+    missing = [k for k in tails if str(k) not in ends]
+    if missing:
+        from pravega_spark import fsio
+
+        epochs = fsio.read_json(
+            fsio.join(root, "_metadata", scope, stream, "epochs.json"), []
+        )
+        first_epoch: dict[int, int] = {}
+        for rec in epochs:
+            for seg in rec.get("segments", []):
+                first_epoch.setdefault(int(seg["segment_id"]), int(rec["epoch"]))
+        cut_epoch = max((first_epoch.get(int(k), 0) for k in ends), default=0)
+        for k in missing:
+            if first_epoch.get(int(k), 1 << 62) > cut_epoch:
+                ends[str(k)] = 0  # successor: entirely after the cut
+            # predecessor: leave unmentioned -> full tail below
+    return {k: min(v, ends.get(str(k), v)) for k, v in tails.items()}
 
 
 class PravegaStreamReader(DataSourceStreamReader):
@@ -253,15 +333,14 @@ class PravegaStreamReader(DataSourceStreamReader):
         newest entry in the query's own offsets log (last line = this
         source's JSON offset dict, same format committed_positions
         parses)."""
-        offsets_dir = os.path.join(self.checkpoint_dir, "offsets")
         try:
-            batches = sorted(int(f) for f in os.listdir(offsets_dir) if f.isdigit())
+            batches = logged_batch_ids(self.checkpoint_dir, "offsets")
             if not batches:
                 return
-            with open(os.path.join(offsets_dir, str(batches[-1]))) as f:
-                lines = [ln for ln in f.read().splitlines() if ln.strip()]
-            self._advance(json.loads(lines[-1]))
-        except (OSError, ValueError, json.JSONDecodeError):
+            off = read_offsets_log(self.checkpoint_dir, batches[-1])
+            if off is not None:  # None: multi-source/partial — stay uncapped
+                self._advance(off)
+        except OSError:
             return  # no/partial checkpoint: first batch stays uncapped
 
     def latestOffset(self) -> dict:
@@ -269,8 +348,7 @@ class PravegaStreamReader(DataSourceStreamReader):
             self._seed_from_checkpoint()
         tails = _load_tails(self.root, self.scope, self.stream)
         if self.end_cut is not None:
-            ends = self.end_cut.get("positions", {})
-            tails = {k: min(v, int(ends.get(str(k), v))) for k, v in tails.items()}
+            tails = self._bound_by_end_cut(tails)
         latest = {str(k): int(v) for k, v in tails.items()}
         if self.max_per_trigger and self._pos is not None:
             base = self._pos
@@ -283,9 +361,20 @@ class PravegaStreamReader(DataSourceStreamReader):
         self._advance(latest)
         return latest
 
+    def _bound_by_end_cut(self, tails: dict[int, int]) -> dict[int, int]:
+        return bound_tails_by_cut(
+            self.root, self.scope, self.stream, tails,
+            self.end_cut.get("positions", {}),
+        )
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         self._advance(end)  # authoritative plan boundary
-        files = _load_files(self.root, self.scope, self.stream)
+        needed = {
+            int(sid) for sid, hi in end.items() if int(hi) > int(start.get(sid, 0))
+        }
+        # O(active segments) metadata reads per trigger: idle segments'
+        # manifest shards are never touched
+        files = _load_files(self.root, self.scope, self.stream, only_sids=needed) if needed else {}
         out = []
         for sid, hi in end.items():
             lo = int(start.get(sid, 0))

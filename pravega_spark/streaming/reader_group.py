@@ -17,9 +17,6 @@ class packages that with the reference's surface:
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from pravega_spark.config import ReaderGroupConfig
@@ -34,7 +31,9 @@ class ReaderGroup:
         self.store = store
         self.scope, self.stream, self.name = scope, stream, name
         self.config = config or ReaderGroupConfig()
-        self.checkpoint_dir = os.path.join(store.root, "_reader_groups", scope, stream, name)
+        from pravega_spark import fsio
+
+        self.checkpoint_dir = fsio.join(store.root, "_reader_groups", scope, stream, name)
         register(store.spark)
 
     # ---------------- consumption plane ----------------
@@ -91,6 +90,21 @@ class ReaderGroup:
         import time
 
         target = self.store.tail_stream_cut(self.scope, self.stream)
+        if self.config.end_cut is not None:
+            # a bounded group can never advance past its end cut — an
+            # uncapped target would make drain spin for the full
+            # timeout and return a meaningless pending count. Uses the
+            # source's own epoch-aware bounding so post-cut successor
+            # segments count as fully drained, not pending.
+            from pravega_spark.streaming.datasource import bound_tails_by_cut
+
+            end = StreamCut.of(self.config.end_cut)
+            target = StreamCut.of(
+                bound_tails_by_cut(
+                    self.store.root, self.scope, self.stream,
+                    dict(target.positions), end.positions,
+                )
+            )
         pending = self.committed_positions().distance_to(target)
         q = (
             self.read_stream()
@@ -125,17 +139,21 @@ class ReaderGroup:
         ``commits/N`` only after it completes — reading the offsets log
         alone would report data as consumed while the batch is still
         in flight (and drain() would stop the query mid-batch)."""
-        offsets_dir = os.path.join(self.checkpoint_dir, "offsets")
-        commits_dir = os.path.join(self.checkpoint_dir, "commits")
-        if not os.path.isdir(offsets_dir) or not os.path.isdir(commits_dir):
-            return StreamCut.of({})
-        committed = sorted(int(f) for f in os.listdir(commits_dir) if f.isdigit())
+        from pravega_spark.streaming.datasource import (
+            logged_batch_ids,
+            read_offsets_log,
+        )
+
+        committed = logged_batch_ids(self.checkpoint_dir, "commits")
         if not committed:
             return StreamCut.of({})
-        with open(os.path.join(offsets_dir, str(committed[-1]))) as f:
-            lines = [ln for ln in f.read().splitlines() if ln and not ln.startswith("v")]
-        # last line is this source's offset json
-        positions = json.loads(lines[-1])
+        # the ONE validated offsets-log parser (strict single-source):
+        # a multi-source query's batch cannot be attributed to this
+        # stream, and a wrong-source cut published to retention could
+        # truncate data this group never read
+        positions = read_offsets_log(self.checkpoint_dir, committed[-1])
+        if positions is None:
+            return StreamCut.of({})
         return StreamCut.of({int(k): int(v) for k, v in positions.items()})
 
     def initiate_checkpoint(self, name: str) -> StreamCut:
@@ -161,6 +179,6 @@ class ReaderGroup:
     def reset(self) -> None:
         """Drop the checkpoint → group restarts from its configured cut
         (ReaderGroup.resetReaderGroup)."""
-        import shutil
+        from pravega_spark import fsio
 
-        shutil.rmtree(self.checkpoint_dir, ignore_errors=True)
+        fsio.rmtree(self.checkpoint_dir)

@@ -53,22 +53,14 @@ _ENVELOPE_COLS = ["routing_key", "segment_id", "offset", "event_time", "ingest_t
 
 
 def _offsets_at(checkpoint_dir: str, batch_id: int) -> dict[str, int] | None:
-    """The single-source offset vector Spark logged for ``batch_id``.
+    """Delegates to the ONE validated offsets-log parser
+    (datasource.read_offsets_log) — three hand-rolled copies of this
+    format drifted before; now they can't."""
+    from pravega_spark.streaming.datasource import read_offsets_log
 
-    The offsets log entry is: line 1 version tag, line 2 batch metadata,
-    then ONE line per source. Exactly one source line is required — a
-    multi-source query's batch can't be attributed to one stream slice.
-    """
     try:
-        with open(os.path.join(checkpoint_dir, "offsets", str(batch_id))) as f:
-            lines = [ln for ln in f.read().splitlines() if ln.strip()]
-        if len(lines) != 3:
-            return None
-        off = json.loads(lines[2])
-        if not isinstance(off, dict):
-            return None
-        return {str(k): int(v) for k, v in off.items()}
-    except (OSError, ValueError, json.JSONDecodeError):
+        return read_offsets_log(checkpoint_dir, batch_id)
+    except OSError:
         return None
 
 
@@ -157,7 +149,10 @@ def _pump_batch(store: StreamStore, source, scope: str, stream: str,
         src_root = source.store.root
         src_scope, src_stream = source.scope, source.stream
         path = os.path.join(src_root, "streams", src_scope, src_stream)
-        files = _load_files(src_root, src_scope, src_stream)
+        needed = {
+            int(sid) for sid, hi in end.items() if int(hi) > int(start.get(sid, 0))
+        }
+        files = _load_files(src_root, src_scope, src_stream, only_sids=needed)
         slices = [
             SegmentSlice(path, int(sid), int(start.get(sid, 0)), int(hi), files.get(int(sid)))
             for sid, hi in sorted(end.items(), key=lambda kv: int(kv[0]))
