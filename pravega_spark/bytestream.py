@@ -37,41 +37,51 @@ class ByteStream:
     def _save(self, m: dict) -> None:
         fsio.write_json_atomic(self.manifest_path, m)
 
+    def _locked(self):
+        """Manifest mutations are read-modify-write: two writers (or a
+        write racing truncate) would otherwise clobber each other's
+        manifest and lose ACKNOWLEDGED chunks — the same reason every
+        stream/KVT commit runs under fsio.locked."""
+        return fsio.locked(fsio.join(self.dir, "manifest.lock"))
+
 
 class ByteStreamWriter(ByteStream):
     def write(self, data: bytes) -> int:
         """Append; returns the offset of the first byte written."""
-        m = self._manifest()
-        if m["sealed"]:
-            raise StreamSealedException("byte stream sealed")
-        start = m["tail"]
-        chunk = f"chunk-{start:020d}-{uuid.uuid4().hex[:8]}.bin"
-        fsio.write_bytes(fsio.join(self.dir, chunk), data)
-        m["chunks"].append({"start": start, "len": len(data), "file": chunk})
-        m["tail"] = start + len(data)
-        self._save(m)
-        return start
+        with self._locked():
+            m = self._manifest()
+            if m["sealed"]:
+                raise StreamSealedException("byte stream sealed")
+            start = m["tail"]
+            chunk = f"chunk-{start:020d}-{uuid.uuid4().hex[:8]}.bin"
+            fsio.write_bytes(fsio.join(self.dir, chunk), data)
+            m["chunks"].append({"start": start, "len": len(data), "file": chunk})
+            m["tail"] = start + len(data)
+            self._save(m)
+            return start
 
     def flush(self) -> None:  # durability is per-write (atomic manifest)
         pass
 
     def close_and_seal(self) -> None:
-        m = self._manifest()
-        m["sealed"] = True
-        self._save(m)
+        with self._locked():
+            m = self._manifest()
+            m["sealed"] = True
+            self._save(m)
 
     def truncate_data_before(self, offset: int) -> None:
         """Drop whole chunks below ``offset``; head becomes ``offset``."""
-        m = self._manifest()
-        keep = []
-        for c in m["chunks"]:
-            if c["start"] + c["len"] <= offset:
-                fsio.remove(fsio.join(self.dir, c["file"]))
-            else:
-                keep.append(c)
-        m["chunks"] = keep
-        m["head"] = max(m["head"], offset)
-        self._save(m)
+        with self._locked():
+            m = self._manifest()
+            keep = []
+            for c in m["chunks"]:
+                if c["start"] + c["len"] <= offset:
+                    fsio.remove(fsio.join(self.dir, c["file"]))
+                else:
+                    keep.append(c)
+            m["chunks"] = keep
+            m["head"] = max(m["head"], offset)
+            self._save(m)
 
 
 class ByteStreamReader(ByteStream):

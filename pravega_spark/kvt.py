@@ -191,7 +191,8 @@ class KeyValueTable:
                 for r in rows:
                     if (r["pk"], r["sk"]) in keys:
                         current[(r["pk"], r["sk"])] = r["version"]
-        for (pk, sk, _), kind, exp in zip(entries, kinds, expected):
+        skip: set[int] = set()
+        for i, ((pk, sk, _), kind, exp) in enumerate(zip(entries, kinds, expected)):
             cur = current.get((pk, sk))
             if kind == "insert" or exp == MUST_NOT_EXIST:
                 if cur is not None:
@@ -203,8 +204,11 @@ class KeyValueTable:
                     raise BadKeyVersionException(f"key {pk!r}/{sk!r}: expected {exp}, found {cur}")
             if kind == "remove" and cur is None and exp == ANY_VERSION:
                 # removing an absent key unconditionally is a no-op in the
-                # reference; keep the tombstone out of the log
-                continue
+                # reference; keep the tombstone out of the log (the row
+                # build below must actually SKIP it, not just note it —
+                # a phantom tombstone would surface a delete event for a
+                # key that never existed in entry_delta_iterator)
+                skip.add(i)
         version = self._next_version
         n_buckets = self.config.partition_count
         rows = [
@@ -215,8 +219,13 @@ class KeyValueTable:
                 "version": version,
                 "deleted": kind == "remove",
             }
-            for (pk, sk, value), kind in zip(entries, kinds)
+            for i, ((pk, sk, value), kind) in enumerate(zip(entries, kinds))
+            if i not in skip
         ]
+        if not rows:
+            # a batch of pure no-ops mutates nothing: no version burned,
+            # no file committed
+            return self._next_version - 1
         tag = uuid.uuid4().hex[:8]
         if len(rows) <= KVT_HOT_MAX_ROWS:
             # hot path: per-bucket pyarrow writes, zero Spark jobs —

@@ -145,6 +145,10 @@ class StateSynchronizer:
         for rev, value in self.client.read_from(self._revision):
             if isinstance(value, dict) and value.get("__snapshot__"):
                 self._state = value["state"]
+            elif isinstance(value, dict) and "__batch__" in value:
+                # one revision = one atomic multi-update batch
+                for u in value["__batch__"]:
+                    self._state = self.apply(self._state, u)
             else:
                 self._state = self.apply(self._state, value)
             self._revision = rev
@@ -160,9 +164,18 @@ class StateSynchronizer:
             if not updates:
                 return self._state
             try:
-                rev = self._revision
-                for u in updates:
-                    rev = self.client.write_conditionally(rev, u)
+                # the WHOLE update list is one conditional append — a
+                # multi-update batch is all-or-nothing, exactly like the
+                # reference's single ConditionalAppend of the update
+                # list. Writing them as N separate revisions would let a
+                # mid-list CAS failure strand a committed prefix, and
+                # the retry would re-apply it (double-counting).
+                if len(updates) == 1:
+                    self.client.write_conditionally(self._revision, updates[0])
+                else:
+                    self.client.write_conditionally(
+                        self._revision, {"__batch__": list(updates)}
+                    )
             except ConditionalCheckFailedException:
                 continue
             self.fetch_updates()

@@ -99,9 +99,17 @@ class StreamInfo:
 
 
 class Transaction:
-    """Staged writes merged atomically on commit (Transaction.java:29-109)."""
+    """Staged writes merged atomically on commit (Transaction.java:29-109).
 
-    OPEN, COMMITTED, ABORTED = "OPEN", "COMMITTED", "ABORTED"
+    State machine (r6): OPEN → COMMITTING → COMMITTED, or OPEN →
+    ABORTED. The OPEN→COMMITTING flip under the stream lock is the
+    point of no return: abort refuses COMMITTING txns and writers
+    fail their completion check, so commit and abort can never both
+    report success, and a writer racing the commit can never lose an
+    acknowledged part silently (reference: CommittingTransactionsRecord
+    + sealed shadow segments give the same exclusion)."""
+
+    OPEN, COMMITTING, COMMITTED, ABORTED = "OPEN", "COMMITTING", "COMMITTED", "ABORTED"
 
     def __init__(self, store: "StreamStore", scope: str, stream: str, txn_id: str):
         self.store, self.scope, self.stream, self.txn_id = store, scope, stream, txn_id
@@ -143,6 +151,20 @@ class Transaction:
         staged = self.store._with_arrival_seq(df, routing_key_col)
         # one sub-dir per write_events call keeps arrival order across calls
         staged.write.mode("append").parquet(fsio.join(self.staging_path, f"part={part_no}"))
+        # completion marker + post-stage status check: commit merges ONLY
+        # parts whose _DONE existed when it listed the staging dir, so a
+        # part still staging when the txn flips to COMMITTING is excluded
+        # — and THIS call then raises instead of returning a silent
+        # success for data the commit never merged. (Parquet readers
+        # ignore underscore-prefixed files, so the marker is inert.)
+        fsio.write_bytes(fsio.join(self.staging_path, f"part={part_no}", "_DONE"), b"")
+        with self.store._commit_lock(self.scope, self.stream):
+            doc = self._doc()
+            if doc[self.txn_id]["status"] != self.OPEN:
+                raise TxnFailedException(
+                    f"txn {self.txn_id} moved to {doc[self.txn_id]['status']} during "
+                    "write_events; this part is not part of the commit"
+                )
 
     def ping(self, lease_ms: int = DEFAULT_TXN_LEASE_MS) -> None:
         with self.store._commit_lock(self.scope, self.stream):
@@ -153,9 +175,11 @@ class Transaction:
             self.store.meta.put_txn_doc(self.scope, self.stream, doc)
 
     def commit(self, timestamp_ms: int | None = None) -> None:
-        # Phase 1 (status gate, under lock): verify OPEN. Phase 2 (data,
-        # OUTSIDE the lock — _commit_rows takes the same non-reentrant
-        # lock internally): merge staged parts; the txn marker makes a
+        # Phase 1 (point of no return, under lock): OPEN → COMMITTING.
+        # From COMMITTING on, abort refuses and late writers fail their
+        # completion check. Phase 2 (data, OUTSIDE the lock —
+        # _commit_rows takes the same non-reentrant lock internally):
+        # merge the COMPLETED staged parts; the txn marker makes a
         # concurrent/retried commit of the same txn a no-op inside the
         # locked section. Phase 3 (status flip, under lock again).
         with self.store._commit_lock(self.scope, self.stream):
@@ -163,12 +187,33 @@ class Transaction:
             st = doc[self.txn_id]["status"]
             if st == self.COMMITTED:
                 return  # idempotent, like reference commit of committed txn
-            if st != self.OPEN:
+            if st == self.ABORTED:
                 raise TxnFailedException(f"txn {self.txn_id} is {st}")
-            parts = doc[self.txn_id]["parts"]
-        if parts > 0:
+            if st == self.OPEN:
+                # a txn begun before seal_stream cannot commit into the
+                # sealed stream (reference: commit into sealed segments
+                # fails); a COMMITTING txn rolls forward regardless —
+                # its point of no return predates the seal
+                if self.store.meta.get_stream(self.scope, self.stream)["sealed"]:
+                    raise StreamSealedException(
+                        f"{self.scope}/{self.stream} is sealed; txn {self.txn_id} cannot commit"
+                    )
+                doc[self.txn_id]["status"] = self.COMMITTING
+                self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+        # merge exactly the parts whose _DONE marker exists NOW: a part
+        # reserved but never staged (crash window) has no marker and no
+        # files; a part still staging fails its own completion check
+        part_dirs = sorted(
+            {
+                rel.split(os.sep, 1)[0]
+                for rel in fsio.list_files_recursive(self.staging_path)
+                if rel.startswith("part=") and rel.endswith("_DONE")
+            },
+            key=lambda d: int(d.split("=", 1)[1]),
+        )
+        if part_dirs:
             staged = self.store.spark.read.option("basePath", self.staging_path).parquet(
-                fsio.join(self.staging_path, "part=*")
+                *[fsio.join(self.staging_path, d) for d in part_dirs]
             )
             # stable order: by write_events call, then arrival within call.
             # Kept as a (part, seq) PAIR: collapsing into part*2^40+seq
@@ -183,8 +228,8 @@ class Transaction:
         with self.store._commit_lock(self.scope, self.stream):
             doc = self._doc()
             if doc[self.txn_id]["status"] == self.ABORTED:
-                # abort refuses once the marker is in committed_txns, so
-                # this only fires if forced externally — surface loudly
+                # unreachable through the public API (abort refuses
+                # COMMITTING); only a forced external edit — fail loudly
                 raise TxnFailedException(f"txn {self.txn_id} aborted during commit")
             doc[self.txn_id]["status"] = self.COMMITTED
             doc[self.txn_id]["commit_time"] = int(time.time() * 1000)
@@ -201,6 +246,9 @@ class Transaction:
             if st == self.ABORTED:
                 return
             if st != self.OPEN:
+                # COMMITTING is past the point of no return: an abort
+                # racing a commit must never report success while the
+                # commit publishes the data
                 raise TxnFailedException(f"txn {self.txn_id} is {st}")
             if self.txn_id in self.store.meta.segments_doc(self.scope, self.stream)["committed_txns"]:
                 # data already merged by a racing commit: materially
@@ -290,10 +338,14 @@ class StreamStore:
         unordered there too, since different writers race).
         """
         out = df
-        if routing_key_col != ROUTING_KEY:
-            out = out.withColumn(ROUTING_KEY, F.col(routing_key_col).cast("string"))
-        else:
-            out = out.withColumn(ROUTING_KEY, F.col(ROUTING_KEY).cast("string"))
+        # NULL routing keys normalize to "" BEFORE hashing: the hot tier
+        # would hash str(None)=='None' while the distributed CASE would
+        # fall through to the last segment on a NULL md5 — the same key
+        # must never route differently by batch size (per-key order)
+        src = routing_key_col if routing_key_col != ROUTING_KEY else ROUTING_KEY
+        out = out.withColumn(
+            ROUTING_KEY, F.coalesce(F.col(src).cast("string"), F.lit(""))
+        )
         return out.withColumn("_seq", F.monotonically_increasing_id())
 
     def write_events(
@@ -389,6 +441,8 @@ class StreamStore:
         elif not pa.types.is_string(tbl[ROUTING_KEY].type):
             idx = tbl.column_names.index(ROUTING_KEY)
             tbl = tbl.set_column(idx, ROUTING_KEY, pc.cast(tbl[ROUTING_KEY], pa.string()))
+        idx = tbl.column_names.index(ROUTING_KEY)
+        tbl = tbl.set_column(idx, ROUTING_KEY, pc.fill_null(tbl[ROUTING_KEY], ""))
         if event_time_key is not None:
             col = pc.cast(tbl[event_time_key], ts_us)
             if EVENT_TIME in tbl.column_names:
@@ -446,6 +500,8 @@ class StreamStore:
         elif not pa.types.is_string(tbl[ROUTING_KEY].type):
             idx = tbl.column_names.index(ROUTING_KEY)
             tbl = tbl.set_column(idx, ROUTING_KEY, pc.cast(tbl[ROUTING_KEY], pa.string()))
+        idx = tbl.column_names.index(ROUTING_KEY)
+        tbl = tbl.set_column(idx, ROUTING_KEY, pc.fill_null(tbl[ROUTING_KEY], ""))
         if event_time_col is not None and event_time_col != EVENT_TIME:
             col = pc.cast(tbl[event_time_col], ts_us)
             if EVENT_TIME in tbl.column_names:
@@ -858,6 +914,13 @@ class StreamStore:
             if t["status"] == Transaction.OPEN and t["lease_expiry"] < now_ms:
                 Transaction(self, scope, stream, txn_id).abort()
                 swept.append(txn_id)
+            elif t["status"] == Transaction.COMMITTING and t["lease_expiry"] < now_ms:
+                # a commit that crashed after its point of no return is
+                # rolled FORWARD (the txn marker makes the data merge
+                # idempotent) — the reference's CommitRequestHandler
+                # completes in-flight commits the same way
+                Transaction(self, scope, stream, txn_id).commit()
+                swept.append(txn_id)
         return swept
 
     # ================= read path (R4-R8) =================
@@ -950,9 +1013,15 @@ class StreamStore:
         """Advance ~``distance`` events per segment, clamped to tail
         (BatchClientFactory.getNextStreamCut, BatchClientFactory.java:123)."""
         tails = self.meta.tail_offsets(scope, stream)
+        heads = self.meta.head_offsets(scope, stream)
         out = {}
         for sid, tail in tails.items():
-            cur = cut.offset_for(sid, 0) if not cut.unbounded else 0
+            head = heads.get(sid, 0)
+            # UNBOUNDED (and segments the cut omits) start at the HEAD:
+            # offsets below it are truncated away, and a returned cut
+            # must always be readable (read() raises TruncatedData for
+            # sub-head positions)
+            cur = head if cut.unbounded else max(cut.offset_for(sid, head), head)
             out[sid] = min(tail, cur + distance)
         return StreamCut.of(out)
 
@@ -972,7 +1041,16 @@ class StreamStore:
             .collect()
         )
         found = {r[SEGMENT_ID]: r["o"] for r in rows}
-        return StreamCut.of({sid: found.get(sid, tail) for sid, tail in tails.items()})
+        heads = self.meta.head_offsets(scope, stream)
+        # clamp to head: after a truncate (before compaction) the raw
+        # scan still surfaces sub-head rows, and a cut below the head
+        # would be rejected by read()
+        return StreamCut.of(
+            {
+                sid: max(found.get(sid, tail), heads.get(sid, 0))
+                for sid, tail in tails.items()
+            }
+        )
 
     def save_stream_cut(self, scope: str, stream: str, name: str, cut: StreamCut) -> None:
         self.meta.save_streamcut(scope, stream, name, cut.to_json())

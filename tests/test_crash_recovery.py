@@ -98,9 +98,11 @@ def test_txn_commit_crash_then_retry_applies_once(store, events, monkeypatch):
     monkeypatch.setattr(store.meta, "put_txn_doc", crashing)
     with pytest.raises(_Boom):
         txn.commit()
-    # data IS committed (marker landed with it); txn doc still says OPEN
+    # data IS committed (marker landed with it); the txn doc shows the
+    # r6 point-of-no-return state (OPEN flipped to COMMITTING before
+    # the data phase)
     assert store.read("s", "ev").count() == 60
-    assert txn.status() == "OPEN"
+    assert txn.status() == "COMMITTING"
     # retried commit sees the marker: finalizes status, no double-apply
     txn.commit()
     assert txn.status() == "COMMITTED"

@@ -1,0 +1,241 @@
+"""Regression pins for the r6 store/state/bytestream review fixes:
+the txn COMMITTING state machine, NULL routing keys, head-clamped
+cuts, locked byte-stream manifests, atomic state batches, and KVT
+no-op removes."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from pravega_spark.config import ScalingPolicy, StreamConfiguration
+from pravega_spark.errors import StreamSealedException, TxnFailedException
+from pravega_spark.store import StreamCut, Transaction
+
+
+def _env(events, lo, hi, null_keys=False):
+    key = F.lit(None).cast("string") if null_keys else F.col("user_id").cast("string")
+    return (
+        events.orderBy("event_id")
+        .filter(F.col("event_id").between(lo, hi - 1))
+        .select(
+            key.alias("routing_key"),
+            F.col("ts").alias("event_time"),
+            F.to_json(F.struct("event_id")).cast("binary").alias("payload"),
+        )
+    )
+
+
+def _setup(store, n_seg=2):
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(n_seg)))
+
+
+# ---------------- txn state machine ----------------
+
+
+def test_abort_refuses_committing_txn(store, events):
+    """Once commit passes its point of no return (OPEN->COMMITTING),
+    abort must raise — never report success while the data publishes."""
+    _setup(store)
+    txn = store.begin_txn("s", "ev")
+    txn.write_events(_env(events, 0, 20))
+    # simulate a commit crashed right after the status flip
+    doc = store.meta.txn_doc("s", "ev")
+    doc[txn.txn_id]["status"] = Transaction.COMMITTING
+    store.meta.put_txn_doc("s", "ev", doc)
+    with pytest.raises(TxnFailedException):
+        txn.abort()
+    # roll-forward completes the commit exactly once
+    txn.commit()
+    assert txn.status() == Transaction.COMMITTED
+    assert store.read("s", "ev").count() == 20
+    txn.commit()  # idempotent
+    assert store.read("s", "ev").count() == 20
+
+
+def test_commit_rejected_on_sealed_stream(store, events):
+    """A txn begun before seal_stream cannot commit afterwards."""
+    _setup(store)
+    txn = store.begin_txn("s", "ev")
+    txn.write_events(_env(events, 0, 10))
+    store.seal_stream("s", "ev")
+    with pytest.raises(StreamSealedException):
+        txn.commit()
+    assert store.read("s", "ev").count() == 0
+    txn.abort()  # still abortable
+    assert txn.status() == Transaction.ABORTED
+
+
+def test_sweep_rolls_forward_expired_committing_txn(store, events):
+    """The sweeper completes (not aborts) a commit that crashed past
+    its point of no return."""
+    _setup(store)
+    txn = store.begin_txn("s", "ev", lease_ms=1)
+    txn.write_events(_env(events, 0, 15))
+    doc = store.meta.txn_doc("s", "ev")
+    doc[txn.txn_id]["status"] = Transaction.COMMITTING
+    store.meta.put_txn_doc("s", "ev", doc)
+    swept = store.sweep_txns("s", "ev", now_ms=2**62)
+    assert txn.txn_id in swept
+    assert txn.status() == Transaction.COMMITTED
+    assert store.read("s", "ev").count() == 15
+
+
+def test_commit_ignores_reserved_but_unstaged_part(store, events):
+    """A part reserved but never staged (crash between reservation and
+    staging) must not fail the commit — it simply isn't merged."""
+    _setup(store)
+    txn = store.begin_txn("s", "ev")
+    txn.write_events(_env(events, 0, 25))
+    doc = store.meta.txn_doc("s", "ev")
+    doc[txn.txn_id]["parts"] += 1  # reservation whose writer died
+    store.meta.put_txn_doc("s", "ev", doc)
+    txn.commit()
+    assert store.read("s", "ev").count() == 25
+
+
+def test_commit_with_zero_staged_parts(store, events):
+    """parts>0 with an empty/absent staging dir commits cleanly as an
+    empty txn (previously: PATH_NOT_FOUND forever)."""
+    _setup(store)
+    txn = store.begin_txn("s", "ev")
+    doc = store.meta.txn_doc("s", "ev")
+    doc[txn.txn_id]["parts"] = 1  # reserved, never staged
+    store.meta.put_txn_doc("s", "ev", doc)
+    txn.commit()
+    assert txn.status() == Transaction.COMMITTED
+    assert store.read("s", "ev").count() == 0
+
+
+# ---------------- NULL routing keys ----------------
+
+
+def test_null_routing_key_routes_identically_across_tiers(store, spark, events, monkeypatch):
+    """NULL routing keys normalize to '' on BOTH write tiers, so the
+    same (null) key can never land in different segments depending on
+    batch size."""
+    import pravega_spark.store as store_mod
+    from pravega_spark.store import StreamStore
+
+    _setup(store, n_seg=4)
+    store.create_stream("s", "ev2", StreamConfiguration(scaling=ScalingPolicy.fixed(4)))
+    # hot tier (estimate path)
+    store.write_events("s", "ev", _env(events, 0, 10, null_keys=True))
+    # distributed tier (force by faking an unknown-stats estimate and a
+    # tiny row cap)
+    monkeypatch.setattr(store_mod, "HOT_MAX_ROWS", 1)
+    monkeypatch.setattr(
+        StreamStore, "_estimate_bytes", staticmethod(lambda df: store_mod._UNKNOWN_EST_BYTES)
+    )
+    store.write_events("s", "ev2", _env(events, 0, 10, null_keys=True))
+    segs_hot = {r.segment_id for r in store.read("s", "ev").select("segment_id").collect()}
+    segs_dist = {r.segment_id for r in store.read("s", "ev2").select("segment_id").collect()}
+    assert len(segs_hot) == 1 and segs_hot == segs_dist
+    # and the stored key is the normalized empty string on both tiers
+    assert {r.routing_key for r in store.read("s", "ev").collect()} == {""}
+    assert {r.routing_key for r in store.read("s", "ev2").collect()} == {""}
+
+
+# ---------------- cuts clamp to head ----------------
+
+
+def test_cuts_clamp_to_head_after_truncate(store, events):
+    _setup(store, n_seg=1)
+    store.write_events("s", "ev", _env(events, 0, 40))
+    sid = store.current_segments("s", "ev")[0]["segment_id"]
+    store.truncate_stream("s", "ev", StreamCut({sid: 25}))
+    nxt = store.get_next_stream_cut("s", "ev", StreamCut.UNBOUNDED, 5)
+    assert nxt.positions[sid] == 30  # head(25) + 5, not 0 + 5
+    # a cut below head passed in is clamped up too
+    nxt2 = store.get_next_stream_cut("s", "ev", StreamCut({sid: 3}), 5)
+    assert nxt2.positions[sid] == 30
+    # time-based cut never returns sub-head offsets (compaction hasn't
+    # run, so raw rows below head still exist physically)
+    early = store.read("s", "ev").agg(F.min("event_time")).collect()[0][0]
+    tc = store.stream_cut_at_time("s", "ev", early)
+    assert tc.positions[sid] >= 25
+    # both cuts are actually readable
+    assert store.read("s", "ev", from_cut=nxt).count() == 40 - 30
+    assert store.read("s", "ev", from_cut=tc).count() <= 15
+
+
+# ---------------- byte stream concurrency ----------------
+
+
+def test_bytestream_concurrent_writers_lose_nothing(store):
+    from pravega_spark.bytestream import ByteStreamReader, ByteStreamWriter
+
+    root = store.root
+    N, payload = 12, b"0123456789"
+    offsets: list[int] = []
+    lock = threading.Lock()
+
+    def worker():
+        w = ByteStreamWriter(root, "s", "raw")
+        for _ in range(N):
+            off = w.write(payload)
+            with lock:
+                offsets.append(off)
+
+    threads = [threading.Thread(target=worker) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every acknowledged write survives: distinct contiguous offsets
+    assert sorted(offsets) == [i * len(payload) for i in range(3 * N)]
+    r = ByteStreamReader(root, "s", "raw")
+    assert r.fetch_tail_offset() == 3 * N * len(payload)
+    for off in offsets:
+        assert r.read(off, len(payload)) == payload
+
+
+# ---------------- state synchronizer batches ----------------
+
+
+def test_state_multi_update_batch_is_atomic_under_contention(tmp_path):
+    """A contending writer between fetch and CAS forces a retry; the
+    batch [10, 1] must apply exactly once (no committed prefix from the
+    failed attempt)."""
+    from pravega_spark.state import RevisionedStreamClient, StateSynchronizer
+
+    c = RevisionedStreamClient(str(tmp_path), "s", "st")
+    sync = StateSynchronizer(c, 0, lambda s, u: s + u)
+    competitor = RevisionedStreamClient(str(tmp_path), "s", "st")
+    calls = {"n": 0}
+
+    def fn(state):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # sneak a competing update in AFTER fetch, BEFORE the CAS
+            competitor.write_unconditionally(100)
+        return [10, 1]
+
+    assert sync.update_state(fn) == 111  # 100 + 10 + 1, applied once
+    assert calls["n"] == 2  # one failed CAS, one clean retry
+    # the failed attempt committed NOTHING (no partial [10] revision)
+    fresh = StateSynchronizer(c, 0, lambda s, u: s + u)
+    assert fresh.get_state() == 111
+
+
+# ---------------- KVT no-op removes ----------------
+
+
+def test_kvt_noop_remove_writes_nothing(spark, tmp_path):
+    from pravega_spark.config import KeyValueTableConfiguration
+    from pravega_spark.kvt import KeyValueTableManager
+
+    kvt = KeyValueTableManager(spark, str(tmp_path)).create_key_value_table(
+        "s", "t", KeyValueTableConfiguration(partition_count=2)
+    )
+    v1 = kvt.insert("k", "a")
+    v_noop = kvt.update([("missing", None, None)], ["remove"])
+    assert v_noop == v1  # no version burned
+    # no phantom delete in the delta feed
+    deltas = [(r["pk"], r["deleted"]) for r in kvt.entry_delta_iterator(0).collect()]
+    assert ("missing", True) not in deltas
+    # and a real remove still works
+    v2 = kvt.remove("k")
+    assert v2 > v1
+    assert kvt.get("k") is None

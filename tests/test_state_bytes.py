@@ -39,7 +39,9 @@ def test_state_synchronizer_fold_and_compact(tmp_path):
     sync2 = StateSynchronizer(c, 0, lambda s, u: s + u)
     assert sync2.get_state() == 16
     sync.compact()
-    assert c.fetch_latest_revision() == 4  # 3 updates + snapshot
+    # r6: a multi-update list is ONE atomic revision (all-or-nothing
+    # batch), so the log is 2 update revisions + the snapshot
+    assert c.fetch_latest_revision() == 3
     assert len(c.read_from(0)) == 1  # history truncated to the snapshot
     sync3 = StateSynchronizer(c, 0, lambda s, u: s + u)
     assert sync3.get_state() == 16
