@@ -173,6 +173,11 @@ class KeyValueTable:
 
     def _update_locked(self, entries: list[tuple], kinds: list[str],
                        expected_versions: list[int] | None = None) -> int:
+        # normalize sk=None to "" up front: stored rows use "", so a
+        # None-keyed CAS lookup would otherwise never match the stored
+        # row and e.g. let an insert of (pk, None) succeed next to an
+        # existing (pk, "") — two versions of one logical key
+        entries = [(pk, sk if sk is not None else "", v) for pk, sk, v in entries]
         expected = expected_versions or [ANY_VERSION] * len(entries)
         keys = {(e[0], e[1]) for e in entries}
         # unconditional puts need no key-index lookup (the reference's

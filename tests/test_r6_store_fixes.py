@@ -239,3 +239,21 @@ def test_kvt_noop_remove_writes_nothing(spark, tmp_path):
     v2 = kvt.remove("k")
     assert v2 > v1
     assert kvt.get("k") is None
+
+
+def test_kvt_none_sk_normalizes_to_default(spark, tmp_path):
+    """update() callers passing sk=None hit the same logical key as the
+    helpers' sk='' default — a None-keyed CAS must see the stored row."""
+    from pravega_spark.config import KeyValueTableConfiguration
+    from pravega_spark.errors import BadKeyVersionException
+    from pravega_spark.kvt import KeyValueTableManager
+
+    kvt = KeyValueTableManager(spark, str(tmp_path)).create_key_value_table(
+        "s", "t", KeyValueTableConfiguration(partition_count=2)
+    )
+    v1 = kvt.insert("k", "a")  # sk="" via helper
+    with pytest.raises(BadKeyVersionException):
+        kvt.update([("k", None, "dup")], ["insert"])  # same logical key
+    v2 = kvt.update([("k", None, "b")], ["put"], [v1])  # CAS sees the row
+    assert v2 > v1
+    assert kvt.get("k") == ("b", v2)
