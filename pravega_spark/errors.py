@@ -19,6 +19,11 @@ class StreamNotFoundException(PravegaSparkError):
     """Stream (or scope) does not exist in the metadata store."""
 
 
+class ScopeNotEmptyException(PravegaSparkError):
+    """Scope delete refused: it still contains streams (pass
+    recursive=True to remove them too)."""
+
+
 class ScopeNotFoundException(PravegaSparkError):
     """Scope does not exist."""
 

@@ -92,6 +92,15 @@ def _write_long(buf: BytesIO, n: int) -> None:
             return
 
 
+def _checked_len(buf: BytesIO) -> int:
+    """Length prefix for bytes/string: a corrupt negative varint would
+    make buf.read(-n) swallow the whole remaining buffer as a value."""
+    n = _read_long(buf)
+    if n < 0:
+        raise ValueError(f"corrupt negative length {n}")
+    return n
+
+
 def _read_long(buf: BytesIO) -> int:
     shift = 0
     acc = 0
@@ -244,6 +253,11 @@ class AvroSchema:
     def _dec(self, buf: BytesIO, s):
         if isinstance(s, list):
             idx = _read_long(buf)
+            if not 0 <= idx < len(s):
+                # Python's negative indexing would silently decode a
+                # corrupt varint as the LAST branch; corruption must be
+                # a loud decode error, never plausible garbage
+                raise ValueError(f"corrupt union branch index {idx}")
             branch = s[idx]
             return None if branch == "null" else self._dec(buf, branch)
         t = s if isinstance(s, str) else s["type"]
@@ -270,9 +284,9 @@ class AvroSchema:
         if t == "double":
             return struct.unpack("<d", buf.read(8))[0]
         if t == "bytes":
-            return buf.read(_read_long(buf))
+            return buf.read(_checked_len(buf))
         if t == "string":
-            return buf.read(_read_long(buf)).decode("utf-8")
+            return buf.read(_checked_len(buf)).decode("utf-8")
         if t == "record":
             return {f["name"]: self._dec(buf, f["type"]) for f in s["fields"]}
         if t == "array":

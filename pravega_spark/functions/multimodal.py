@@ -83,13 +83,16 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
         for pdf in batches:
             recs = []
-            for _, row in pdf.iterrows():
-                data = bytes(row["data"]) if row["data"] is not None else b""
+            # zip over the needed columns, not iterrows: iterrows boxes
+            # every column into a per-row Series — an order of magnitude
+            # of pure overhead on multi-million-asset scans
+            for mid, mod, data in zip(pdf["media_id"], pdf["modality"], pdf["data"]):
+                data = bytes(data) if data is not None else b""
                 d = _decoder(data)
                 recs.append(
                     {
-                        "media_id": row["media_id"],
-                        "modality": row["modality"],
+                        "media_id": mid,
+                        "modality": mod,
                         "n_bytes": len(data),
                         "checksum": d["checksum"],
                         "mean_byte": d["mean_byte"],
@@ -116,13 +119,13 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
         for pdf in batches:
             recs = []
-            for _, row in pdf.iterrows():
-                data = bytes(row["data"]) if row["data"] is not None else b""
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data) if data is not None else b""
                 for i, off in enumerate(range(0, max(len(data), 1), every_n_bytes)):
                     chunk = data[off : off + every_n_bytes]
                     recs.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": mid,
                             "frame_idx": i,
                             "frame_checksum": hashlib.md5(chunk).hexdigest(),
                         }

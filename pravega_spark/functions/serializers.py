@@ -10,6 +10,8 @@ they compose with any query and stay JVM-side.
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -137,7 +139,20 @@ def python_avro_codec(avro_json_schema: str):
     field_names = [f["name"] for f in parsed["fields"]]
 
     def _is_null(v) -> bool:
-        return v is None or (isinstance(v, float) and v != v)
+        # scalar null under Arrow/pandas: None, float NaN, or NaT —
+        # a null timestamp field arrives as pd.NaT, not None
+        return v is None or (isinstance(v, float) and v != v) or v is pd.NaT
+
+    # one compiled codec per worker PROCESS: recompiling (json parse +
+    # recursive schema _check) per Arrow batch is constant work repeated
+    # thousands of times on a large scan
+    _codec_box: dict = {}
+
+    def _codec() -> AvroSchema:
+        c = _codec_box.get("c")
+        if c is None:
+            c = _codec_box["c"] = AvroSchema(avro_json_schema)
+        return c
 
     @pandas_udf("binary")
     def _enc(structs: pd.Series) -> pd.Series:
@@ -145,14 +160,18 @@ def python_avro_codec(avro_json_schema: str):
         # field) under Arrow; older paths hand a Series of dicts —
         # normalize to records either way. Null struct rows (None, or
         # the all-NaN row a null struct becomes under pandas) encode as
-        # null payload instead of crashing the codec on int(NaN).
-        codec = AvroSchema(avro_json_schema)
+        # null payload, and PER-FIELD NaN/NaT normalize to None so a
+        # nullable-union field takes its null branch instead of
+        # crashing the codec on int(NaN) / _to_epoch(NaT).
+        codec = _codec()
         recs = structs.to_dict("records") if isinstance(structs, pd.DataFrame) else list(structs)
         out = []
         for r in recs:
             if r is None or (isinstance(r, dict) and all(_is_null(v) for v in r.values())):
                 out.append(None)
             else:
+                if isinstance(r, dict):
+                    r = {k: (None if _is_null(v) else v) for k, v in r.items()}
                 out.append(codec.encode(r))
         return pd.Series(out, dtype=object)
 
@@ -160,7 +179,7 @@ def python_avro_codec(avro_json_schema: str):
     def _dec(payload: pd.Series) -> pd.DataFrame:
         # null payloads (the envelope's payload column is nullable)
         # yield a null-fields row rather than failing the whole query
-        codec = AvroSchema(avro_json_schema)
+        codec = _codec()
         if payload.empty:
             return pd.DataFrame({n: pd.Series(dtype=object) for n in field_names})
         null_row = {n: None for n in field_names}
@@ -204,8 +223,20 @@ def typed_serializer(spark, schema: StructType | str, prefer: str = "avro"):
             return ("avro-py", ser, de)
         except (ValueError, KeyError):
             pass  # not an Avro schema / unsupported subset → JSON
+    json_schema = schema
+    if isinstance(schema, str):
+        # the Avro JSON document is NOT a from_json schema: when the
+        # degradation path fires (codec rejected the schema), derive a
+        # Spark DDL from the Avro doc so the returned deserializer
+        # actually works; a non-JSON string is already a DDL
+        try:
+            parsed = json.loads(schema)
+            if isinstance(parsed, dict) and parsed.get("type") == "record":
+                json_schema = _avro_to_spark_type(parsed)
+        except ValueError:
+            pass  # plain DDL string
     return (
         "json",
         lambda struct_col: F.to_json(struct_col).cast("binary"),
-        lambda payload, _schema=None, __s=schema: json_deserialize(payload, __s),
+        lambda payload, _schema=None, __s=json_schema: json_deserialize(payload, __s),
     )

@@ -12,6 +12,13 @@ We use the first 8 hex digits of ``md5(key)`` scaled by 2^32. Rationale:
 ``md5`` is available both in Spark (JVM-side, codegen'd) and in DuckDB,
 so the oracle queries can reproduce segment assignment exactly — the
 driver's correctness gate can then hash-compare segment-level results.
+
+NULL keys hash as the EMPTY STRING on every twin (column, SQL, DuckDB,
+scalar): md5(NULL) is NULL in SQL engines — a NULL hash would fall
+through CASE chains to an arbitrary segment (and a NULL bucket) while
+the Python twins hashed str(None)=='None', silently splitting one key
+across twins. coalesce-to-'' keeps all four implementations exactly
+aligned.
 """
 
 from __future__ import annotations
@@ -29,28 +36,30 @@ def hash_to_range(key: Column | str) -> Column:
     so routing never leaves whole-stage codegen.
     """
     c = F.col(key) if isinstance(key, str) else key
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    c = F.coalesce(c.cast("string"), F.lit(""))
+    h = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
     return h / F.lit(TWO_32)
 
 
 def hash_to_range_sql(key_expr: str) -> str:
     """Spark-SQL text form of :func:`hash_to_range`."""
     return (
-        f"(cast(conv(substring(md5(cast({key_expr} as string)), 1, 8), 16, 10) as bigint)"
+        f"(cast(conv(substring(md5(coalesce(cast({key_expr} as string), '')), 1, 8), 16, 10) as bigint)"
         " / cast(4294967296 as double))"
     )
 
 
 def hash_to_range_duckdb(key_expr: str) -> str:
     """DuckDB SQL computing the identical value (oracle parity)."""
-    return f"(('0x' || substr(md5(cast({key_expr} as varchar)), 1, 8))::UBIGINT::DOUBLE / 4294967296.0)"
+    return f"(('0x' || substr(md5(coalesce(cast({key_expr} as varchar), '')), 1, 8))::UBIGINT::DOUBLE / 4294967296.0)"
 
 
 def hash_to_range_py(key: str) -> float:
     """Driver-side scalar twin (used by metadata ops & tests)."""
     import hashlib
 
-    return int(hashlib.md5(str(key).encode("utf-8")).hexdigest()[:8], 16) / TWO_32
+    k = "" if key is None else str(key)
+    return int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16) / TWO_32
 
 
 def hash_to_bucket(key: Column | str, n_buckets: int) -> Column:
@@ -58,7 +67,8 @@ def hash_to_bucket(key: Column | str, n_buckets: int) -> Column:
     basis as :func:`hash_to_range`, so the driver can compute the same
     bucket (``bucket_for_key_py``) and point lookups prune partitions."""
     c = F.col(key) if isinstance(key, str) else key
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    c = F.coalesce(c.cast("string"), F.lit(""))
+    h = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
     return F.pmod(h, F.lit(n_buckets)).cast("int")
 
 
@@ -66,7 +76,8 @@ def bucket_for_key_py(key: str, n_buckets: int) -> int:
     """Driver-side twin of :func:`hash_to_bucket`."""
     import hashlib
 
-    return int(hashlib.md5(str(key).encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+    k = "" if key is None else str(key)
+    return int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
 
 
 def segment_for_ranges(hash_col: Column, ranges: list[tuple[int, float, float]]) -> Column:

@@ -30,6 +30,7 @@ from pravega_spark import fsio
 from pravega_spark.config import StreamConfiguration
 from pravega_spark.errors import (
     ConcurrentModificationException,
+    ScopeNotEmptyException,
     ScopeNotFoundException,
     StreamNotFoundException,
 )
@@ -90,8 +91,19 @@ class MetadataStore:
         if scope not in self.list_scopes():
             return False
         streams = self.list_streams(scope)
-        if streams and not recursive:
-            raise ScopeNotFoundException(f"scope {scope} not empty")
+        if streams:
+            if not recursive:
+                # a distinct error type: callers treating deletion of a
+                # MISSING scope as idempotent (catching NotFound) must
+                # not silently swallow "scope still has streams"
+                raise ScopeNotEmptyException(f"scope {scope} not empty: {streams}")
+            # recursive DDL actually removes the streams' metadata —
+            # otherwise a recreated scope resurrects them with their old
+            # contents (data-plane files are the store layer's job:
+            # StreamStore.delete_scope seals+deletes per stream first)
+            for st in streams:
+                self.seal_stream(scope, st)  # delete requires sealed
+                self.delete_stream(scope, st)
         p = self._doc_path("scopes.json")
         doc = self._read(p, {"scopes": []})
         doc["scopes"].remove(scope)
@@ -116,15 +128,20 @@ class MetadataStore:
             {"segment_id": make_segment_id(0, i), "key_start": i / n, "key_end": (i + 1) / n}
             for i in range(n)
         ]
-        self._write(p, {
-            "scope": scope, "stream": stream, "sealed": False,
-            "creation_time": _now_ms(), "config": config.to_json(),
-        })
+        # stream.json is the existence marker and must land LAST: a
+        # crash mid-create then leaves only orphan epoch/segment docs
+        # (harmless, overwritten by the retry) instead of a stream that
+        # "exists" but has no epochs — permanently uncreatable and
+        # unusable (active_epoch would IndexError for every caller)
         self._write(self._doc_path(scope, stream, "epochs.json"),
                     [{"epoch": 0, "creation_time": _now_ms(), "segments": segments}])
         self._write(self._doc_path(scope, stream, "segments.json"), {
             str(s["segment_id"]): {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0}
             for s in segments
+        })
+        self._write(p, {
+            "scope": scope, "stream": stream, "sealed": False,
+            "creation_time": _now_ms(), "config": config.to_json(),
         })
         return True
 

@@ -257,3 +257,122 @@ def test_kvt_none_sk_normalizes_to_default(spark, tmp_path):
     v2 = kvt.update([("k", None, "b")], ["put"], [v1])  # CAS sees the row
     assert v2 > v1
     assert kvt.get("k") == ("b", v2)
+
+
+# ---------------- fourth-pass fixes: codecs / metadata / hashing ----------
+
+
+def test_avro_py_per_field_nulls_and_json_fallback(spark):
+    """Per-field NULL (NaN/NaT under Arrow) in a nullable union must
+    encode as the null branch; the JSON degradation path must return a
+    WORKING deserializer for Avro schema strings the codec rejects."""
+    from pravega_spark.functions.serializers import python_avro_codec, typed_serializer
+
+    schema = (
+        '{"type":"record","name":"R","fields":['
+        '{"name":"a","type":["null","long"]},'
+        '{"name":"t","type":["null",{"type":"long","logicalType":"timestamp-micros"}]},'
+        '{"name":"b","type":"string"}]}'
+    )
+    ser, de = python_avro_codec(schema)
+    df = spark.createDataFrame(
+        [(None, None, "x"), (2, __import__("datetime").datetime(2026, 1, 1), "y")],
+        "a long, t timestamp, b string",
+    )
+    enc = df.select(ser(F.struct("a", "t", "b")).alias("p"))
+    back = enc.select(de("p").alias("d")).select("d.*").orderBy("b").collect()
+    assert [r.a for r in back] == [None, 2]
+    assert back[0].t is None and back[1].t is not None
+    # degradation: a multi-branch union the codec rejects -> JSON with a
+    # usable from_json schema derived from the Avro doc
+    weird = (
+        '{"type":"record","name":"W","fields":'
+        '[{"name":"a","type":["null","long","string"]}]}'
+    )
+    fmt, jser, jde = typed_serializer(spark, weird, prefer="avro")
+    assert fmt == "json"
+    df2 = spark.createDataFrame([(5,)], "a long")
+    out = (
+        df2.select(jser(F.struct("a")).alias("p"))
+        .select(jde("p").alias("d"))
+        .select("d.*")
+        .collect()
+    )
+    assert out[0].a == 5  # previously: AnalysisException at plan time
+
+
+def test_avro_decode_rejects_corruption():
+    """A corrupt union index / negative length is a loud decode error,
+    never silently-plausible garbage."""
+    from pravega_spark.functions.avro_codec import AvroSchema
+
+    sch = AvroSchema(
+        '{"type":"record","name":"R","fields":[{"name":"a","type":["null","string"]}]}'
+    )
+    with pytest.raises(ValueError):
+        sch.decode(b"\x03abc")  # union branch 1 -> varint 3 = index -2? no: zigzag(3) = -2
+    sch2 = AvroSchema('{"type":"record","name":"R","fields":[{"name":"s","type":"string"}]}')
+    with pytest.raises(ValueError):
+        sch2.decode(b"\x01")  # zigzag(1) = -1 length
+
+
+def test_create_stream_crash_leaves_no_half_stream(store, monkeypatch):
+    """A crash before the LAST create_stream doc write must leave the
+    stream nonexistent (retry succeeds), never half-created."""
+    store.create_scope("s")
+    real = store.meta._write
+    state = {"writes": 0}
+
+    class _Boom(RuntimeError):
+        pass
+
+    def crashing(path, doc):
+        state["writes"] += 1
+        if state["writes"] == 3:  # the final (stream.json) write
+            raise _Boom("crash before the existence marker")
+        return real(path, doc)
+
+    monkeypatch.setattr(store.meta, "_write", crashing)
+    with pytest.raises(_Boom):
+        store.create_stream("s", "ev")
+    monkeypatch.setattr(store.meta, "_write", real)
+    assert not store.stream_exists("s", "ev")
+    assert store.create_stream("s", "ev") is True  # retry succeeds
+    assert store.meta.active_epoch("s", "ev")["epoch"] == 0
+
+
+def test_recursive_scope_delete_removes_streams(store):
+    from pravega_spark.errors import ScopeNotEmptyException
+
+    store.create_scope("s")
+    store.create_stream("s", "ev")
+    with pytest.raises(ScopeNotEmptyException):
+        store.meta.delete_scope("s")
+    assert store.meta.delete_scope("s", recursive=True) is True
+    # recreating the scope must NOT resurrect the old stream
+    store.create_scope("s")
+    assert store.list_streams("s") == []
+
+
+def test_hashing_twins_agree_on_null(spark):
+    """NULL keys hash as '' on every twin (column, DuckDB SQL, scalar)."""
+    import duckdb
+
+    from pravega_spark.hashing import (
+        bucket_for_key_py,
+        hash_to_bucket,
+        hash_to_range,
+        hash_to_range_duckdb,
+        hash_to_range_py,
+    )
+
+    df = spark.createDataFrame([(None,), ("k1",)], "k string")
+    rows = df.select(
+        hash_to_range("k").alias("h"), hash_to_bucket("k", 8).alias("b")
+    ).collect()
+    assert rows[0].h == pytest.approx(hash_to_range_py(None))
+    assert rows[0].h == pytest.approx(hash_to_range_py(""))
+    assert rows[0].b == bucket_for_key_py(None, 8)
+    duck = duckdb.sql(f"SELECT {hash_to_range_duckdb('NULL')}").fetchone()[0]
+    assert duck == pytest.approx(hash_to_range_py(None))
+    assert rows[1].h == pytest.approx(hash_to_range_py("k1"))
