@@ -45,6 +45,9 @@ def _meta(args):
 
 def cmd_scope(args) -> int:
     meta = _meta(args)
+    if args.action in ("create", "delete") and not args.name:
+        print(json.dumps({"error": f"scope {args.action} requires a name"}), file=sys.stderr)
+        return 2
     if args.action == "create":
         print(json.dumps({"created": meta.create_scope(args.name)}))
     elif args.action == "delete":
@@ -118,6 +121,13 @@ def cmd_stream_append(args) -> int:
     scope, stream = _split_qualified(args.name)
     store = StreamStore(None, args.root)  # append path never touches Spark
     rows = [json.loads(ln) for ln in sys.stdin if ln.strip()]
+    if not rows:
+        print(json.dumps({"appended": 0}))
+        return 0
+    missing = [i for i, r in enumerate(rows) if "routing_key" not in r]
+    if missing:
+        print(json.dumps({"error": f"rows {missing[:5]} lack 'routing_key'"}), file=sys.stderr)
+        return 2
     events = [
         {"routing_key": r["routing_key"], "payload": json.dumps(r.get("event", {})).encode()}
         for r in rows
@@ -131,13 +141,16 @@ def cmd_kvt(args) -> int:
     from pravega_spark.kvt import KeyValueTableManager
 
     scope, name = _split_qualified(args.name)
+    if args.action in ("create", "delete"):
+        # metadata-only DDL: no JVM (the module's lazy-Spark contract)
+        mgr = KeyValueTableManager(None, args.root)
+        if args.action == "create":
+            mgr.create_key_value_table(scope, name)
+            print(json.dumps({"created": f"{scope}/{name}"}))
+        else:
+            print(json.dumps({"deleted": mgr.delete_key_value_table(scope, name)}))
+        return 0
     mgr = KeyValueTableManager(_store(args).spark, args.root)
-    if args.action == "create":
-        print(json.dumps({"created": mgr.create_key_value_table(scope, name)}))
-        return 0
-    if args.action == "delete":
-        print(json.dumps({"deleted": mgr.delete_key_value_table(scope, name)}))
-        return 0
     t = mgr.open(scope, name)
     if args.action == "put":
         v = t.put(args.key, args.value)
@@ -147,7 +160,8 @@ def cmd_kvt(args) -> int:
         print(json.dumps({"value": got[0], "version": got[1]} if got else None))
     elif args.action == "list":
         for row in t.iterate_all().collect():
-            print(json.dumps({"key": row["primary_key"], "value": row["value"], "version": row["version"]}))
+            print(json.dumps({"pk": row["pk"], "sk": row["sk"], "value": row["value"],
+                              "version": row["version"]}))
     return 0
 
 
@@ -158,6 +172,9 @@ def main(argv: list[str] | None = None) -> int:
 
     ps = sub.add_parser("scope")
     ps.add_argument("action", choices=["create", "delete", "list"])
+    # name optional only for list: a forgotten name on create/delete
+    # must not silently operate on the empty-string scope (validated in
+    # cmd_scope)
     ps.add_argument("name", nargs="?", default="")
     ps.add_argument("--recursive", action="store_true")
     ps.set_defaults(fn=cmd_scope)

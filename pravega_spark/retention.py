@@ -64,9 +64,19 @@ class RetentionJob:
         if total <= retain_events:
             return StreamCut.of(dict(heads))
         frac = retain_events / total
+        import math
+
+        # ceil, not floor: flooring each segment's share can retain up
+        # to num_segments FEWER events than promised — with a small
+        # retain_events every share rounds to 0 and one retention run
+        # truncates the entire stream. Retention must err on keeping
+        # more, never less.
         return StreamCut.of(
             {
-                s: max(heads.get(s, 0), tails[s] - int((tails[s] - heads.get(s, 0)) * frac))
+                s: max(
+                    heads.get(s, 0),
+                    tails[s] - math.ceil((tails[s] - heads.get(s, 0)) * frac),
+                )
                 for s in tails
             }
         )

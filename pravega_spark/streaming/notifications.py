@@ -41,11 +41,19 @@ class ReaderGroupProgressListener(StreamingQueryListener):
     """Query-progress events → reader-group metrics (M2: per-segment
     distribution introspection / EndOfData via no-new-rows)."""
 
+    # retained history is bounded: a continuous 1 s-trigger query emits
+    # ~86k progress events/day — an unbounded list slowly exhausts the
+    # driver on multi-day jobs. Callers needing full history stream it
+    # through on_progress.
+    MAX_RETAINED = 10_000
+
     def __init__(self, on_progress: Callable[[dict], None] | None = None,
                  on_idle: Callable[[str], None] | None = None):
+        from collections import deque
+
         self.on_progress = on_progress
         self.on_idle = on_idle
-        self.progress: list[dict] = []
+        self.progress: "deque[dict]" = deque(maxlen=self.MAX_RETAINED)
 
     def onQueryStarted(self, event) -> None:
         pass

@@ -49,9 +49,22 @@ class WatermarkEmitter:
         marks = self.store.meta.writer_marks(scope, stream)
         if not marks:
             return None
-        times = [m["timestamp"] for m in marks.values()]
+        # expire stale writers (PeriodicWatermarking's
+        # timestampAggregationTimeoutMs): a writer that crashed without
+        # remove_writer must not pin the lower bound forever. A writer
+        # is stale when its noted time lags the NEWEST noted time by
+        # more than the configured timeout (deterministic — no wall
+        # clock); 0 disables expiry.
+        timeout = self.store.meta.get_config(scope, stream).timestamp_aggregation_timeout_ms
+        newest = max(m["timestamp"] for m in marks.values())
+        live = {
+            w: m
+            for w, m in marks.items()
+            if not timeout or newest - m["timestamp"] <= timeout
+        }
+        times = [m["timestamp"] for m in live.values()]
         positions: dict[int, int] = {}
-        for m in marks.values():
+        for m in live.values():
             for sid, off in m["position"].items():
                 sid = int(sid)
                 positions[sid] = max(positions.get(sid, 0), off)
@@ -76,8 +89,14 @@ class WatermarkEmitter:
         upper = None
         for wm in history:  # ascending seq
             cut = StreamCut.from_json(wm["cut"])
-            if cut.covers_before(position) and cut.positions and all(
-                cut.offset_for(s, 0) <= position.offset_for(s, 10**18) for s in cut.positions
+            # the reader must be AT OR PAST every cut segment: a fresh
+            # (empty) position, or one omitting a cut segment, has NOT
+            # passed the watermark — defaulting missing segments to
+            # +inf would hand a position-zero reader the newest
+            # watermark's lower bound (time progress it never made)
+            if cut.positions and position.positions and all(
+                s in position.positions and cut.offset_for(s, 0) <= position.positions[s]
+                for s in cut.positions
             ):
                 lower = wm["lower_bound"]
         for wm in history:

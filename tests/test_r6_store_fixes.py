@@ -376,3 +376,82 @@ def test_hashing_twins_agree_on_null(spark):
     duck = duckdb.sql(f"SELECT {hash_to_range_duckdb('NULL')}").fetchone()[0]
     assert duck == pytest.approx(hash_to_range_py(None))
     assert rows[1].h == pytest.approx(hash_to_range_py("k1"))
+
+
+# ---------------- fifth-pass fixes: watermarks / retention / CLI ----------
+
+
+def test_retention_size_cut_never_over_truncates(store, events):
+    """cut_by_size retains AT LEAST retain_events: per-segment flooring
+    must not round every share to zero and truncate the whole stream."""
+    from pravega_spark.retention import RetentionJob
+
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(4)))
+    store.write_events("s", "ev", _env(events, 0, 100))
+    cut = RetentionJob(store).cut_by_size("s", "ev", 3)
+    tails = store.meta.tail_offsets("s", "ev")
+    retained = sum(tails[s] - cut.positions.get(s, 0) for s in tails)
+    assert retained >= 3, f"size cut retained only {retained} of the promised 3"
+
+
+def test_watermark_stale_writer_expires(store, events):
+    """A crashed writer stops pinning the lower bound once its noted
+    time lags beyond timestamp_aggregation_timeout_ms."""
+    from pravega_spark.config import StreamConfiguration as SC
+    from pravega_spark.watermarks import WatermarkEmitter
+
+    store.create_scope("s")
+    cfg = SC(scaling=ScalingPolicy.fixed(1), timestamp_aggregation_timeout_ms=10_000)
+    store.create_stream("s", "ev", cfg)
+    store.note_time("s", "ev", "dead", 1_000)
+    store.note_time("s", "ev", "live", 100_000)
+    wm = WatermarkEmitter(store).emit("s", "ev")
+    assert wm["lower_bound"] == 100_000, (
+        f"stale writer pinned lower bound at {wm['lower_bound']}"
+    )
+    # within the timeout both writers count
+    store.note_time("s", "ev", "dead", 95_000)
+    wm2 = WatermarkEmitter(store).emit("s", "ev")
+    assert wm2["lower_bound"] == 95_000
+
+
+def test_time_window_fresh_reader_gets_no_lower_bound(store, events):
+    """A reader at position zero (empty cut) has passed NO watermark:
+    lower bound must be None, not the newest watermark's."""
+    from pravega_spark.streamcut import StreamCut as SC
+    from pravega_spark.watermarks import WatermarkEmitter
+
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    store.write_events("s", "ev", _env(events, 0, 20))
+    sid = store.current_segments("s", "ev")[0]["segment_id"]
+    store.note_time("s", "ev", "w", 5_000)  # position = current tails ({sid: 20})
+    em = WatermarkEmitter(store)
+    em.emit("s", "ev")
+    win = em.current_time_window("s", "ev", SC.of({}))
+    assert win.lower_time_bound is None
+    win0 = em.current_time_window("s", "ev", SC.of({sid: 0}))
+    assert win0.lower_time_bound is None  # at zero: not past the cut
+    win_past = em.current_time_window("s", "ev", SC.of({sid: 20}))
+    assert win_past.lower_time_bound == 5_000
+
+
+def test_cli_kvt_roundtrip_and_guards(store, tmp_path, capsys, monkeypatch):
+    """kvt create prints JSON (no object dump), list prints pk/sk rows;
+    scope create without a name is refused; empty append is a clean 0."""
+    import io
+    import json as _json
+
+    from pravega_spark import cli
+
+    root = str(tmp_path / "cli")
+    assert cli.main(["--root", root, "scope", "create"]) == 2  # name required
+    assert cli.main(["--root", root, "scope", "create", "s"]) == 0
+    assert cli.main(["--root", root, "kvt", "create", "s/t"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(out) == {"created": "s/t"}
+    assert cli.main(["--root", root, "stream", "create", "s/ev"]) == 0
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    assert cli.main(["--root", root, "stream", "append", "s/ev"]) == 0
+    assert _json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {"appended": 0}
