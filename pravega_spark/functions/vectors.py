@@ -40,8 +40,13 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     # sqrt(|a|² · |b|²) rather than sqrt(|a|²)·sqrt(|b|²): one rounding
     # step instead of two, and bit-compatible with the SQL oracles'
     # `/ sqrt(sum(a*a) * sum(b*b))` denominator — a 1-ulp denominator
-    # difference can flip a fixed-dp round at a tie boundary
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+    # difference can flip a fixed-dp round at a tie boundary.
+    # Zero-norm (degenerate) vectors yield NULL, never a division: under
+    # Spark 4's default ANSI mode 0.0/0.0 RAISES DIVIDE_BY_ZERO, and
+    # DuckDB's x/0 is NULL — the when-guard gives both engines the same
+    # dropped-row semantics on degenerate inputs.
+    denom = F.sqrt(dot(a, a) * dot(b, b))
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def cosine_topk(

@@ -16,6 +16,14 @@ shuffles for brute force — top-k uses a two-stage window (local per
 partition, then global over k×P survivors); LSH buckets / label cells
 turn all-pairs into per-bucket joins carrying whole vectors (64× less
 shuffle volume than a positional explode) — the 100 TB strategy.
+
+Data contract: embeddings are non-null, equal-length float arrays. A
+NULL element (or ragged lengths) makes the Spark kernels propagate
+NULL through zip_with/aggregate (row dropped) while the positional
+explode-join oracles sum over the remaining shared positions — the
+engines only agree on well-formed vectors, so malformed rows are
+outside the parity contract (validate upstream with
+size(embedding) = dim AND NOT exists(embedding, x -> x IS NULL)).
 """
 
 from __future__ import annotations
@@ -90,7 +98,7 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("dims"),
         )
         .join(
-            load_table(spark, sf_dir, "embeddings").groupBy("label").agg(F.count("*").alias("n_vectors")),
+            emb.groupBy("label").agg(F.count("*").alias("n_vectors")),
             "label",
         )
         .select("label", "centroid_norm", "dims", "n_vectors")
@@ -144,6 +152,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("rep"),
             F.array_sort(F.collect_list("vec_id")).alias("members"),
         )
+        # expand_pairs requires UNIQUE reps; min(vec_id) is NOT unique
+        # when an input reuses a vec_id with two different embeddings
+        # (it can be the min of both groups, cross-attaching cosines).
+        # A content-derived key is unique by construction (= the group
+        # key) and deterministic across re-evaluation.
+        .withColumn("gkey", F.md5(F.to_json(F.struct("label", "embedding"))))
         .persist()
     )
     # the intra-pair cosine is the group's SELF-cosine, computed through
@@ -163,17 +177,20 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_name="b_id",
         carry=("label", "cosine"),
     ).select("label", "a_id", "b_id", "cosine")
-    a = g.select(F.col("rep").alias("a_id"), "label", F.col("embedding").alias("vec_a"))
-    b = g.select(F.col("rep").alias("b_id"), "label", F.col("embedding").alias("vec_b"))
+    a = g.select(F.col("gkey").alias("a_id"), "label", F.col("embedding").alias("vec_a"))
+    b = g.select(F.col("gkey").alias("b_id"), "label", F.col("embedding").alias("vec_b"))
     rep_pairs = (
         a.join(b, "label")
+        # strict key order dedupes the two join directions, exactly as
+        # rep-id order did; the emitted MEMBER ids come from the
+        # expansion, so output is unchanged
         .filter(F.col("a_id") < F.col("b_id"))
         .select("label", "a_id", "b_id", F.round(v_cosine("vec_a", "vec_b"), 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
     # expand across both groups' members (groups are disjoint within a
-    # label; least/greatest restores a_id < b_id)
-    expanded = expand_pairs(rep_pairs, g, a_col="a_id", b_col="b_id", rep_col="rep")
+    # label; least/greatest restores a_id < b_id over MEMBER ids)
+    expanded = expand_pairs(rep_pairs, g, a_col="a_id", b_col="b_id", rep_col="gkey")
     out = (
         intra.unionByName(expanded)
         # contract: never a self-pair even if the input carries duplicate

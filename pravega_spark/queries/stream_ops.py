@@ -199,8 +199,11 @@ FROM (SELECT user_id, max(ts) AS mark FROM events GROUP BY user_id)
 # ---------------------------------------------------------------- S2/S3: scale trigger
 def stream_scale_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AutoScaleProcessor trigger detection over per-segment rates:
-    10-minute event rates per segment; flag segments whose peak
-    10-min rate exceeds 2× the mean segment rate (split candidates)."""
+    HOURLY event rates per segment (the oracle buckets by
+    date_trunc('hour') — coarser than the engine's live 2/5/10/20-min
+    EWMA windows in scaling.py, which this gated query mirrors only in
+    shape); flag segments whose peak hourly rate exceeds 2× the mean
+    segment rate (split candidates)."""
     env = _enveloped(spark, sf_dir)
     rates = (
         env.groupBy("segment_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))

@@ -97,7 +97,11 @@ def compare_frames(name: str, spark_pdf, duck_pdf) -> list[str]:
     if len(sr) != len(dr):
         problems.append(f"row counts spark={len(sr)} duckdb={len(dr)}")
         return problems
-    forb = [cell for row in (sr[:1000] + dr[:1000]) for cell in row if cell.startswith(_FORBIDDEN)]
+    # full scan, not the first 1000 rows: a forbidden Decimal/bytes cell
+    # sorting past a sample cutoff would silently violate the canonical
+    # output contract the driver's hash gate depends on (gate frames are
+    # small, so the full pass is cheap)
+    forb = [cell for row in (sr + dr) for cell in row if cell.startswith(_FORBIDDEN)]
     if forb:
         problems.append(f"forbidden output type (decimal/bytes): {forb[0][:120]}")
     bad = [(a, b) for a, b in zip(sr, dr) if a != b]
@@ -120,12 +124,23 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # directory-shaped tables (part files) need a glob — DuckDB
+            # can't read a bare directory path
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     from pravega_spark.caching import release_result_caches
 
     qs, oracles = queries(), oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must be a loud failure, not a silent 0-query
+        # "pass" — the strict gate exiting 0 without running anything
+        # is a false green
+        print(f"FAIL unknown query names: {sorted(unknown)}")
+        return 1
     n_pass = n_fail = 0
     failed: list[str] = []
     for name, fn in qs.items():

@@ -455,3 +455,66 @@ def test_cli_kvt_roundtrip_and_guards(store, tmp_path, capsys, monkeypatch):
     monkeypatch.setattr("sys.stdin", io.StringIO(""))
     assert cli.main(["--root", root, "stream", "append", "s/ev"]) == 0
     assert _json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {"appended": 0}
+
+
+# ---------------- sixth-pass fixes: similarity kernels --------------------
+
+
+def test_cosine_zero_vector_yields_null_not_error(spark):
+    """Zero-norm vectors: NULL cosine (row drops from thresholds) on
+    both engines — never a DIVIDE_BY_ZERO under Spark 4 ANSI mode."""
+    from pravega_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id long, v array<double>"
+    )
+    rows = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .collect()
+    )
+    got = {(r.ia, r.ib): r.c for r in rows}
+    assert got[(2, 2)] == pytest.approx(1.0)
+    assert got[(1, 1)] is None and got[(1, 2)] is None and got[(2, 1)] is None
+
+
+def test_embedding_near_dup_gated_handles_duplicate_ids(spark, tmp_path):
+    """A vec_id reused with two different embeddings must not become
+    the rep of two groups and cross-attach cosines (content-derived
+    group key in the expansion join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pravega_spark.queries.similarity import embedding_near_dup
+
+    # label 0: id 1 appears with v1 AND v2 (distinct); ids 5,6 share v1;
+    # v1·v2 cosine is ~0 (orthogonal), so v2's member must NOT inherit
+    # v1's intra-pair cosine
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [(1, v1, 0), (5, v1, 0), (6, v1, 0), (1, v2, 0), (9, v2, 0)]
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = {( r.a_id, r.b_id): r.cosine for r in embedding_near_dup(spark, str(d)).collect()}
+    # intra v1 group: (1,5),(1,6),(5,6) at 1.0; intra v2 group: (1,9) at 1.0
+    for p in [(1, 5), (1, 6), (5, 6), (1, 9)]:
+        assert out.get(p) == pytest.approx(1.0), (p, out)
+    # orthogonal cross pairs (cosine 0) are BELOW the 0.35 threshold:
+    # they must not appear with a cross-attached 1.0
+    for p in [(5, 9), (6, 9)]:
+        assert p not in out, f"cross-attached cosine emitted for {p}: {out.get(p)}"
