@@ -350,6 +350,7 @@ def connected_components(
             new_labels.unpersist()
             labels = cut
     edges.unpersist()
+    register_result_cache(labels)  # persisted result: released by harnesses
     if changed:
         # labels flow one direction per round (edges are pre-doubled, so
         # both directions arrive over successive rounds): a component

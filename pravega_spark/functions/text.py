@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 
 # letter runs | digit runs | single non-space-non-alnum marks (each
 # punctuation char is its own proto-token, like byte-level BPE pre-split)
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# \s is NOT dialect-identical (Java includes \x0B, RE2 excludes it,
+# Python adds Unicode whitespace) — spell the ASCII whitespace set out
+# so Spark(Java), DuckDB(RE2) and the Python twin tokenize identically
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
 
 
 def bpe_ish_tokens(col: Column | str) -> Column:

@@ -98,7 +98,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-06-30").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp"))
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        # cust (dim, segment-filtered) broadcasts; the orders side is a
+        # date-filtered FACT — roughly half the table at any SF — and
+        # must NOT be force-broadcast (the 8 GB broadcast limit / driver
+        # memory would kill the query at scale). AQE still broadcasts it
+        # at bench SF where it measures small.
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -326,16 +331,6 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _priority_pivot_sql(spark: SparkSession, sf_dir: str) -> str:
-    # priorities are a small closed set; enumerate for a portable pivot
-    pris = [r[0] for r in __import__("duckdb").sql(
-        f"select distinct o_orderpriority from '{sf_dir}/orders.parquet' order by 1"
-    ).fetchall()]
-    cols = ",\n".join(
-        f"count(*) FILTER (WHERE o_orderpriority = '{p}') AS \"{p}\"" for p in pris
-    )
-    return f"SELECT o_orderstatus, {cols} FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
-
 
 PRIORITY_PIVOT_SQL = """
 SELECT o_orderstatus,
@@ -522,6 +517,12 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the union+window shuffles once on (user_id); the same
     composition works partitioned since the as-of key is the partition key.
+    
+    Tie caveat: on EQUAL signup timestamps for one user the Spark
+    window breaks ties by event_id (deterministic) while DuckDB's ASOF
+    JOIN picks an arbitrary tied row — the generated events table has
+    no (user_id, ts) signup ties (verified), so parity holds; a corpus
+    with ties would need an explicit tie-break in the oracle.
     """
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")

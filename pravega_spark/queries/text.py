@@ -66,14 +66,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     mean_len = F.round((F.length(F.col("text")) - n_tok + 1) / n_tok, 4)
-    stop_ratio = F.round(n_stop / n_tok, 4)
+    raw_ratio = n_stop / n_tok
     return (
         docs.select(
             "doc_id",
             n_tok.alias("n_tokens"),
-            stop_ratio.alias("stopword_ratio"),
+            F.round(raw_ratio, 4).alias("stopword_ratio"),
             mean_len.alias("mean_word_len"),
-            ((n_tok >= 20) & (stop_ratio <= 0.5)).alias("keep"),
+            # threshold on the UNROUNDED ratio, exactly like the oracle:
+            # deciding on round(·,4) would flip keep for ratios in
+            # (0.5, 0.50005) — rounding is presentation, never semantics
+            ((n_tok >= 20) & (raw_ratio <= 0.5)).alias("keep"),
         )
         .orderBy("doc_id")
     )
@@ -224,7 +227,6 @@ ORDER BY kept_doc_id
 _N_HASHES = 4
 _JACCARD_THRESHOLD = 0.6
 
-_POOL_SPARK = None  # built inline below
 
 _DUCK_POOL = """
   SELECT doc_id, text FROM documents
@@ -382,12 +384,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
         )
     )
+    raw_j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     rep_pairs = (
-        inter.withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
-        )
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        # threshold the UNROUNDED ratio (the oracle's WHERE is
+        # unrounded); round only the emitted column — a pair with
+        # J ∈ [0.59995, 0.6) must not slip in via round-to-0.6
+        inter.filter(raw_j >= _JACCARD_THRESHOLD)
+        .withColumn("jaccard", F.round(raw_j, 4))
         .select("id_a", "id_b", "jaccard")
     )
     # expand rep pairs across both groups' members and add the
@@ -586,14 +589,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.id_a", "p.id_b")
     inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+    raw_j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     rep_pairs = (
         inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+        # unrounded threshold (oracle parity); round is presentation
+        .filter(raw_j >= 0.5)
+        .withColumn("jaccard", F.round(raw_j, 4))
         .select("id_a", "id_b", "jaccard")
     )
     if tg is None:
@@ -788,11 +790,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_full = dedup_ngram_jaccard(spark, sf_dir)  # returns persisted
     near = near_full.select("id_a", "id_b")
     pool = _verbatim_pool(spark, sf_dir)
+    # STAR edges (min -> every other member), not just (min, max): a
+    # content-hash group with 3+ members would otherwise leave its
+    # middle members edge-less — absent from the cluster output and
+    # surviving dedup as "canonical" verbatim copies
     exact = (
         pool.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("id_a"), F.max("doc_id").alias("id_b"), F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .select("id_a", "id_b")
+        .agg(F.min("doc_id").alias("id_a"), F.collect_list("doc_id").alias("members"))
+        .select("id_a", F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
     )
     cc = connected_components(near.union(exact).distinct())
     # connected_components has materialized (driver union-find collects;
@@ -812,8 +818,11 @@ pool AS (
   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
 ),
 exact AS (
-  SELECT min(doc_id) AS id_a, max(doc_id) AS id_b
-  FROM pool GROUP BY md5(text) HAVING count(*) > 1
+  -- star edges: min member -> every other member of the hash group
+  SELECT g.id_a, p.doc_id AS id_b
+  FROM (SELECT md5(text) AS h, min(doc_id) AS id_a
+        FROM pool GROUP BY md5(text) HAVING count(*) > 1) g
+  JOIN pool p ON md5(p.text) = g.h AND p.doc_id <> g.id_a
 ),
 pairs AS (SELECT id_a, id_b FROM near UNION SELECT id_a, id_b FROM exact),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
@@ -859,8 +868,8 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TOKEN_STATS_SQL = r"""
 SELECT lang, count(*) AS n_docs,
        CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS ws_tokens,
-       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
-       round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]'))) AS BIGINT) AS bpe_tokens,
+       round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]')))
              / sum(len(string_split_regex(trim(text), ' +'))), 4) AS bpe_per_ws
 FROM documents GROUP BY lang ORDER BY lang
 """
