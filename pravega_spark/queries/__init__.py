@@ -35,74 +35,17 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
-    # -- new in round 6 (never gated): training-pipeline curation ops --
-    "text_bpe_token_stats",
-    "corpus_stratified_sample",
-    "corpus_decontaminate",
-    "corpus_chunk_windows",
-    "corpus_token_packing",
-    "events_percentile_sketch",
-    # -- r6 rotation (VERDICT r5 item 1): the 21 queries past the r5
-    # -- 50-entry cap (latest driver rows r4; judge-verified in r5) —
-    # -- fronted so driver evidence never goes two rounds stale --------
-    "q16_supplier_part_counts",
-    "cust_segment_set_ops",
-    "events_approx_distinct",
-    "events_value_percentiles",
-    "customers_without_orders",
-    "order_priority_pivot",
-    "events_session_window",
-    "text_token_stats",
-    "q2_min_price_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "orders_status_cube",
-    "top_parts_per_brand",
-    "revenue_rollup",
-    "events_hourly_agg",
-    "events_json_extract",
-    "events_running_value",
-    # -- one r5 driver row only (new in r5): keep gated a second round --
-    "q9_product_type_profit",
-    "q11_important_part_value",
-    "q12_priority_shipping_class",
-    "q20_dominant_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q18_bucketed_colocated_agg",
-    # -- two driver rows (r4 + r5) --------------------------------------
-    "q5_bucketed_colocated_join",
-    "q8_bucketed_colocated_join",
-    # -- LLM-pipeline layer (rows r1/r2/r3 + r5): perf-sensitive ops
-    # -- kept in-gate so every round records their parity post-churn ----
-    "text_quality_score",
-    "text_langid",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_bucketed",
-    "similarity_label_centroids",
-    "similarity_ivf_search",
-    "embedding_near_dup",
-    "multimodal_decode_features",
-    "multimodal_frame_samples",
-    "pipeline_corpus_clean",
-    "dedup_clusters",
-    # -- r1+r4+r5 rows ---------------------------------------------------
+    # -- new in round 7 (never gated) -----------------------------------
+    "streaming_session_fold",
+    # -- r7 rotation (VERDICT r6 item 2): the 27 queries past the r6
+    # -- 50-entry cap (latest driver rows r4; judge-verified in r6) —
+    # -- fronted so driver evidence never goes two rounds stale ---------
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_signatures",
     "stream_segment_assignment",
     "stream_tail_offsets",
     "stream_fetch_event",
-    # -- tail (past the 50-entry cap this round): green in ALL of
-    # -- r1..r5 — the most-evidenced rows in the registry. r7 rotation
-    # -- note: front this block next round ------------------------------
     "stream_time_to_position",
     "stream_per_key_order",
     "stream_watermark_bounds",
@@ -124,6 +67,64 @@ _GATE_ORDER = [
     "streamcut_bounded_read",
     "q4_orders_with_returns",
     "q13_customer_distribution",
+    # -- one r6 driver row (new in r6): keep gated a second round;
+    # -- corpus_token_packing was re-planned (salted) in r7 -------------
+    "text_bpe_token_stats",
+    "corpus_stratified_sample",
+    "corpus_decontaminate",
+    "corpus_chunk_windows",
+    "corpus_token_packing",
+    "events_percentile_sketch",
+    # -- LLM-pipeline layer (r6 rows): perf-sensitive ops kept in-gate
+    # -- so every round records their parity post-churn -----------------
+    "text_quality_score",
+    "text_langid",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "similarity_label_centroids",
+    "similarity_ivf_search",
+    "embedding_near_dup",
+    "multimodal_decode_features",
+    "multimodal_frame_samples",
+    "pipeline_corpus_clean",
+    "dedup_clusters",
+    # -- r5+r6 driver rows ----------------------------------------------
+    "q9_product_type_profit",
+    "q11_important_part_value",
+    # -- tail (past the 50-entry cap this round): every entry below has
+    # -- a fresh r6 driver row, so nothing goes two rounds stale. r8
+    # -- rotation note: front this block next round ---------------------
+    "q12_priority_shipping_class",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q18_bucketed_colocated_agg",
+    "q5_bucketed_colocated_join",
+    "q8_bucketed_colocated_join",
+    "q16_supplier_part_counts",
+    "cust_segment_set_ops",
+    "events_approx_distinct",
+    "events_value_percentiles",
+    "customers_without_orders",
+    "order_priority_pivot",
+    "events_session_window",
+    "text_token_stats",
+    "q2_min_price_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "orders_status_cube",
+    "top_parts_per_brand",
+    "revenue_rollup",
+    "events_hourly_agg",
+    "events_json_extract",
+    "events_running_value",
 ]
 
 

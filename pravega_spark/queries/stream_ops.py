@@ -378,7 +378,98 @@ FROM ({_DUCK_KVT}) WHERE version > 1 ORDER BY pk, version
 """
 
 
+def streaming_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 stateful streaming fold drained to batch (SURVEY §2.8; reference
+    io.pravega.client.state.impl.StateSynchronizerImpl fold semantics at
+    data-plane scale): the events table flows through a REAL structured-
+    streaming query — four availableNow micro-batches (range-split files,
+    one file per trigger) — into ``session_fold_per_key``
+    (applyInPandasWithState), whose per-user state store accumulates
+    (n, exact cents, last event, distinct active hours). The final state
+    row per key is then oracle-checked against the equivalent batch
+    aggregate, proving the stateful path end-to-end: state survives
+    across triggers and the drained view equals the batch truth.
+
+    Determinism: the fold is integer-only and order-independent (sum,
+    max, set-union), so micro-batch boundaries/order can't change the
+    drained result — which is what makes an exact SQL oracle possible.
+    Scale shape: state per key is O(distinct hours in the time range),
+    not O(events); the state store shuffles once on user_id."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pravega_spark.streaming.stateful import session_fold_per_key
+
+    scratch = tempfile.mkdtemp(prefix="pvs_session_fold_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        )
+        in_dir = f"{scratch}/input"
+        # 4 range-split files -> maxFilesPerTrigger=1 forces a genuine
+        # multi-batch run so state must survive across triggers
+        ev.repartitionByRange(4, "event_id").write.parquet(in_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        name = f"session_fold_{uuid.uuid4().hex[:8]}"
+        q = (
+            session_fold_per_key(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update-mode memory sink holds one row per key per touching
+        # batch; n_events is strictly monotone per key, so the final
+        # state row is the max_by(n_events) one
+        folded = spark.table(name)
+        final = folded.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+            F.max_by("last_event", "n_events").alias("last_event"),
+            F.max_by("n_active_hours", "n_events").alias("n_active_hours"),
+        )
+        out = (
+            final.select(
+                "user_id",
+                "n_events",
+                (F.col("total_cents").cast("double") / 100).alias("total_value"),
+                "last_event",
+                "n_active_hours",
+            )
+            .orderBy("user_id")
+            .localCheckpoint()  # materialize before the scratch dir vanishes
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+SESSION_FOLD_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+       max(event_id) AS last_event,
+       count(DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS n_active_hours
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "streaming_session_fold": streaming_session_fold,
     "stream_segment_assignment": stream_segment_assignment,
     "stream_tail_offsets": stream_tail_offsets,
     "streamcut_bounded_read": streamcut_bounded_read,
@@ -395,6 +486,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_session_fold": SESSION_FOLD_SQL,
     "stream_segment_assignment": SEGMENT_ASSIGNMENT_SQL,
     "stream_tail_offsets": TAIL_OFFSETS_SQL,
     "streamcut_bounded_read": BOUNDED_READ_SQL,

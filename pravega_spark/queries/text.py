@@ -972,6 +972,8 @@ ORDER BY t.doc_id
 _CHUNK_TOKENS = 64   # context-window size (tokens)
 _CHUNK_OVERLAP = 16  # sliding-window overlap
 _PACK_BUDGET = 2048  # tokens per training shard (per language stratum)
+_PACK_SALT_GROUPS = 8       # salt groups per stratum (bounds per-task window input)
+_PACK_SHARD_STRIDE = 1 << 20  # global shard id = salt * stride + local shard
 
 
 def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,29 +1033,46 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-def corpus_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget packing: within each language stratum, docs
-    in deterministic md5 order accumulate into shards of ≤2048 tokens
-    (a doc goes to the shard where its running sum starts) — the
-    build-training-shards step after sampling/chunking.
+def corpus_token_packing(
+    spark: SparkSession, sf_dir: str, groups: int = _PACK_SALT_GROUPS
+) -> DataFrame:
+    """Greedy token-budget packing: docs in deterministic md5 order
+    accumulate into shards of ≤2048 tokens (a doc goes to the shard
+    where its running sum starts) — the build-training-shards step
+    after sampling/chunking.
 
-    Scale shape: packing is inherently sequential IN ITS ORDER, so the
-    running sum runs per stratum (window over lang) — strata pack in
-    parallel, and at 100 TB you first split each stratum into
-    fixed-count salt groups (hash(doc) % G) packed independently; the
-    per-stratum window here is that G=1 case. Emits per-shard
+    Scale shape: packing is inherently sequential IN ITS ORDER, so each
+    language stratum is first split into ``groups`` fixed salt groups
+    (first hex digit of the doc's md5 order key, mod G) packed
+    INDEPENDENTLY — the running-sum window partitions by
+    ``(lang, salt)``, so per-task input is bounded by stratum/G rather
+    than the whole stratum (at 100 TB a handful of language strata
+    would otherwise each serialize through one window task). The global
+    shard id is ``salt * stride + local_shard``; strides never collide
+    because a salt group's local shard count is bounded by its token
+    sum / budget ≪ stride. ``groups=1`` degenerates to the plain
+    per-stratum running sum (the r6 registered plan). Emits per-shard
     occupancy so the oracle can verify the assignment exactly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     tok = docs.select(
         "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("ord"),
     )
-    w = Window.partitionBy("lang").orderBy("ord", "doc_id")
-    assigned = tok.select(
+    # first hex digit of the order key -> 0..15, mod G: deterministic,
+    # mirrored in DuckDB via strpos('0123456789abcdef', ...) - 1
+    salted = tok.withColumn(
+        "salt",
+        (F.conv(F.substring("ord", 1, 1), 16, 10).cast("bigint") % groups),
+    )
+    w = Window.partitionBy("lang", "salt").orderBy("ord", "doc_id")
+    assigned = salted.select(
         "lang",
         "n_tokens",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_PACK_BUDGET)
+        (
+            F.col("salt") * F.lit(_PACK_SHARD_STRIDE)
+            + F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_PACK_BUDGET)
+            )
         ).alias("shard"),
     )
     return (
@@ -1072,11 +1091,17 @@ WITH tok AS (
          md5(doc_id::VARCHAR) AS ord
   FROM documents
 ),
+salted AS (
+  SELECT doc_id, lang, n_tokens, ord,
+         (strpos('0123456789abcdef', substr(ord, 1, 1)) - 1) % {_PACK_SALT_GROUPS} AS salt
+  FROM tok
+),
 assigned AS (
   SELECT lang, n_tokens,
-         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord, doc_id
+         salt * {_PACK_SHARD_STRIDE}
+           + CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, salt ORDER BY ord, doc_id
                      ROWS UNBOUNDED PRECEDING) - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS shard
-  FROM tok
+  FROM salted
 )
 SELECT lang, shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
 FROM assigned GROUP BY lang, shard ORDER BY lang, shard

@@ -42,6 +42,60 @@ def _fold(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_cents long, last_event long, n_active_hours long"
+)
+SESSION_STATE_SCHEMA = "n long, cents long, last_event long, hours array<long>"
+
+
+def _session_fold(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Order-independent per-key session fold: exact integer totals plus
+    the set of distinct active hour-buckets (state is bounded by the
+    stream's TIME RANGE, not its row count — scale-safe at 100 TB).
+    Integer-only state/output keeps the fold bit-deterministic across
+    micro-batch orderings, so a SQL oracle can verify the drained
+    result exactly."""
+    (uid,) = key
+    if state.exists:
+        n, cents, last_ev, hours = state.get
+        hour_set = set(hours)
+    else:
+        n, cents, last_ev, hour_set = 0, 0, -1, set()
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            cents += int(pdf["cents"].sum())
+            last_ev = max(last_ev, int(pdf["event_id"].max()))
+            hour_set.update(int(h) for h in pdf["hour_bucket"])
+    state.update((n, cents, last_ev, sorted(hour_set)))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": uid,
+                "n_events": n,
+                "total_cents": cents,
+                "last_event": last_ev,
+                "n_active_hours": len(hour_set),
+            }
+        ]
+    )
+
+
+def session_fold_per_key(stream_df: DataFrame) -> DataFrame:
+    """Attach the session fold to a streaming frame carrying
+    ``user_id``, ``event_id``, ``cents``, ``hour_bucket`` columns
+    (integer-lifted upstream so the fold is exact)."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _session_fold,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_state_per_key(stream_df: DataFrame, value_expr: str | None = None) -> DataFrame:
     """Attach the running-fold operator to a streaming envelope frame.
 
