@@ -642,6 +642,45 @@ def main() -> None:
         out["errors"] = errors
     print(json.dumps(out))
 
+    # The driver preserves only the final ~4 kB of stdout, which lands
+    # mid-line inside the full record above (BENCH_r05/r06 both captured
+    # an unparseable fragment). Emit a compact, self-contained summary
+    # as the LAST line — headline total, per-query medians, write
+    # p50/p99, steady state — so the tail capture always contains a
+    # parseable record with the driver's required fields.
+    compact = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_val,
+        "write_latency_ms": {
+            k: latency.get(k)
+            for k in ("p50_ms", "p99_ms", "avg_ms")
+            if isinstance(latency, dict) and k in latency
+        },
+        "write_100kb_mib_per_s": (
+            latency.get("write_100kb", {}).get("mib_per_s")
+            if isinstance(latency, dict)
+            else None
+        ),
+        "streaming_roundtrip_s": timings.get("streaming_roundtrip"),
+        "streaming_steady_state_ev_per_s": (
+            steady.get("ev_per_s") if isinstance(steady, dict) else None
+        ),
+    }
+    if sf1 and isinstance(sf1, dict):
+        compact["sf1_total_s"] = sf1.get("total_s", round(
+            sum(v for v in sf1.get("queries", {}).values() if isinstance(v, (int, float))), 3
+        ))
+    if errors:
+        compact["n_errors"] = len(errors)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 3500:  # stay safely inside the 4 kB tail window
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
+
 
 if __name__ == "__main__":
     main()

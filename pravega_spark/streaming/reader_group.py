@@ -77,7 +77,7 @@ class ReaderGroup:
             q = q.trigger(availableNow=True)
         return q.start()
 
-    def drain(self, sink_fn, timeout_s: float = 300.0, poll_s: float = 0.2):
+    def drain(self, sink_fn, timeout_s: float = 300.0, poll_s: float = 0.05):
         """Process everything currently in the stream, then stop — exact
         bounded-drain semantics (the reference's readNextEvent-until-
         end-of-data loop; Spark's Trigger.AvailableNow, which the Python

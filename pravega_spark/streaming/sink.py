@@ -110,6 +110,127 @@ def _slice_total(start: dict, end: dict) -> int:
     )
 
 
+def _slice_fingerprint(tbl) -> int:
+    """60-bit XOR content fingerprint of an envelope arrow table, over
+    the columns the copy contract actually promises (routing_key,
+    event_time, payload — segment/offset are engine-assigned and
+    recomputed at the destination). Must stay bit-identical to
+    ``_batch_fingerprint_cols``'s Spark expression: per row,
+    md5(rk_utf8 \\x1f payload \\x1f micros_utf8) first 15 hex chars as
+    int, XOR-folded (order-independent, overflow-free)."""
+    import hashlib
+
+    rks = tbl["routing_key"].to_pylist()
+    pls = tbl["payload"].to_pylist()
+    micros = tbl["event_time"].cast("int64").to_pylist()
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    acc = 0
+    for rk, pl, us in zip(rks, pls, micros):
+        data = (
+            (rk or "").encode("utf-8")
+            + b"\x1f"
+            + (pl or b"")
+            + b"\x1f"
+            + (str(us) if us is not None else "").encode("utf-8")
+        )
+        # first 15 hex chars of the digest == top 60 bits of the first 8 bytes
+        acc ^= from_bytes(md5(data).digest()[:8], "big") >> 4
+    return acc
+
+
+def _batch_fingerprint_cols():
+    """(count, xor-fingerprint) aggregate columns for one Spark job over
+    the micro-batch — the JVM twin of ``_slice_fingerprint``."""
+    from pyspark.sql import functions as F
+
+    row_bytes = F.concat(
+        F.encode(F.coalesce(F.col("routing_key"), F.lit("")), "UTF-8"),
+        F.lit(b"\x1f"),
+        F.coalesce(F.col("payload"), F.lit(b"")),
+        F.lit(b"\x1f"),
+        F.encode(
+            F.coalesce(F.unix_micros(F.col("event_time")).cast("string"), F.lit("")),
+            "UTF-8",
+        ),
+    )
+    h60 = F.conv(F.substring(F.md5(row_bytes), 1, 15), 16, 10).cast("long")
+    return F.count(F.lit(1)).alias("n"), F.bit_xor(h60).alias("fp")
+
+
+def _pump_prepare(source, bounds, total: int | None):
+    """Driver-side read of the micro-batch's source slice (no commit):
+    returns the validated arrow table, or None when any pump
+    precondition fails. Split from the commit so the purity guard can
+    verify BEFORE anything becomes visible."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pravega_spark.streaming.datasource import (
+        SegmentSlice,
+        _load_files,
+        _read_slice_table,
+    )
+
+    start, end = bounds
+    if end is None or start is None:
+        return None
+    total = _slice_total(start, end) if total is None else total
+    if total == 0 or total > _store_mod.HOT_MAX_ROWS:
+        return None
+    try:
+        src_root = source.store.root
+        src_scope, src_stream = source.scope, source.stream
+        path = os.path.join(src_root, "streams", src_scope, src_stream)
+        needed = {
+            int(sid) for sid, hi in end.items() if int(hi) > int(start.get(sid, 0))
+        }
+        files = _load_files(src_root, src_scope, src_stream, only_sids=needed)
+        slices = [
+            SegmentSlice(path, int(sid), int(start.get(sid, 0)), int(hi), files.get(int(sid)))
+            for sid, hi in sorted(end.items(), key=lambda kv: int(kv[0]))
+            if int(hi) > int(start.get(sid, 0))
+        ]
+        if len(slices) > 1:
+            with ThreadPoolExecutor(min(8, len(slices))) as ex:
+                tabs = list(ex.map(_read_slice_table, slices))
+        else:
+            tabs = [_read_slice_table(slices[0])]
+        tabs = [t for t in tabs if t is not None]
+        if not tabs:
+            return None
+        import pyarrow as pa
+
+        tbl = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+        if tbl.num_rows != total:
+            # slice read disagrees with the offsets log (concurrent
+            # truncation, half-visible compaction): never commit a
+            # miscounted copy — the Spark path re-plans from the log
+            return None
+        return tbl
+    except Exception:
+        return None
+
+
+def _pump_commit(store: StreamStore, scope: str, stream: str, writer_id: str,
+                 batch_id: int, note_time: bool, tbl) -> bool:
+    """Commit a prepared slice through the hot tier (exactly-once via
+    the (writer_id, batch_id) marker)."""
+    try:
+        store.append_table(scope, stream, tbl, writer_id=writer_id, batch_seq=batch_id)
+        if note_time:
+            import pyarrow.compute as pc
+
+            m = pc.max(tbl["event_time"]).as_py()
+            if m is not None:
+                store.note_time(scope, stream, writer_id, int(m.timestamp() * 1000))
+        return True
+    except Exception:
+        # any surprise (schema drift, concurrent truncation, fs hiccup)
+        # falls back to the always-correct Spark path; exactly-once
+        # holds either way via the (writer_id, batch_id) marker
+        return False
+
+
 def _pump_batch(store: StreamStore, source, scope: str, stream: str,
                 writer_id: str, batch_id: int, note_time: bool,
                 bounds=None, total: int | None = None) -> bool:
@@ -131,62 +252,12 @@ def _pump_batch(store: StreamStore, source, scope: str, stream: str,
     the stream heads (datasource.PravegaStreamReader.initialOffset).
     Both are recomputable here, so a small catch-up batch pumps too.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pravega_spark.streaming.datasource import (
-        SegmentSlice,
-        _load_files,
-        _read_slice_table,
-    )
-
-    start, end = bounds if bounds is not None else _batch_bounds(source, batch_id)
-    if end is None or start is None:
+    if bounds is None:
+        bounds = _batch_bounds(source, batch_id)
+    tbl = _pump_prepare(source, bounds, total)
+    if tbl is None:
         return False
-    total = _slice_total(start, end) if total is None else total
-    if total == 0 or total > _store_mod.HOT_MAX_ROWS:
-        return False
-    try:
-        src_root = source.store.root
-        src_scope, src_stream = source.scope, source.stream
-        path = os.path.join(src_root, "streams", src_scope, src_stream)
-        needed = {
-            int(sid) for sid, hi in end.items() if int(hi) > int(start.get(sid, 0))
-        }
-        files = _load_files(src_root, src_scope, src_stream, only_sids=needed)
-        slices = [
-            SegmentSlice(path, int(sid), int(start.get(sid, 0)), int(hi), files.get(int(sid)))
-            for sid, hi in sorted(end.items(), key=lambda kv: int(kv[0]))
-            if int(hi) > int(start.get(sid, 0))
-        ]
-        if len(slices) > 1:
-            with ThreadPoolExecutor(min(8, len(slices))) as ex:
-                tabs = list(ex.map(_read_slice_table, slices))
-        else:
-            tabs = [_read_slice_table(slices[0])]
-        tabs = [t for t in tabs if t is not None]
-        if not tabs:
-            return False
-        import pyarrow as pa
-
-        tbl = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
-        if tbl.num_rows != total:
-            # slice read disagrees with the offsets log (concurrent
-            # truncation, half-visible compaction): never commit a
-            # miscounted copy — the Spark path re-plans from the log
-            return False
-        store.append_table(scope, stream, tbl, writer_id=writer_id, batch_seq=batch_id)
-        if note_time:
-            import pyarrow.compute as pc
-
-            m = pc.max(tbl["event_time"]).as_py()
-            if m is not None:
-                store.note_time(scope, stream, writer_id, int(m.timestamp() * 1000))
-        return True
-    except Exception:
-        # any surprise (schema drift, concurrent truncation, fs hiccup)
-        # falls back to the always-correct Spark path; exactly-once
-        # holds either way via the (writer_id, batch_id) marker
-        return False
+    return _pump_commit(store, scope, stream, writer_id, batch_id, note_time, tbl)
 
 
 def write_stream_batch(
@@ -211,16 +282,24 @@ def write_stream_batch(
     caught by the column check; a filter cannot be). Catch-up and
     oversized batches still take the distributed path.
 
-    Runtime guard on that contract (r6): before the first few pumped
-    triggers (and a sampled trigger thereafter) the sink counts the
-    actual micro-batch and compares it against the offsets-derived
-    slice size. A filtered pipeline shows fewer batch rows than the
-    slice on the first nonempty trigger — the sink then emits a loud
-    warning, permanently falls back to the Spark path for this query,
-    and writes THIS batch through it too, so a misdeclared pipeline is
-    caught before anything is miscopied. ``PRAVEGA_SPARK_PUMP_VERIFY``
-    tunes it: ``sampled`` (default), ``always``, ``never`` (trusted
-    pipelines that cannot afford the count job on any trigger)."""
+    Runtime guard on that contract (r6, strengthened r7): on the first
+    nonempty pump-eligible trigger (and a sampled trigger thereafter)
+    the sink runs ONE aggregate job over the actual micro-batch — row
+    count plus a 60-bit XOR content fingerprint over (routing_key,
+    event_time, payload) — while the driver concurrently reads and
+    fingerprints the source slice, and the pump commit is DEFERRED
+    until both agree. A filtered pipeline mismatches on count; a
+    count-preserving rewrite (payload/key/time mutation) mismatches on
+    fingerprint — either way the sink emits a loud warning, permanently
+    falls back to the Spark path for this query, and writes THIS batch
+    through it too, so a misdeclared pipeline is caught before anything
+    is miscopied. Cost: one verified trigger per query start (r6 ran
+    three count jobs), whose wall-clock is a single pass over the
+    batch — the slice read, python fingerprint fold, and r6's separate
+    count all hide inside it; steady-state triggers pay zero.
+    ``PRAVEGA_SPARK_PUMP_VERIFY`` tunes it: ``sampled`` (default),
+    ``always``, ``never`` (trusted pipelines that cannot afford the
+    verify job on any trigger)."""
     if writer_id is None:
         if checkpoint_location is None:
             raise ValueError(
@@ -239,43 +318,59 @@ def write_stream_batch(
     # and whether a mismatch permanently disabled the pump for this query
     _guard = {"verified": 0, "since": 0, "disabled": False}
     _VERIFY_MODE = os.environ.get("PRAVEGA_SPARK_PUMP_VERIFY", "sampled").lower()
-    _VERIFY_FIRST = 3     # verify this many nonempty triggers up front
-    _VERIFY_EVERY = 64    # then re-verify one trigger in every this many
+    _VERIFY_FIRST = 1     # content-verify this many nonempty triggers up front
+    _VERIFY_EVERY = 32    # then re-verify one trigger in every this many
 
-    def _purity_ok(batch_df: DataFrame, expected: int) -> bool:
-        """True if the batch provably matches its slice (or verification
-        is off/deferred this trigger). One count job per verified
-        trigger — bounded by _VERIFY_FIRST plus 1/_VERIFY_EVERY."""
-        if _VERIFY_MODE in ("never", "off", "0"):
-            return True
-        due = (
-            _VERIFY_MODE == "always"
-            or _guard["verified"] < _VERIFY_FIRST
-            or _guard["since"] >= _VERIFY_EVERY
-        )
-        if not due:
-            _guard["since"] += 1
-            return True
-        actual = batch_df.count()
-        if actual != expected:
+    def _verified_pump(batch_df: DataFrame, bounds, expected: int) -> bool:
+        """Verify-then-commit: ONE (count, fingerprint) aggregate job
+        over the micro-batch runs in a background thread while the
+        driver reads the source slice AND fingerprints it — the Python
+        md5 fold hides entirely inside the Spark job's wall-clock. The
+        pump commits ONLY after both row count and content fingerprint
+        match, so a misdeclared pipeline never gets a byte miscopied.
+        Returns True when the slice was committed; on mismatch (or
+        pump-precondition failure) returns False and the caller's
+        Spark path writes the real batch."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(lambda: batch_df.agg(*_batch_fingerprint_cols()).first())
+            tbl = _pump_prepare(passthrough_from, bounds, expected)
+            slice_fp = _slice_fingerprint(tbl) if tbl is not None else None
+            try:
+                row = fut.result()
+                actual, batch_fp = int(row["n"]), row["fp"]
+            except Exception:
+                return False  # verify job failed: take the Spark path
+        if actual != expected or (slice_fp is not None and batch_fp != slice_fp):
             import warnings
 
             _guard["disabled"] = True
+            what = (
+                f"micro-batch has {actual} rows but the source slice has {expected}"
+                if actual != expected
+                else "micro-batch content fingerprint differs from the source slice"
+            )
             warnings.warn(
-                f"passthrough_from purity violation: micro-batch has "
-                f"{actual} rows but the source slice has {expected} — the "
+                f"passthrough_from purity violation: {what} — the "
                 "pipeline transforms between read_stream() and the sink. "
                 "Falling back to the Spark path for this query; remove "
                 "passthrough_from from this sink.",
                 RuntimeWarning,
-                stacklevel=3,
+                stacklevel=4,
             )
             return False
         _guard["verified"] += 1
         _guard["since"] = 0
-        return True
+        if tbl is None:
+            return False  # verified pure, but pump preconditions failed
+        return _pump_commit(store, scope, stream, writer_id, batch_id_box[0],
+                            note_time, tbl)
+
+    batch_id_box = [0]  # current batch id, visible to _verified_pump
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_id_box[0] = batch_id
         hint = None
         if (
             pump_ok
@@ -290,20 +385,29 @@ def write_stream_batch(
                 else None
             )
             # oversized slices never pump (the size gate declines), so
-            # counting them here would double-scan exactly the most
+            # verifying them here would double-read exactly the most
             # expensive catch-up batches — defer verification to the
             # next pump-eligible trigger instead
             verifiable = (
                 expected is not None and 0 < expected <= _store_mod.HOT_MAX_ROWS
             )
-            if (
-                expected is not None
-                and (expected == 0 or not verifiable or _purity_ok(batch_df, expected))
-                and _pump_batch(store, passthrough_from, scope, stream,
-                                writer_id, batch_id, note_time,
-                                bounds=bounds, total=expected)
-            ):
-                return
+            due = _VERIFY_MODE not in ("never", "off", "0") and (
+                _VERIFY_MODE == "always"
+                or _guard["verified"] < _VERIFY_FIRST
+                or _guard["since"] >= _VERIFY_EVERY
+            )
+            if verifiable and due:
+                if _verified_pump(batch_df, bounds, expected):
+                    return
+            elif expected is not None:
+                if verifiable:
+                    _guard["since"] += 1
+                if (expected == 0 or verifiable) and _pump_batch(
+                    store, passthrough_from, scope, stream,
+                    writer_id, batch_id, note_time,
+                    bounds=bounds, total=expected,
+                ):
+                    return
             if expected is not None and not _guard["disabled"]:
                 # pump declined but the slice size is still exact
                 # knowledge: oversized batches skip the bounded probe

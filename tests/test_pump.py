@@ -53,15 +53,28 @@ def _run_capped(store, rg, sink, n_target, cap):
 
 
 def _spy(monkeypatch):
+    """Record pump outcomes. Every successful pump copy — verified or
+    steady-state — funnels through ``_pump_commit`` (r7 split), so that
+    is the one seam whose True entries mean 'the pump served this
+    batch'. ``_pump_batch`` declines (False) are recorded too so the
+    oversized/fallback assertions keep their meaning."""
     hits = []
-    orig = sink_mod._pump_batch
+    orig_commit = sink_mod._pump_commit
+    orig_batch = sink_mod._pump_batch
 
-    def spy(*a, **k):
-        r = orig(*a, **k)
+    def spy_commit(*a, **k):
+        r = orig_commit(*a, **k)
         hits.append(r)
         return r
 
-    monkeypatch.setattr(sink_mod, "_pump_batch", spy)
+    def spy_batch(*a, **k):
+        r = orig_batch(*a, **k)
+        if r is False:
+            hits.append(False)
+        return r
+
+    monkeypatch.setattr(sink_mod, "_pump_commit", spy_commit)
+    monkeypatch.setattr(sink_mod, "_pump_batch", spy_batch)
     return hits
 
 
@@ -172,7 +185,11 @@ def test_pump_declines_oversized_slice(spark, store, monkeypatch):
 
 def test_pump_serves_batch0_catchup(spark, store, monkeypatch):
     """A fresh group's batch 0 (start = stream heads) pumps too when the
-    backlog fits HOT_MAX_ROWS."""
+    backlog fits HOT_MAX_ROWS — the point is that batch 0's bounds are
+    recomputable from initialOffset. Verification is off here because
+    the r7 guard routes the FIRST nonempty trigger through the verified
+    Spark path by design (covered by the purity-guard tests)."""
+    monkeypatch.setenv("PRAVEGA_SPARK_PUMP_VERIFY", "never")
     _setup(store)
     ev = load_table(spark, SF_DIR, "events").limit(150)
     n = ev.count()
@@ -232,3 +249,70 @@ def test_pump_purity_guard_catches_filter(spark, store, monkeypatch):
     )
     # the destination holds exactly the filtered rows — nothing miscopied
     assert store.read("s", "dst").count() == expected_rows
+
+
+def test_pump_purity_guard_catches_payload_rewrite(spark, store, monkeypatch):
+    """A count-PRESERVING rewrite (payload mutation, columns and row
+    count unchanged) is invisible to the r6 count check — the r7
+    content fingerprint must catch it: warn, permanently fall back to
+    the Spark path, and write the REWRITTEN rows (never the raw slice
+    bytes)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    _setup(store)
+    # real, asymmetric payload bytes — reversing them must change content
+    # (the events-table envelope has NULL payloads, where a reverse is a
+    # no-op the guard must NOT flag)
+    n = 150
+    events = [
+        {"routing_key": str(i % 10), "payload": f"payload-{i:04d}".encode()}
+        for i in range(n)
+    ]
+    store.append_events("s", "src", events, writer_id="seed", batch_seq=0)
+    rg = ReaderGroup(store, "s", "src", "g-rewrite")
+    hits = _spy(monkeypatch)
+    sink = write_stream_batch(store, "s", "dst", writer_id="w", passthrough_from=rg)
+
+    def rewriting_sink(df, b):
+        mutated = df.withColumn("payload", F.reverse(F.col("payload"))).select(*df.columns)
+        sink(mutated, b)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = (
+            rg.read_stream()
+            .writeStream.foreachBatch(rewriting_sink)
+            .option("checkpointLocation", rg.checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if sum(store.meta.tail_offsets("s", "dst").values()) >= n:
+                    break
+                time.sleep(0.1)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    assert True not in hits, "pump committed a miscopied (unmutated) batch"
+    assert any("fingerprint" in str(w.message) for w in caught), (
+        "guard did not warn on the count-preserving rewrite"
+    )
+    # destination holds the REWRITTEN payloads (Spark path), not raw bytes
+    def _payloads(stream):
+        rows = store.read("s", stream).select("payload").collect()
+        return sorted(
+            p if isinstance(p, bytes) else (bytes(p) if isinstance(p, bytearray) else p.encode())
+            for p in (r["payload"] for r in rows)
+        )
+
+    src_payloads = _payloads("src")
+    dst_payloads = _payloads("dst")
+    assert len(dst_payloads) == n
+    assert src_payloads != dst_payloads
+    assert sorted(p[::-1] for p in src_payloads) == dst_payloads
