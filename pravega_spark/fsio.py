@@ -229,9 +229,130 @@ def _read_lock_doc(path: str):
         return {"token": "", "expiry_ms": 1 << 62}
 
 
+def _claim_name(token: str) -> str:
+    import time as _time
+
+    return f"{_time.time_ns():020d}-{token}"
+
+
+def _live_claims(f, claims_dir: str):
+    """Sorted (name, doc) of live claim files under ``claims_dir``;
+    stale claims are reaped in passing (a failed reap delete just
+    leaves the stale claim for the next pass — it stays excluded from
+    the live set either way)."""
+    import time as _time
+
+    from pyarrow import fs as pafs
+
+    try:
+        infos = f.get_file_info(pafs.FileSelector(claims_dir, allow_not_found=True))
+    except FileNotFoundError:
+        return []
+    now_ms = int(_time.time() * 1000)
+    live = []
+    for info in infos:
+        if info.type != pafs.FileType.File:
+            continue
+        name = info.path.rsplit("/", 1)[-1]
+        try:
+            with f.open_input_stream(info.path) as fh:
+                import json as _json
+
+                doc = _json.loads(fh.read().decode("utf-8"))
+        except (FileNotFoundError, OSError, ValueError):
+            continue  # released/reaped between list and read, or in flight
+        if doc.get("expiry_ms", 0) < now_ms:
+            try:
+                f.delete_file(info.path)
+            except (FileNotFoundError, OSError):
+                pass
+            continue
+        live.append((name, doc))
+    live.sort()
+    return live
+
+
+def _acquire_lock_claims(f, p: str, lease_ms: int, timeout_ms: int,
+                         poll_s: float, token: str) -> str:
+    """Claim-file election for stores WITHOUT exclusive create (the
+    probe+put degradation of create_exclusive is a real race: two
+    contenders can both pass the NotFound probe and both believe they
+    hold the lock — the moto-backed conformance run catches exactly
+    this). Each contender PUTs a uniquely-named claim object
+    (arrival-timestamp + token) under ``<lock>.claims/`` and the
+    lexicographically-smallest live claim wins; a winner confirms with
+    a second listing after one poll interval, closing the window where
+    an earlier-named claim's PUT was still in flight during the first
+    listing. Liveness: claims carry the lease expiry and are reaped by
+    any contender once stale. Safety against a write delayed longer
+    than the poll grace is, as before, NOT the lock's job — writers
+    pair the lock with version-conditional document writes, so a rare
+    double-holder is fenced at commit (see acquire_lock docstring)."""
+    import json as _json
+    import time as _time
+
+    claims_dir = f"{p}.claims"
+    my_name = _claim_name(token)
+    my_path = f"{claims_dir}/{my_name}"
+    # a contender is ALIVE while acquiring, so its claim is refreshed
+    # every poll pass; the floor keeps a sub-poll lease from expiring
+    # inside the confirmation grace itself
+    acq_lease_ms = max(lease_ms, int(poll_s * 1000 * 6))
+
+    def _put_claim(ms: int) -> None:
+        payload = _json.dumps(
+            {"token": token, "expiry_ms": int(_time.time() * 1000) + ms}
+        ).encode("utf-8")
+        try:
+            with f.open_output_stream(my_path) as fh:
+                fh.write(payload)
+        except FileNotFoundError:
+            # pyarrow-wrapped REAL filesystems (file:// / hdfs:// URIs)
+            # need the parent dir to exist; object stores don't
+            f.create_dir(claims_dir, recursive=True)
+            with f.open_output_stream(my_path) as fh:
+                fh.write(payload)
+
+    deadline = _time.time() + timeout_ms / 1000.0
+    while True:
+        _put_claim(acq_lease_ms)
+        live = _live_claims(f, claims_dir)
+        if live and live[0][0] == my_name:
+            _time.sleep(poll_s)  # grace for in-flight earlier-named claims
+            live = _live_claims(f, claims_dir)
+            if live and live[0][0] == my_name:
+                if acq_lease_ms != lease_ms:
+                    # hand over with the CALLER's lease so a crashed
+                    # holder is reaped on the schedule it asked for
+                    _put_claim(lease_ms)
+                return token
+        if _time.time() > deadline:
+            try:
+                f.delete_file(my_path)
+            except (FileNotFoundError, OSError):
+                pass
+            raise TimeoutError(f"lock {p} not acquired within {timeout_ms}ms")
+        _time.sleep(poll_s)
+
+
+def _find_claim(f, p: str, token: str):
+    claims_dir = f"{p}.claims"
+    for name, doc in _live_claims(f, claims_dir):
+        if doc.get("token") == token:
+            return f"{claims_dir}/{name}"
+    return None
+
+
 def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
                  poll_s: float = 0.05) -> str:
-    """Lease-based mutual exclusion via exclusive file create.
+    """Lease-based mutual exclusion.
+
+    Two protocols by backend: LOCAL roots use exclusive file create
+    (hard-link, truly atomic); pyarrow-backed roots (object stores,
+    URI filesystems) use the claim-file election in
+    ``_acquire_lock_claims``, because probe+put create cannot elect a
+    unique winner — see that function's docstring for the race the
+    moto conformance run caught.
 
     Returns an owner token. Liveness: a crashed holder's lock expires
     after ``lease_ms`` and the next contender reaps it. The reap is
@@ -252,6 +373,12 @@ def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
     import uuid as _uuid
 
     token = _uuid.uuid4().hex
+    f, p = _split(path)
+    if f is not None:
+        # non-local: exclusive create degrades to probe+put, so the
+        # single-doc protocol cannot elect a unique winner — use the
+        # claim-file election instead
+        return _acquire_lock_claims(f, p, lease_ms, timeout_ms, poll_s, token)
     deadline = _time.time() + timeout_ms / 1000.0
     while True:
         payload = _json.dumps(
@@ -288,6 +415,17 @@ def renew_lock(path: str, token: str, lease_ms: int = 30_000) -> bool:
     import json as _json
     import time as _time
 
+    f, p = _split(path)
+    if f is not None:
+        claim = _find_claim(f, p, token)
+        if claim is None:
+            return False  # reaped while paused: fenced out
+        payload = _json.dumps(
+            {"token": token, "expiry_ms": int(_time.time() * 1000) + lease_ms}
+        ).encode("utf-8")
+        with f.open_output_stream(claim) as fh:
+            fh.write(payload)
+        return True
     doc = _read_lock_doc(path)
     if doc is None or doc.get("token") != token:
         return False
@@ -298,6 +436,15 @@ def renew_lock(path: str, token: str, lease_ms: int = 30_000) -> bool:
 
 
 def release_lock(path: str, token: str) -> None:
+    f, p = _split(path)
+    if f is not None:
+        claim = _find_claim(f, p, token)
+        if claim is not None:
+            try:
+                f.delete_file(claim)
+            except (FileNotFoundError, OSError):
+                pass
+        return
     doc = _read_lock_doc(path)
     if doc is not None and doc.get("token") == token:
         remove(path)

@@ -1,5 +1,15 @@
 """Test harnesses shipped with the engine (conformance fixtures)."""
 
-from pravega_spark.testing.object_store import ObjectStoreHandler, mount_object_store
+from pravega_spark.testing.object_store import (
+    DelegatingObjectStoreHandler,
+    ObjectStoreHandler,
+    mount_delegating_store,
+    mount_object_store,
+)
 
-__all__ = ["ObjectStoreHandler", "mount_object_store"]
+__all__ = [
+    "DelegatingObjectStoreHandler",
+    "ObjectStoreHandler",
+    "mount_delegating_store",
+    "mount_object_store",
+]
