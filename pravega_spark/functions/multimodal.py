@@ -8,9 +8,13 @@ Pipeline shape for 100 TB multimodal training data:
     Arrow-batched ``mapInPandas`` operators so each Python worker
     amortizes per-batch overhead and partitions stream independently;
   - heavy codecs (PIL/ffmpeg/torchaudio) are NOT in this container:
-    the decode kernel is stubbed behind ``set_decoder`` with a
-    deterministic fake, while schema, batching, partitioning and UDF
-    signatures — the Spark-side plumbing — are real and tested.
+    the decode kernel defaults to a deterministic fake behind
+    ``set_decoder``, while schema, batching, partitioning and UDF
+    signatures — the Spark-side plumbing — are real and tested. Two
+    REAL pure-stdlib codecs (PNG via zlib with full scanline
+    unfiltering, WAV via the wave module) live in
+    ``pravega_spark.functions.codecs`` and are proven end-to-end
+    through this kernel by tests/test_codecs.py.
 
 The fake decoder derives pixel/sample statistics from the bytes
 deterministically, so downstream operators (stats, resize bookkeeping,
@@ -77,6 +81,11 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     Real codec plugs in via set_decoder; the distributed shape (schema,
     per-partition batching, no shuffle) is independent of the codec.
     """
+    # capture the CURRENT decoder by value: the kernel is pickled to
+    # executor Python workers, where this module is imported fresh — a
+    # late global lookup there would silently resolve to the default
+    # fake and ignore every set_decoder() made on the driver
+    decoder = _decoder
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -88,7 +97,7 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             # of pure overhead on multi-million-asset scans
             for mid, mod, data in zip(pdf["media_id"], pdf["modality"], pdf["data"]):
                 data = bytes(data) if data is not None else b""
-                d = _decoder(data)
+                d = decoder(data)
                 recs.append(
                     {
                         "media_id": mid,
