@@ -145,8 +145,11 @@ def cmd_kvt(args) -> int:
         # metadata-only DDL: no JVM (the module's lazy-Spark contract)
         mgr = KeyValueTableManager(None, args.root)
         if args.action == "create":
-            mgr.create_key_value_table(scope, name)
-            print(json.dumps({"created": f"{scope}/{name}"}))
+            # boolean reports whether the table was NEWLY created
+            # (scripts probe it for already-exists) alongside the r6
+            # qualified name
+            t = mgr.create_key_value_table(scope, name)
+            print(json.dumps({"created": t.was_created, "table": f"{scope}/{name}"}))
         else:
             print(json.dumps({"deleted": mgr.delete_key_value_table(scope, name)}))
         return 0

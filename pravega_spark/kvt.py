@@ -73,6 +73,9 @@ class KeyValueTable:
         self.meta_path = fsio.join(self.path, "_kvt_meta.json")
         self.data_path = fsio.join(self.path, "log")
         doc = fsio.read_json(self.meta_path, None)
+        # True when THIS open created the table (CLI reports it so
+        # scripts can detect already-exists — r7 ADVICE fix)
+        self.was_created = doc is None
         if doc is not None:
             self.config = KeyValueTableConfiguration(**doc["config"])
             self._next_version = doc["next_version"]

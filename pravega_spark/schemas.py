@@ -34,11 +34,12 @@ class SchemaCompatibilityError(PravegaSparkError):
     pass
 
 
-# StructType.json() type names (integer/long/float/double). Widenings
-# are treated as readable in BOTH directions: JSON numbers are
-# width-less, and Avro readers resolve writer int→long / float→double
-# promotions; a reader pinned to an old version keeps decoding with
-# that exact version via get(version).
+# StructType.json() type names (integer/long/float/double), as
+# (writer, reader) pairs in the ONE direction Avro resolves: a reader
+# may be wider than the writer (writer int -> reader long), never the
+# reverse — avro readers pinned to an old version via get(version)
+# cannot take a widened writer's out-of-range values, so the FORWARD
+# direction requires exact equality (see _can_read).
 _ALLOWED_WIDENINGS = {
     ("integer", "long"),
     ("float", "double"),
@@ -77,11 +78,13 @@ def _fields_nullable(schema_json: str) -> dict[str, tuple[str, bool]]:
     raise SchemaCompatibilityError("schema must be a Spark struct JSON document")
 
 
-def _type_ok(t_old: str, t_new: str) -> bool:
-    """A field's type may only stay equal or WIDEN over time (the old
-    register() rule): narrowing (long->integer) silently NULLs/overflows
-    large values on read, so it is rejected in every mode/direction."""
-    return t_old == t_new or (t_old, t_new) in _ALLOWED_WIDENINGS
+def _type_ok(t_writer: str, t_reader: str) -> bool:
+    """True when a reader on ``t_reader`` can decode ``t_writer`` data:
+    equal, or a promotion in the direction Avro actually resolves —
+    writer-int -> reader-long / writer-float -> reader-double. Used for
+    the BACKWARD direction only; FORWARD requires exact equality (a
+    pinned old reader cannot take a widened writer's values)."""
+    return t_writer == t_reader or (t_writer, t_reader) in _ALLOWED_WIDENINGS
 
 
 def _can_read(reader_json: str, writer_json: str, absent_ok_if_nullable: bool,
@@ -102,13 +105,22 @@ def _can_read(reader_json: str, writer_json: str, absent_ok_if_nullable: bool,
     for name, (t_r, nullable) in _fields_nullable(reader_json).items():
         if name in writer:
             t_w = writer[name][0]
-            # the chronologically-old side is the writer in the BACKWARD
-            # check and the reader in the FORWARD check; the caller
-            # passes new_is_reader accordingly so the equal-or-widen
-            # rule always runs on the old->new transition
-            t_old, t_new = (t_w, t_r) if new_is_reader else (t_r, t_w)
-            if not _type_ok(t_old, t_new):
-                return f"field retyped: {name} {t_old} -> {t_new}"
+            if new_is_reader:
+                # BACKWARD: the new reader may widen over the old
+                # writer's type (Avro resolves writer-int -> reader-long)
+                ok = _type_ok(t_w, t_r)
+            else:
+                # FORWARD: the reader is PINNED to the old version; a
+                # widened new writer (int -> long) would hand it values
+                # beyond its type's range and Avro promotion only runs
+                # writer->reader, so require exact equality (the
+                # registry reference likewise rejects widening under
+                # FORWARD/FULL)
+                ok = t_r == t_w
+            if not ok:
+                return f"field retyped: {name} {t_w} -> {t_r}" if new_is_reader else (
+                    f"field retyped: {name} {t_r} -> {t_w}"
+                )
         elif absent_ok_if_nullable and nullable:
             continue
         else:

@@ -160,9 +160,19 @@ class Transaction:
         fsio.write_bytes(fsio.join(self.staging_path, f"part={part_no}", "_DONE"), b"")
         with self.store._commit_lock(self.scope, self.stream):
             doc = self._doc()
-            if doc[self.txn_id]["status"] != self.OPEN:
+            status = doc[self.txn_id]["status"]
+            if status != self.OPEN:
+                # the commit freezes its part list atomically with the
+                # COMMITTING flip, so membership decides exactly whether
+                # THIS part's _DONE made the merge (r7 ADVICE fix: a
+                # part that WAS merged must report success — raising
+                # here would push the caller to retry committed data in
+                # a new txn, duplicating events)
+                merged = doc[self.txn_id].get("merged_parts")
+                if merged is not None and part_no in merged:
+                    return
                 raise TxnFailedException(
-                    f"txn {self.txn_id} moved to {doc[self.txn_id]['status']} during "
+                    f"txn {self.txn_id} moved to {status} during "
                     "write_events; this part is not part of the commit"
                 )
 
@@ -173,6 +183,19 @@ class Transaction:
                 raise TxnFailedException(f"txn {self.txn_id} is {doc[self.txn_id]['status']}")
             doc[self.txn_id]["lease_expiry"] = int(time.time() * 1000) + lease_ms
             self.store.meta.put_txn_doc(self.scope, self.stream, doc)
+
+    def _list_done_parts(self) -> list[int]:
+        """Part numbers whose _DONE completion marker exists right now:
+        a part reserved but never staged (crash window) has no marker
+        and no files; a part still staging fails its own completion
+        check."""
+        return sorted(
+            {
+                int(rel.split(os.sep, 1)[0].split("=", 1)[1])
+                for rel in fsio.list_files_recursive(self.staging_path)
+                if rel.startswith("part=") and rel.endswith("_DONE")
+            }
+        )
 
     def commit(self, timestamp_ms: int | None = None) -> None:
         # Phase 1 (point of no return, under lock): OPEN → COMMITTING.
@@ -199,18 +222,22 @@ class Transaction:
                         f"{self.scope}/{self.stream} is sealed; txn {self.txn_id} cannot commit"
                     )
                 doc[self.txn_id]["status"] = self.COMMITTING
+                # the part list is FROZEN atomically with the status
+                # flip (r7 ADVICE fix): a writer's post-stage check can
+                # then decide membership exactly — a part whose _DONE
+                # the flip saw reports success, one it missed raises.
+                # A commit RETRY (crash after this flip, or the
+                # sweeper's roll-forward) must reuse the frozen list: a
+                # re-list could adopt a part whose writer was already
+                # told it missed the commit, duplicating its events.
+                doc[self.txn_id]["merged_parts"] = self._list_done_parts()
                 self.store.meta.put_txn_doc(self.scope, self.stream, doc)
-        # merge exactly the parts whose _DONE marker exists NOW: a part
-        # reserved but never staged (crash window) has no marker and no
-        # files; a part still staging fails its own completion check
-        part_dirs = sorted(
-            {
-                rel.split(os.sep, 1)[0]
-                for rel in fsio.list_files_recursive(self.staging_path)
-                if rel.startswith("part=") and rel.endswith("_DONE")
-            },
-            key=lambda d: int(d.split("=", 1)[1]),
-        )
+            merged_parts = doc[self.txn_id].get("merged_parts")
+        if merged_parts is None:
+            # doc written by a pre-r7 engine crashed mid-commit: fall
+            # back to listing now (the historical behavior)
+            merged_parts = self._list_done_parts()
+        part_dirs = [f"part={p}" for p in merged_parts]
         if part_dirs:
             staged = self.store.spark.read.option("basePath", self.staging_path).parquet(
                 *[fsio.join(self.staging_path, d) for d in part_dirs]

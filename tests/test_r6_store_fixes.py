@@ -450,7 +450,7 @@ def test_cli_kvt_roundtrip_and_guards(store, tmp_path, capsys, monkeypatch):
     assert cli.main(["--root", root, "scope", "create", "s"]) == 0
     assert cli.main(["--root", root, "kvt", "create", "s/t"]) == 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
-    assert _json.loads(out) == {"created": "s/t"}
+    assert _json.loads(out) == {"created": True, "table": "s/t"}
     assert cli.main(["--root", root, "stream", "create", "s/ev"]) == 0
     monkeypatch.setattr("sys.stdin", io.StringIO(""))
     assert cli.main(["--root", root, "stream", "append", "s/ev"]) == 0

@@ -88,3 +88,123 @@ def test_salted_vs_g1_conserves_corpus(spark):
     # but every non-final shard in a salt group must START under budget
     # (greedy invariant: a doc lands where its running sum starts)
     assert len(salted) >= len(flat)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 #2: a txn part whose _DONE landed before commit froze its part
+# list must report SUCCESS from write_events, not "not part of the commit".
+# ---------------------------------------------------------------------------
+
+import threading
+
+import pytest
+
+from pravega_spark.config import ScalingPolicy, StreamConfiguration
+from pravega_spark.errors import TxnFailedException
+
+
+def _txn_setup(store):
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(2)))
+
+
+def _ev(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id").between(lo, hi - 1))
+        .withColumn("routing_key", F.col("user_id"))
+    )
+
+
+def _race_write_events(spark, store, monkeypatch, commit_before_done: bool):
+    """Drive the exact race: a second write_events pauses at its _DONE
+    write while the main thread commits. commit_before_done=False lets
+    _DONE land BEFORE the commit's freeze (part merged, call must
+    succeed); True holds _DONE until after (part excluded, call must
+    raise)."""
+    import pravega_spark.store as store_mod
+
+    _txn_setup(store)
+    txn = store.begin_txn("s", "ev")
+    txn.write_events(_ev(spark, 0, 50))  # part 0, fully staged
+
+    done_written = threading.Event()
+    release_check = threading.Event()
+    orig = store_mod.fsio.write_bytes
+
+    def gated(path, data):
+        if path.endswith("_DONE") and "part=1" in path:
+            if commit_before_done:
+                release_check.wait(30)  # commit freezes first
+            orig(path, data)
+            done_written.set()
+            if not commit_before_done:
+                release_check.wait(30)  # _DONE landed; now let commit run
+            return
+        orig(path, data)
+
+    monkeypatch.setattr(store_mod.fsio, "write_bytes", gated)
+    result: dict = {}
+
+    def writer():
+        try:
+            txn.write_events(_ev(spark, 50, 80))  # part 1
+            result["outcome"] = "success"
+        except TxnFailedException:
+            result["outcome"] = "raised"
+
+    t = threading.Thread(target=writer)
+    t.start()
+    if commit_before_done:
+        # writer is parked pre-_DONE; commit now, then release it
+        txn.commit()
+        release_check.set()
+        done_written.wait(30)
+    else:
+        done_written.wait(30)  # _DONE visible -> the freeze will see it
+        txn.commit()
+        release_check.set()
+    t.join(60)
+    monkeypatch.setattr(store_mod.fsio, "write_bytes", orig)
+    return result["outcome"], store.read("s", "ev").count()
+
+
+def test_txn_part_merged_before_freeze_reports_success(spark, store, monkeypatch):
+    outcome, n = _race_write_events(spark, store, monkeypatch, commit_before_done=False)
+    assert outcome == "success", "a merged part must not report failure"
+    assert n == 80  # both parts merged
+
+
+def test_txn_part_missing_freeze_still_raises(spark, store, monkeypatch):
+    outcome, n = _race_write_events(spark, store, monkeypatch, commit_before_done=True)
+    assert outcome == "raised", "an excluded part must keep raising"
+    assert n == 50  # only part 0 merged
+
+
+def test_txn_commit_retry_reuses_frozen_part_list(spark, store, monkeypatch):
+    """A commit retry (sweeper roll-forward) must merge the FROZEN part
+    list, never re-list: a part staged after the freeze whose writer
+    was told it missed the commit must stay excluded."""
+    import pravega_spark.store as store_mod
+    from pravega_spark import fsio
+
+    _txn_setup(store)
+    txn = store.begin_txn("s", "ev")
+    txn.write_events(_ev(spark, 0, 50))
+    # freeze via phase 1 only: simulate a crash between phase 1 and the
+    # merge by flipping the doc the way commit() does
+    with store._commit_lock("s", "ev"):
+        doc = txn._doc()
+        doc[txn.txn_id]["status"] = txn.COMMITTING
+        doc[txn.txn_id]["merged_parts"] = txn._list_done_parts()
+        store.meta.put_txn_doc("s", "ev", doc)
+    # a straggler stages part 1 AFTER the freeze (writes files + _DONE
+    # directly: the public API already refuses non-OPEN txns at reserve)
+    straggler = _ev(spark, 50, 90)
+    staged = store._with_arrival_seq(straggler, "routing_key")
+    staged.write.mode("append").parquet(fsio.join(txn.staging_path, "part=1"))
+    fsio.write_bytes(fsio.join(txn.staging_path, "part=1", "_DONE"), b"")
+    txn.commit()  # the roll-forward path
+    assert store.read("s", "ev").count() == 50, "frozen list must exclude part 1"

@@ -43,12 +43,17 @@ def test_register_and_compat(store):
     ])
     with pytest.raises(SchemaCompatibilityError):
         reg.register("s", "typed", retyped)
-    # widening is allowed (double stays, long may widen to double)
+    # widening is allowed under BACKWARD (a new, wider reader resolves
+    # old int/long data); under the default FULL it is rejected, because
+    # readers pinned to the old version couldn't take the wide values
     widened = StructType([
         StructField("event_id", DoubleType()),
         StructField("value", DoubleType()),
         StructField("event_type", StringType()),
     ])
+    with pytest.raises(SchemaCompatibilityError):
+        reg.register("s", "typed", widened)
+    reg.set_compatibility("s", "typed", "BACKWARD")
     assert reg.register("s", "typed", widened) == 3
 
 
@@ -100,12 +105,16 @@ def test_compatibility_mode_matrix(store):
     narrowed2 = _st(("a", LongType(), True), ("b", FloatType(), True))
     cases = {
         # mode: (accepted, rejected)
+        # widening is BACKWARD-only: the FORWARD direction pins old
+        # readers, which cannot take a widened writer's values (r7
+        # ADVICE fix — the registry reference rejects widening under
+        # FORWARD/FULL the same way)
         "BACKWARD": ([add_nullable, removed, widened],
                      [add_required, retyped, narrowed, narrowed2]),
-        "FORWARD": ([add_nullable, add_required, widened],
-                    [removed, retyped, narrowed, narrowed2]),
-        "FULL": ([add_nullable, widened],
-                 [add_required, removed, retyped, narrowed, narrowed2]),
+        "FORWARD": ([add_nullable, add_required],
+                    [removed, retyped, narrowed, narrowed2, widened]),
+        "FULL": ([add_nullable],
+                 [add_required, removed, retyped, narrowed, narrowed2, widened]),
         "NONE": ([add_nullable, add_required, removed, widened, retyped,
                   narrowed, narrowed2], []),
     }
