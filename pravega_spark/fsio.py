@@ -318,8 +318,17 @@ def _acquire_lock_claims(f, p: str, lease_ms: int, timeout_ms: int,
         _put_claim(acq_lease_ms)
         live = _live_claims(f, claims_dir)
         if live and live[0][0] == my_name:
-            _time.sleep(poll_s)  # grace for in-flight earlier-named claims
-            live = _live_claims(f, claims_dir)
+            if len(live) > 1:
+                # observed contention: grace + re-list closes the window
+                # where an earlier-named claim's PUT was in flight
+                # during the first listing
+                _time.sleep(poll_s)
+                live = _live_claims(f, claims_dir)
+            # uncontended fast path: no grace — the residual window (a
+            # competing PUT in flight right now, invisible to the list)
+            # is one put-visibility latency wide and is fenced, like
+            # every double-holder residue here, by the writers'
+            # version-conditional commits
             if live and live[0][0] == my_name:
                 if acq_lease_ms != lease_ms:
                     # hand over with the CALLER's lease so a crashed

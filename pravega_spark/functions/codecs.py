@@ -41,13 +41,18 @@ def decode_wav(data: bytes) -> dict:
         sampwidth = w.getsampwidth()
         n_frames = w.getnframes()
         raw = w.readframes(n_frames)
-    fmt = {1: "b", 2: "h", 4: "i"}.get(sampwidth)
+    # 8-bit WAV PCM is UNSIGNED with midpoint 0x80 per the RIFF spec
+    # (16/32-bit are signed little-endian)
+    fmt = {1: "B", 2: "h", 4: "i"}.get(sampwidth)
     if fmt is None:
         raise ValueError(f"unsupported WAV sample width {sampwidth}")
     count = len(raw) // sampwidth
     samples = struct.unpack(f"<{count}{fmt}", raw[: count * sampwidth])
     full_scale = float(1 << (8 * sampwidth - 1))
-    norm = [s / full_scale for s in samples]
+    if sampwidth == 1:
+        norm = [(s - 128) / 128.0 for s in samples]
+    else:
+        norm = [s / full_scale for s in samples]
     checksum = hashlib.md5(raw).hexdigest()
     mean_abs = sum(abs(s) for s in norm) / len(norm) if norm else 0.0
     # 8-band temporal RMS: real signal shape, deterministic, bounded
@@ -89,9 +94,15 @@ def decode_png(data: bytes) -> dict:
     pos, width, height, channels = 8, None, None, None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk body")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed PNG IHDR")
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -109,7 +120,10 @@ def decode_png(data: bytes) -> dict:
         pos += 12 + length  # length + type + body + crc
     if width is None or channels is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")

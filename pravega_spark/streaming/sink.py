@@ -120,22 +120,27 @@ def _slice_fingerprint(tbl) -> int:
     int, XOR-folded (order-independent, overflow-free)."""
     import hashlib
 
-    rks = tbl["routing_key"].to_pylist()
-    pls = tbl["payload"].to_pylist()
-    micros = tbl["event_time"].cast("int64").to_pylist()
     md5 = hashlib.md5
     from_bytes = int.from_bytes
     acc = 0
-    for rk, pl, us in zip(rks, pls, micros):
-        data = (
-            (rk or "").encode("utf-8")
-            + b"\x1f"
-            + (pl or b"")
-            + b"\x1f"
-            + (str(us) if us is not None else "").encode("utf-8")
-        )
-        # first 15 hex chars of the digest == top 60 bits of the first 8 bytes
-        acc ^= from_bytes(md5(data).digest()[:8], "big") >> 4
+    # per-record-batch materialization bounds the python-object copy to
+    # one batch at a time (the arrow table can hold an entire
+    # HOT_MAX_ROWS slice of large payloads)
+    cols = tbl.select(["routing_key", "payload", "event_time"])
+    for batch in cols.to_batches(max_chunksize=8192):
+        rks = batch["routing_key"].to_pylist()
+        pls = batch["payload"].to_pylist()
+        micros = batch["event_time"].cast("int64").to_pylist()
+        for rk, pl, us in zip(rks, pls, micros):
+            data = (
+                (rk or "").encode("utf-8")
+                + b"\x1f"
+                + (pl or b"")
+                + b"\x1f"
+                + (str(us) if us is not None else "").encode("utf-8")
+            )
+            # first 15 hex chars of the digest == top 60 bits of the first 8 bytes
+            acc ^= from_bytes(md5(data).digest()[:8], "big") >> 4
     return acc
 
 
@@ -360,10 +365,13 @@ def write_stream_batch(
                 stacklevel=4,
             )
             return False
+        if tbl is None:
+            # counts matched but the slice read failed, so the CONTENT
+            # comparison never ran: stay unverified (due again next
+            # trigger) and let the Spark path write this batch
+            return False
         _guard["verified"] += 1
         _guard["since"] = 0
-        if tbl is None:
-            return False  # verified pure, but pump preconditions failed
         return _pump_commit(store, scope, stream, writer_id, batch_id_box[0],
                             note_time, tbl)
 

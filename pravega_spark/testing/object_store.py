@@ -303,11 +303,34 @@ class DelegatingObjectStoreHandler(pafs.FileSystemHandler):
         # listings; the namespace needs nothing (same as the mock)
         return None
 
+    def _delete_prefix_with_faults(self, base: str) -> None:
+        """Per-key deletes so armed 'delete' faults fire on prefix
+        deletes exactly like the mock's delete_dir (the delegate must
+        not offer a NARROWER fault surface than the harness it
+        replaces)."""
+        infos = self._inner.get_file_info(
+            pafs.FileSelector(base, recursive=True, allow_not_found=True)
+        )
+        for info in infos:
+            if info.type == pafs.FileType.File:
+                self._maybe_fail("delete", info.path)
+                self._inner.delete_file(info.path)
+
     def delete_dir(self, path):
-        self._inner.delete_dir(self._norm(path))
+        base = self._norm(path)
+        self._delete_prefix_with_faults(base)
+        try:
+            self._inner.delete_dir(base)  # clears marker objects
+        except FileNotFoundError:
+            pass
 
     def delete_dir_contents(self, path, missing_dir_ok=False):
-        self._inner.delete_dir_contents(self._norm(path), missing_dir_ok=missing_dir_ok)
+        base = self._norm(path)
+        try:
+            self._delete_prefix_with_faults(base)
+        except FileNotFoundError:
+            if not missing_dir_ok:
+                raise
 
     def delete_root_dir_contents(self):
         raise NotImplementedError("refusing to clear a shared bucket root")

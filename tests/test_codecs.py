@@ -145,3 +145,34 @@ def test_corrupt_payload_raises_loudly(spark):
     media = multimodal.attach_media(df, "media_id", "payload", "image", "image/png")
     with pytest.raises(Exception, match="PNG|not a"):
         multimodal.extract_features(media).collect()
+
+
+def test_decode_wav_8bit_is_unsigned():
+    """8-bit WAV PCM is unsigned with midpoint 0x80 (RIFF spec): a
+    constant-0x80 payload is SILENCE, not full-scale amplitude."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 400)
+    d = decode_wav(buf.getvalue())
+    assert d["mean_byte"] == 0.0
+    assert all(b == 0.0 for b in d["feature"])
+    # and a loud square wave is near full scale
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 255] * 200))
+    loud = decode_wav(buf2.getvalue())
+    assert loud["mean_byte"] > 250.0
+
+
+def test_decode_png_truncation_raises_valueerror():
+    px = _pixels(1, 8, 8, 3)
+    data = _encode_png(px, 8, 8, 3)
+    for cut in (10, 20, len(data) - 6):
+        with pytest.raises(ValueError):
+            decode_png(data[:cut])
