@@ -37,6 +37,9 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 _GATE_ORDER = [
     # -- new in round 7 (never gated) -----------------------------------
     "streaming_session_fold",
+    "text_pii_scrub",
+    "text_repetition_topgram",
+    "corpus_mixture_weights",
     # -- r7 rotation (VERDICT r6 item 2): the 27 queries past the r6
     # -- 50-entry cap (latest driver rows r4; judge-verified in r6) —
     # -- fronted so driver evidence never goes two rounds stale ---------

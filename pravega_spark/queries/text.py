@@ -1108,7 +1108,201 @@ FROM assigned GROUP BY lang, shard ORDER BY lang, shard
 """
 
 
+# ------------------------------------------------------------- PII scrubbing
+# Conservative, dialect-identical patterns (Java regex on the Spark side,
+# RE2 in DuckDB): explicit ASCII classes, no lookaround, no \b — the
+# r6-documented drift classes. The synthetic corpus carries no real PII,
+# so the fixture injects deterministic PII identically in BOTH engines;
+# an extractor regression then breaks parity instead of matching on
+# all-zero counts (a vacuous oracle).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE = "[+][0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the C4/RefinedWeb scrub step): count
+    emails / IPv4s / phone numbers per document and report the redacted
+    length. Linear single pass, JVM regex in codegen — no shuffle
+    beyond the final presentation sort. 100 TB shape: a pure map."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit(" call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        )).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", injected.alias("txt"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _PII_EMAIL, "<PII>"),
+            _PII_PHONE, "<PII>",
+        ),
+        _PII_IPV4, "<PII>",
+    )
+    return (
+        aug.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("txt", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+            F.size(F.regexp_extract_all("txt", F.lit(_PII_IPV4), F.lit(0))).alias("n_ips"),
+            F.size(F.regexp_extract_all("txt", F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+            F.length(redacted).cast("bigint").alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com at 10.0.'
+              || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call +1 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                      ELSE '' END AS txt
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(txt, '{_PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(txt, '{_PII_PHONE}')) AS n_phones,
+       CAST(len(regexp_replace(regexp_replace(regexp_replace(txt,
+            '{_PII_EMAIL}', '<PII>', 'g'),
+            '{_PII_PHONE}', '<PII>', 'g'),
+            '{_PII_IPV4}', '<PII>', 'g')) AS BIGINT) AS redacted_len
+FROM aug ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------- repetition (Gopher rule)
+# Gopher-style top-2-gram cutoff. Literature uses ~0.18 for web text;
+# the synthetic corpus tops out at 0.167, so the registered cutoff sits
+# where the fixture splits BOTH ways and the comparison is verified on
+# both branches (the cutoff is a tunable; the rule shape is the point).
+_TOPGRAM_THRESHOLD = 0.06
+
+
+def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText top-2-gram
+    rule): fraction of all bigrams taken by the most frequent bigram;
+    docs above the cutoff are flagged repetitive. Taking max(count)
+    (not the argmax bigram) sidesteps tie-ordering divergence between
+    engines. Scale shape: explode + two keyed aggregations, both
+    map-side-combinable; nothing quadratic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", _tokens(F.col("text")).alias("w")).filter(F.size("w") >= 2)
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count"))
+    )
+    frac = F.col("top_bigram_count").cast("double") / F.col("n_bigrams").cast("double")
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.col("top_bigram_count").cast("bigint").alias("top_bigram_count"),
+            frac.alias("top_bigram_frac"),
+            (frac > _TOPGRAM_THRESHOLD).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM tok, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+counts AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(top_bigram_count AS BIGINT) AS top_bigram_count,
+       CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+       CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) > {_TOPGRAM_THRESHOLD}
+           AS repetitive
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------- mixture rebalancing
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing weights: per-language token share
+    and the inverse-propensity sampling weight that flattens the
+    mixture to uniform (weight = target_share / actual_share). The
+    training-mixture step after dedup/filtering. One map-side-combined
+    aggregation plus a broadcastable one-row total."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    per_lang = (
+        docs.select("lang", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("lang_tokens"))
+    )
+    totals = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"), F.count("*").alias("n_langs")
+    )
+    joined = per_lang.crossJoin(F.broadcast(totals))
+    share = F.col("lang_tokens").cast("double") / F.col("total_tokens").cast("double")
+    return (
+        joined.select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            share.alias("token_share"),
+            ((F.lit(1.0) / F.col("n_langs").cast("double")) / share).alias("sample_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+),
+totals AS (
+  SELECT sum(lang_tokens) AS total_tokens, count(*) AS n_langs FROM per_lang
+)
+SELECT lang, n_docs, lang_tokens,
+       CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+       (1.0 / CAST(n_langs AS DOUBLE))
+           / (CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS sample_weight
+FROM per_lang, totals ORDER BY lang
+"""
+
+
 QUERIES = {
+    "text_pii_scrub": text_pii_scrub,
+    "text_repetition_topgram": text_repetition_topgram,
+    "corpus_mixture_weights": corpus_mixture_weights,
     "text_bpe_token_stats": text_bpe_token_stats,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_decontaminate": corpus_decontaminate,
@@ -1128,6 +1322,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_pii_scrub": PII_SCRUB_SQL,
+    "text_repetition_topgram": REPETITION_SQL,
+    "corpus_mixture_weights": MIXTURE_WEIGHTS_SQL,
     "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
