@@ -208,3 +208,116 @@ def test_txn_commit_retry_reuses_frozen_part_list(spark, store, monkeypatch):
     fsio.write_bytes(fsio.join(txn.staging_path, "part=1", "_DONE"), b"")
     txn.commit()  # the roll-forward path
     assert store.read("s", "ev").count() == 50, "frozen list must exclude part 1"
+
+
+# ---------------------------------------------------------------------------
+# streaming_session_fold: the drained result must be invariant to the
+# micro-batch partitioning (the order-independence claim, pinned).
+# ---------------------------------------------------------------------------
+
+
+def test_session_fold_invariant_to_trigger_partitioning(spark, monkeypatch):
+    """4-trigger (range-split, one file per trigger) and single-batch
+    runs of the stateful fold must drain to the identical table — the
+    property that makes the SQL oracle sound."""
+    import pravega_spark.queries.stream_ops as so
+
+    multi = {tuple(r) for r in so.streaming_session_fold(spark, SF_DIR).collect()}
+
+    # single-batch variant: same pipeline, no per-trigger file cap
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pravega_spark.streaming.stateful import session_fold_per_key
+
+    scratch = tempfile.mkdtemp(prefix="pvs_fold_inv_")
+    try:
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        )
+        in_dir = f"{scratch}/input"
+        ev.coalesce(1).write.parquet(in_dir)
+        stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+        name = f"fold_inv_{uuid.uuid4().hex[:8]}"
+        q = (
+            session_fold_per_key(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        folded = spark.table(name)
+        final = folded.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+            F.max_by("last_event", "n_events").alias("last_event"),
+            F.max_by("n_active_hours", "n_events").alias("n_active_hours"),
+        )
+        single = {
+            tuple(r)
+            for r in final.select(
+                "user_id",
+                "n_events",
+                (F.col("total_cents").cast("double") / 100).alias("total_value"),
+                "last_event",
+                "n_active_hours",
+            ).collect()
+        }
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    assert multi == single
+
+
+# ---------------------------------------------------------------------------
+# Claims-election lock: REAL cross-process contention on a pyarrow URI
+# root (the non-local protocol), not just threads in one interpreter.
+# ---------------------------------------------------------------------------
+
+
+def _lock_worker(root_uri: str, n_iters: int):
+    import json
+    import os as _os
+    import time as _time
+
+    from pravega_spark import fsio
+
+    lock = fsio.join(root_uri, "locks/counter")
+    counter = fsio.join(root_uri, "counter.json")
+    for _ in range(n_iters):
+        with fsio.locked(lock, lease_ms=10_000, timeout_ms=60_000):
+            doc = fsio.read_json(counter, {"n": 0})
+            _time.sleep(0.002)  # widen the lost-update window
+            doc["n"] += 1
+            fsio.write_json_atomic(counter, doc)
+
+
+def test_claims_lock_mutual_exclusion_across_processes(tmp_path):
+    import multiprocessing as mp
+
+    from pravega_spark import fsio
+
+    root_uri = f"file://{tmp_path}"  # URI root -> pyarrow path -> claims protocol
+    n_procs, n_iters = 4, 12
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_lock_worker, args=(root_uri, n_iters))
+        for _ in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(180)
+        assert p.exitcode == 0
+    final = fsio.read_json(fsio.join(root_uri, "counter.json"), {"n": -1})
+    # a read-modify-write counter loses updates iff two holders overlap
+    assert final["n"] == n_procs * n_iters
