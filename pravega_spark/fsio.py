@@ -318,17 +318,20 @@ def _acquire_lock_claims(f, p: str, lease_ms: int, timeout_ms: int,
         _put_claim(acq_lease_ms)
         live = _live_claims(f, claims_dir)
         if live and live[0][0] == my_name:
-            if len(live) > 1:
-                # observed contention: grace + re-list closes the window
-                # where an earlier-named claim's PUT was in flight
-                # during the first listing
-                _time.sleep(poll_s)
-                live = _live_claims(f, claims_dir)
-            # uncontended fast path: no grace — the residual window (a
-            # competing PUT in flight right now, invisible to the list)
-            # is one put-visibility latency wide and is fenced, like
-            # every double-holder residue here, by the writers'
-            # version-conditional commits
+            # the grace + re-list is UNCONDITIONAL: an in-flight
+            # earlier-named claim is invisible to the first listing
+            # precisely when it looks uncontended, so a fast path here
+            # would reopen the double-holder window for plain
+            # read-modify-write critical sections (this lock's general
+            # contract — not every caller is version-fenced). Cost: one
+            # poll interval per acquire on non-local roots; callers on
+            # low-latency stores may pass a smaller poll_s. Residual
+            # window: a competitor whose claim-name clock read predates
+            # ours but whose PUT lands after our re-list (> grace + 3
+            # RTTs delayed) — that long a stall is lease-expiry
+            # territory.
+            _time.sleep(poll_s)
+            live = _live_claims(f, claims_dir)
             if live and live[0][0] == my_name:
                 if acq_lease_ms != lease_ms:
                     # hand over with the CALLER's lease so a crashed

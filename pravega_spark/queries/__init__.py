@@ -79,7 +79,9 @@ _GATE_ORDER = [
     "corpus_token_packing",
     "events_percentile_sketch",
     # -- LLM-pipeline layer (r6 rows): perf-sensitive ops kept in-gate
-    # -- so every round records their parity post-churn -----------------
+    # -- so every round records their parity post-churn (label_centroids,
+    # -- a plain map-side agg stable since r2, yields its slot to the
+    # -- r7-new entries and moves to the tail) --------------------------
     "text_quality_score",
     "text_langid",
     "dedup_minhash_pairs",
@@ -87,19 +89,18 @@ _GATE_ORDER = [
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
-    "similarity_label_centroids",
     "similarity_ivf_search",
     "embedding_near_dup",
     "multimodal_decode_features",
     "multimodal_frame_samples",
     "pipeline_corpus_clean",
     "dedup_clusters",
-    # -- r5+r6 driver rows ----------------------------------------------
-    "q9_product_type_profit",
-    "q11_important_part_value",
     # -- tail (past the 50-entry cap this round): every entry below has
     # -- a fresh r6 driver row, so nothing goes two rounds stale. r8
     # -- rotation note: front this block next round ---------------------
+    "similarity_label_centroids",
+    "q9_product_type_profit",
+    "q11_important_part_value",
     "q12_priority_shipping_class",
     "q20_dominant_part_suppliers",
     "q21_waiting_suppliers",

@@ -303,11 +303,11 @@ class DelegatingObjectStoreHandler(pafs.FileSystemHandler):
         # listings; the namespace needs nothing (same as the mock)
         return None
 
-    def _delete_prefix_with_faults(self, base: str) -> None:
+    def _delete_prefix_with_faults(self, base: str) -> bool:
         """Per-key deletes so armed 'delete' faults fire on prefix
         deletes exactly like the mock's delete_dir (the delegate must
         not offer a NARROWER fault surface than the harness it
-        replaces)."""
+        replaces). Returns whether the prefix held anything at all."""
         infos = self._inner.get_file_info(
             pafs.FileSelector(base, recursive=True, allow_not_found=True)
         )
@@ -315,19 +315,24 @@ class DelegatingObjectStoreHandler(pafs.FileSystemHandler):
             if info.type == pafs.FileType.File:
                 self._maybe_fail("delete", info.path)
                 self._inner.delete_file(info.path)
+        return bool(infos)
 
     def delete_dir(self, path):
+        # mirror the mock's error surface: deleting a prefix that holds
+        # nothing raises, like raw-S3 semantics where the "directory"
+        # does not exist (a marker-only prefix still counts as existing)
         base = self._norm(path)
-        self._delete_prefix_with_faults(base)
+        existed = self._delete_prefix_with_faults(base)
+        if not existed:
+            raise FileNotFoundError(path)
         try:
             self._inner.delete_dir(base)  # clears marker objects
         except FileNotFoundError:
-            pass
+            pass  # everything already removed per-key above
 
     def delete_dir_contents(self, path, missing_dir_ok=False):
-        base = self._norm(path)
         try:
-            self._delete_prefix_with_faults(base)
+            self.delete_dir(path)
         except FileNotFoundError:
             if not missing_dir_ok:
                 raise
