@@ -1252,6 +1252,68 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------ incremental dedup
+def corpus_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a re-crawl INCREMENT checked against the
+    standing corpus — the daily-ingest pattern where recomputing
+    whole-corpus pairs would be O(corpus) per day instead of O(increment).
+    The increment is derived deterministically in BOTH engines (docs
+    with doc_id %% 4 == 0; every third is byte-identical to its corpus
+    original, the rest carry new content), so the oracle verifies real
+    hits and real misses, not an all-new vacuity.
+
+    Scale shape: fingerprint both sides (linear map), one equi-join on
+    the fingerprint — at 100 TB the corpus side is a bucketed
+    fingerprint INDEX maintained across ingests (see
+    sources/bucketed.py), so each increment joins co-located without
+    re-scanning text; nothing here is quadratic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_fp = docs.select(
+        F.col("doc_id").alias("corpus_doc"), F.md5(F.trim("text")).alias("fp")
+    )
+    inc = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 3 == 0, F.trim(F.col("text"))).otherwise(
+                F.concat(F.trim(F.col("text")), F.lit(" rev2 "), F.col("doc_id").cast("string"))
+            )
+        ).alias("fp"),
+    )
+    matched = (
+        inc.join(corpus_fp, "fp", "left")
+        .groupBy("doc_id")
+        .agg(F.min("corpus_doc").alias("matched_doc"))
+    )
+    return (
+        matched.select(
+            "doc_id",
+            F.col("matched_doc").isNotNull().alias("is_dup"),
+            "matched_doc",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH corpus AS (
+  SELECT doc_id AS corpus_doc, md5(trim(text)) AS fp FROM documents
+),
+inc AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 3 = 0 THEN trim(text)
+                  ELSE trim(text) || ' rev2 ' || doc_id::VARCHAR END) AS fp
+  FROM documents WHERE doc_id % 4 = 0
+),
+matched AS (
+  SELECT i.doc_id, min(c.corpus_doc) AS matched_doc
+  FROM inc i LEFT JOIN corpus c ON i.fp = c.fp
+  GROUP BY i.doc_id
+)
+SELECT doc_id, matched_doc IS NOT NULL AS is_dup, matched_doc
+FROM matched ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------- mixture rebalancing
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture rebalancing weights: per-language token share
@@ -1303,6 +1365,7 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_topgram": text_repetition_topgram,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "corpus_dedup_incremental": corpus_dedup_incremental,
     "text_bpe_token_stats": text_bpe_token_stats,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_decontaminate": corpus_decontaminate,
@@ -1325,6 +1388,7 @@ ORACLES = {
     "text_pii_scrub": PII_SCRUB_SQL,
     "text_repetition_topgram": REPETITION_SQL,
     "corpus_mixture_weights": MIXTURE_WEIGHTS_SQL,
+    "corpus_dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
