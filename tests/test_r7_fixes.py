@@ -321,3 +321,126 @@ def test_claims_lock_mutual_exclusion_across_processes(tmp_path):
     final = fsio.read_json(fsio.join(root_uri, "counter.json"), {"n": -1})
     # a read-modify-write counter loses updates iff two holders overlap
     assert final["n"] == n_procs * n_iters
+
+
+# ---------------------------------------------------------------------------
+# Purity-guard fingerprint: the driver-side md5 fold and the Spark
+# expression must agree bit-for-bit on arbitrary envelope content —
+# load-bearing for the pump guard (a divergence would either disable
+# the pump spuriously or, worse, mask a real content rewrite).
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_parity_spark_vs_driver(spark):
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pravega_spark.streaming.sink import (
+        _batch_fingerprint_cols,
+        _slice_fingerprint,
+    )
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    cases = [
+        # (routing_key, event_time, payload) — nulls, empties, unicode,
+        # binary with separators/null bytes, micro-precision timestamps
+        ("k1", base, b"plain"),
+        ("", base, b""),
+        (None, base, b"null-key"),
+        ("k\x1fsep", base, b"key containing the separator"),
+        ("k2", None, b"null-time"),
+        ("k3", base, None),
+        ("ünicøde", base.replace(microsecond=123456), "☃".encode()),
+        ("k4", base.replace(microsecond=999999), b"\x00\x1f\xff" * 7),
+        (None, None, None),
+    ]
+    rows = [
+        {"routing_key": rk, "segment_id": i % 3, "offset": i,
+         "event_time": ts, "ingest_time": base, "payload": pl}
+        for i, (rk, ts, pl) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "routing_key string, segment_id long, offset long, "
+        "event_time timestamp, ingest_time timestamp, payload binary",
+    )
+    spark_fp = df.agg(*_batch_fingerprint_cols()).first()["fp"]
+    tbl = pa.Table.from_pylist(
+        [
+            {"routing_key": r["routing_key"], "event_time": r["event_time"],
+             "payload": r["payload"]}
+            for r in rows
+        ],
+        schema=pa.schema(
+            [
+                ("routing_key", pa.string()),
+                ("event_time", pa.timestamp("us", tz="UTC")),
+                ("payload", pa.binary()),
+            ]
+        ),
+    )
+    assert _slice_fingerprint(tbl) == spark_fp
+
+
+def test_fingerprint_parity_randomized(spark):
+    """hypothesis sweep: random envelope content, Spark fp == driver fp."""
+    import datetime as dt
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pravega_spark.streaming.sink import (
+        _batch_fingerprint_cols,
+        _slice_fingerprint,
+    )
+
+    base_us = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    row = st.tuples(
+        st.one_of(st.none(), st.text(max_size=12)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=10**9)),
+        st.one_of(st.none(), st.binary(max_size=24)),
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=6))
+    def check(case_rows):
+        rows = [
+            {
+                "routing_key": rk,
+                "segment_id": i,
+                "offset": i,
+                "event_time": (
+                    dt.datetime.fromtimestamp((base_us + us) / 1e6, dt.timezone.utc)
+                    if us is not None
+                    else None
+                ),
+                "ingest_time": None,
+                "payload": pl,
+            }
+            for i, (rk, us, pl) in enumerate(case_rows)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "routing_key string, segment_id long, offset long, "
+            "event_time timestamp, ingest_time timestamp, payload binary",
+        )
+        spark_fp = df.agg(*_batch_fingerprint_cols()).first()["fp"]
+        tbl = pa.Table.from_pylist(
+            [
+                {"routing_key": r["routing_key"], "event_time": r["event_time"],
+                 "payload": r["payload"]}
+                for r in rows
+            ],
+            schema=pa.schema(
+                [
+                    ("routing_key", pa.string()),
+                    ("event_time", pa.timestamp("us", tz="UTC")),
+                    ("payload", pa.binary()),
+                ]
+            ),
+        )
+        assert _slice_fingerprint(tbl) == spark_fp
+
+    check()
