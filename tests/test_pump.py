@@ -186,9 +186,9 @@ def test_pump_declines_oversized_slice(spark, store, monkeypatch):
 def test_pump_serves_batch0_catchup(spark, store, monkeypatch):
     """A fresh group's batch 0 (start = stream heads) pumps too when the
     backlog fits HOT_MAX_ROWS — the point is that batch 0's bounds are
-    recomputable from initialOffset. Verification is off here because
-    the r7 guard routes the FIRST nonempty trigger through the verified
-    Spark path by design (covered by the purity-guard tests)."""
+    recomputable from initialOffset. Verification is off to isolate the
+    plain (non-verified) pump path; the verified-trigger variants are
+    covered by the purity-guard and crash-replay tests."""
     monkeypatch.setenv("PRAVEGA_SPARK_PUMP_VERIFY", "never")
     _setup(store)
     ev = load_table(spark, SF_DIR, "events").limit(150)
@@ -316,3 +316,47 @@ def test_pump_purity_guard_catches_payload_rewrite(spark, store, monkeypatch):
     assert len(dst_payloads) == n
     assert src_payloads != dst_payloads
     assert sorted(p[::-1] for p in src_payloads) == dst_payloads
+
+
+def test_verified_trigger_crash_before_commit_is_exactly_once(spark, store, monkeypatch):
+    """A crash between verification and the pump commit replays the
+    trigger; the retry must verify again and commit exactly once."""
+    _setup(store)
+    ev = load_table(spark, SF_DIR, "events").limit(120)
+    n = ev.count()
+    store.write_events("s", "src", ev, routing_key_col="user_id", event_time_col="ts")
+    rg = ReaderGroup(store, "s", "src", "g-crash-verify")
+    sink = write_stream_batch(store, "s", "dst", writer_id="w", passthrough_from=rg)
+
+    orig_commit = sink_mod._pump_commit
+    crashed = {"n": 0}
+
+    def crashing_commit(*a, **k):
+        if crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash before pump commit")
+        return orig_commit(*a, **k)
+
+    monkeypatch.setattr(sink_mod, "_pump_commit", crashing_commit)
+    captured = []
+
+    def capturing_sink(df, b):
+        captured.append((df, b))
+        sink(df, b)
+
+    # first drain: the verified trigger's commit crashes; the sink's
+    # foreachBatch error propagates and the query fails
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        rg.drain(capturing_sink)
+    assert crashed["n"] == 1
+    # retry: foreachBatch replays the same batch id; the verified pump
+    # runs again and commits exactly once
+    rg2 = ReaderGroup(store, "s", "src", "g-crash-verify")  # same checkpoint
+    rg2.drain(sink)
+    assert store.read("s", "dst").count() == n
+    # replaying the captured batch once more is a no-op (marker dedup)
+    for df, b in captured[-1:]:
+        sink(df, b)
+    assert store.read("s", "dst").count() == n
