@@ -41,6 +41,7 @@ _GATE_ORDER = [
     "text_repetition_topgram",
     "corpus_mixture_weights",
     "corpus_dedup_incremental",
+    "corpus_dedup_incremental_indexed",
     # -- r7 rotation (VERDICT r6 item 2): the 27 queries past the r6
     # -- 50-entry cap (latest driver rows r4; judge-verified in r6) —
     # -- fronted so driver evidence never goes two rounds stale ---------
@@ -93,11 +94,11 @@ _GATE_ORDER = [
     "similarity_ivf_search",
     "embedding_near_dup",
     "multimodal_decode_features",
-    "multimodal_frame_samples",
     "dedup_clusters",
     # -- tail (past the 50-entry cap this round): every entry below has
     # -- a fresh r6 driver row, so nothing goes two rounds stale. r8
     # -- rotation note: front this block next round ---------------------
+    "multimodal_frame_samples",
     "pipeline_corpus_clean",
     "similarity_label_centroids",
     "q9_product_type_profit",

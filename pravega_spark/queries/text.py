@@ -1314,6 +1314,66 @@ FROM matched ORDER BY doc_id
 """
 
 
+def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corpus_dedup_incremental` through the MAINTAINED fingerprint
+    index — the shape that actually runs daily at 100 TB: corpus
+    fingerprints persist as a bucketed+sorted catalog table keyed on
+    ``fp`` (a one-time/maintained ETL, like the bucketed fact tables in
+    sources/bucketed.py), so each ingest joins against it with NO
+    shuffle Exchange on the corpus side — only the small increment
+    moves. (Spark 4 removed file-level sortedness recognition, so a
+    local per-bucket re-sort of the already-sorted runs remains —
+    linear work, zero data movement.) Output (and oracle) identical to
+    the unindexed query; plan pinned by test_r7_fixes."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from pravega_spark.sources.bucketing import bucketize
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _os.path.abspath(sf_dir)
+    tbl = f"pvs_corpus_fp_b16_{_hashlib.md5(src.encode()).hexdigest()[:8]}"
+    if not spark.catalog.tableExists(tbl):
+        # a previous SESSION may have left the managed location behind
+        # (the in-memory catalog forgot it): rebuild clean — cheap at
+        # test SFs; a production deployment re-attaches via a
+        # persistent metastore instead (see sources/bucketed.py)
+        import shutil as _shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = _os.path.join(wh.removeprefix("file:"), tbl)
+        if _os.path.isdir(loc):
+            _shutil.rmtree(loc, ignore_errors=True)
+        corpus_fp = docs.select(
+            F.col("doc_id").alias("corpus_doc"), F.md5(F.trim("text")).alias("fp")
+        )
+        # one file per bucket: sortBy sorts per FILE, so multi-file
+        # buckets would force a merge Sort back into every reader
+        bucketize(spark, corpus_fp.repartition(16, "fp"), tbl, ["fp"], 16)
+    corpus_fp = spark.table(tbl)
+    inc = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 3 == 0, F.trim(F.col("text"))).otherwise(
+                F.concat(F.trim(F.col("text")), F.lit(" rev2 "), F.col("doc_id").cast("string"))
+            )
+        ).alias("fp"),
+    )
+    matched = (
+        inc.join(corpus_fp, "fp", "left")
+        .groupBy("doc_id")
+        .agg(F.min("corpus_doc").alias("matched_doc"))
+    )
+    return (
+        matched.select(
+            "doc_id",
+            F.col("matched_doc").isNotNull().alias("is_dup"),
+            "matched_doc",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------- mixture rebalancing
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture rebalancing weights: per-language token share
@@ -1366,6 +1426,7 @@ QUERIES = {
     "text_repetition_topgram": text_repetition_topgram,
     "corpus_mixture_weights": corpus_mixture_weights,
     "corpus_dedup_incremental": corpus_dedup_incremental,
+    "corpus_dedup_incremental_indexed": corpus_dedup_incremental_indexed,
     "text_bpe_token_stats": text_bpe_token_stats,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_decontaminate": corpus_decontaminate,
@@ -1389,6 +1450,7 @@ ORACLES = {
     "text_repetition_topgram": REPETITION_SQL,
     "corpus_mixture_weights": MIXTURE_WEIGHTS_SQL,
     "corpus_dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "corpus_dedup_incremental_indexed": DEDUP_INCREMENTAL_SQL,
     "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,

@@ -444,3 +444,52 @@ def test_fingerprint_parity_randomized(spark):
         assert _slice_fingerprint(tbl) == spark_fp
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup through the bucketed fingerprint index: identical
+# output, and the corpus side joins with NO Exchange (the daily-ingest
+# scale path — only the increment moves).
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_indexed_matches_and_skips_corpus_shuffle(spark):
+    from pravega_spark.queries.text import (
+        corpus_dedup_incremental,
+        corpus_dedup_incremental_indexed,
+    )
+
+    plain = {tuple(r) for r in corpus_dedup_incremental(spark, SF_DIR).collect()}
+    indexed_df = corpus_dedup_incremental_indexed(spark, SF_DIR)
+    indexed = {tuple(r) for r in indexed_df.collect()}
+    assert indexed == plain
+    # plan evidence under AT-SCALE planning (broadcast off — at test SF
+    # AQE rightly broadcasts the tiny index, which a 100 TB corpus
+    # forbids): the bucketed index side must reach its sort-merge join
+    # with NO shuffle Exchange — only the increment moves. (A local
+    # per-bucket Sort remains: Spark 4 removed file-level sortedness
+    # recognition, so the re-sort of already-sorted runs cannot be
+    # elided — linear work, zero data movement.)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            corpus_dedup_incremental_indexed(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan, "index scan is not bucketed"
+    lines = plan.splitlines()
+    idx = next(i for i, ln in enumerate(lines) if "pvs_corpus_fp_b16" in ln)
+    depth = len(lines[idx]) - len(lines[idx].lstrip())
+    for i in range(idx - 1, -1, -1):
+        d = len(lines[i]) - len(lines[i].lstrip())
+        if d < depth:
+            depth = d
+            if "Exchange hashpartitioning" in lines[i]:
+                raise AssertionError(f"index side shuffles: {lines[i].strip()}")
+            if "Join" in lines[i]:
+                break
