@@ -1268,9 +1268,19 @@ def corpus_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources/bucketed.py), so each increment joins co-located without
     re-scanning text; nothing here is quadratic."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus_fp = docs.select(
+    return _dedup_increment_vs(_corpus_fingerprints(docs), docs)
+
+
+def _corpus_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select(
         F.col("doc_id").alias("corpus_doc"), F.md5(F.trim("text")).alias("fp")
     )
+
+
+def _dedup_increment_vs(corpus_fp: DataFrame, docs: DataFrame) -> DataFrame:
+    """The shared increment derivation + match for both incremental
+    variants (one definition, so the %4/%3 re-crawl rules and the
+    ' rev2 ' salt cannot drift between them or from the SQL oracle)."""
     inc = docs.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id",
         F.md5(
@@ -1325,14 +1335,16 @@ def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFr
     local per-bucket re-sort of the already-sorted runs remains —
     linear work, zero data movement.) Output (and oracle) identical to
     the unindexed query; plan pinned by test_r7_fixes."""
-    import hashlib as _hashlib
     import os as _os
 
+    from pravega_spark.sources.bucketed import _source_fingerprint
     from pravega_spark.sources.bucketing import bucketize
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = _os.path.abspath(sf_dir)
-    tbl = f"pvs_corpus_fp_b16_{_hashlib.md5(src.encode()).hexdigest()[:8]}"
+    # keyed by source CONTENT fingerprint (per-file size+mtime), not
+    # just the path — a regenerated corpus at the same path must yield
+    # a new index, never serve stale fingerprints
+    tbl = f"pvs_corpus_fp_b16_{_source_fingerprint(sf_dir, 'documents')}"
     if not spark.catalog.tableExists(tbl):
         # a previous SESSION may have left the managed location behind
         # (the in-memory catalog forgot it): rebuild clean — cheap at
@@ -1344,34 +1356,18 @@ def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFr
         loc = _os.path.join(wh.removeprefix("file:"), tbl)
         if _os.path.isdir(loc):
             _shutil.rmtree(loc, ignore_errors=True)
-        corpus_fp = docs.select(
-            F.col("doc_id").alias("corpus_doc"), F.md5(F.trim("text")).alias("fp")
-        )
-        # one file per bucket: sortBy sorts per FILE, so multi-file
-        # buckets would force a merge Sort back into every reader
-        bucketize(spark, corpus_fp.repartition(16, "fp"), tbl, ["fp"], 16)
-    corpus_fp = spark.table(tbl)
-    inc = docs.filter(F.col("doc_id") % 4 == 0).select(
-        "doc_id",
-        F.md5(
-            F.when(F.col("doc_id") % 3 == 0, F.trim(F.col("text"))).otherwise(
-                F.concat(F.trim(F.col("text")), F.lit(" rev2 "), F.col("doc_id").cast("string"))
+        try:
+            # one file per bucket: sortBy sorts per FILE, so multi-file
+            # buckets would force a merge Sort back into every reader
+            bucketize(
+                spark, _corpus_fingerprints(docs).repartition(16, "fp"), tbl, ["fp"], 16
             )
-        ).alias("fp"),
-    )
-    matched = (
-        inc.join(corpus_fp, "fp", "left")
-        .groupBy("doc_id")
-        .agg(F.min("corpus_doc").alias("matched_doc"))
-    )
-    return (
-        matched.select(
-            "doc_id",
-            F.col("matched_doc").isNotNull().alias("is_dup"),
-            "matched_doc",
-        )
-        .orderBy("doc_id")
-    )
+        except Exception:
+            # unwritable warehouse: results must not depend on the plan
+            # demo — degrade to the plain (shuffling) fingerprint frame,
+            # same as sources/bucketed.py does for the fact tables
+            return _dedup_increment_vs(_corpus_fingerprints(docs), docs)
+    return _dedup_increment_vs(spark.table(tbl), docs)
 
 
 # ----------------------------------------------------- mixture rebalancing

@@ -320,11 +320,16 @@ class DelegatingObjectStoreHandler(pafs.FileSystemHandler):
     def delete_dir(self, path):
         # mirror the mock's error surface: deleting a prefix that holds
         # nothing raises, like raw-S3 semantics where the "directory"
-        # does not exist (a marker-only prefix still counts as existing)
+        # does not exist. A MARKER-ONLY prefix (pyarrow's S3 layer
+        # leaves an explicit parent marker after delete_file) lists no
+        # children but still exists — deleting it must succeed and
+        # remove the marker, not raise and leak it.
         base = self._norm(path)
         existed = self._delete_prefix_with_faults(base)
         if not existed:
-            raise FileNotFoundError(path)
+            info = self._inner.get_file_info(base)
+            if info.type != pafs.FileType.Directory:
+                raise FileNotFoundError(path)
         try:
             self._inner.delete_dir(base)  # clears marker objects
         except FileNotFoundError:

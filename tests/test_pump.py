@@ -351,12 +351,14 @@ def test_verified_trigger_crash_before_commit_is_exactly_once(spark, store, monk
     with _pytest.raises(Exception):
         rg.drain(capturing_sink)
     assert crashed["n"] == 1
-    # retry: foreachBatch replays the same batch id; the verified pump
-    # runs again and commits exactly once
+    # retry with a FRESH sink (a real crash restarts the process, so
+    # guard state starts over): the replayed batch re-verifies through
+    # _verified_pump and commits exactly once
     rg2 = ReaderGroup(store, "s", "src", "g-crash-verify")  # same checkpoint
-    rg2.drain(sink)
+    sink2 = write_stream_batch(store, "s", "dst", writer_id="w", passthrough_from=rg2)
+    rg2.drain(sink2)
     assert store.read("s", "dst").count() == n
     # replaying the captured batch once more is a no-op (marker dedup)
     for df, b in captured[-1:]:
-        sink(df, b)
+        sink2(df, b)
     assert store.read("s", "dst").count() == n

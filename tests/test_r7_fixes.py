@@ -483,13 +483,23 @@ def test_incremental_dedup_indexed_matches_and_skips_corpus_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Bucketed: true" in plan, "index scan is not bucketed"
     lines = plan.splitlines()
+
+    def tree_depth(ln: str) -> int:
+        # tree-prefix chars (':', '+', '-', '|', spaces) ARE indentation
+        # in Spark's plan rendering: a ':'-prefixed left-child line has
+        # lstrip()-indent 0, which would break a whitespace-only walk
+        return len(ln) - len(ln.lstrip(" :+-|"))
+
     idx = next(i for i, ln in enumerate(lines) if "pvs_corpus_fp_b16" in ln)
-    depth = len(lines[idx]) - len(lines[idx].lstrip())
+    depth = tree_depth(lines[idx])
+    found_join = False
     for i in range(idx - 1, -1, -1):
-        d = len(lines[i]) - len(lines[i].lstrip())
+        d = tree_depth(lines[i])
         if d < depth:
             depth = d
             if "Exchange hashpartitioning" in lines[i]:
                 raise AssertionError(f"index side shuffles: {lines[i].strip()}")
             if "Join" in lines[i]:
+                found_join = True
                 break
+    assert found_join, "walk never reached the join — plan shape changed"
