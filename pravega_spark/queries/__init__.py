@@ -42,6 +42,8 @@ _GATE_ORDER = [
     "corpus_mixture_weights",
     "corpus_dedup_incremental",
     "corpus_dedup_incremental_indexed",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
     # -- r7 rotation (VERDICT r6 item 2): the 27 queries past the r6
     # -- 50-entry cap (latest driver rows r4; judge-verified in r6) —
     # -- fronted so driver evidence never goes two rounds stale ---------
@@ -85,19 +87,19 @@ _GATE_ORDER = [
     # -- a plain map-side agg stable since r2, yields its slot to the
     # -- r7-new entries and moves to the tail) --------------------------
     "text_quality_score",
-    "text_langid",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
-    "similarity_ivf_search",
     "embedding_near_dup",
     "multimodal_decode_features",
     "dedup_clusters",
     # -- tail (past the 50-entry cap this round): every entry below has
     # -- a fresh r6 driver row, so nothing goes two rounds stale. r8
     # -- rotation note: front this block next round ---------------------
+    "text_langid",
+    "similarity_ivf_search",
     "multimodal_frame_samples",
     "pipeline_corpus_clean",
     "similarity_label_centroids",

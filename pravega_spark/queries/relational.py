@@ -1702,7 +1702,149 @@ ORDER BY cntrycode
 """
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): a user converts a step
+    only with an event strictly AFTER their previous step's first
+    event — the product-analytics funnel, not three independent
+    counts. Stage times are min-aggregates per user, so the result is
+    order-independent and exactly oracle-able.
+
+    Scale shape: the three stage times are stacked UNBOUNDED window
+    mins over the SAME user_id partitioning — ONE shuffle of the event
+    stream total (the naive three-aggregations-plus-two-joins plan
+    costs five), then per-user collapse reuses the partitioning and
+    the stage counts are a tiny global rollup."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    totals = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    # unpivot the ONE-row totals with stack — a union of three selects
+    # over `totals` would re-execute the whole upstream lineage (shuffle
+    # included) once per branch
+    counts = totals.select(
+        F.expr(
+            "stack(3, 1, 'view', n1, 2, 'click_after_view', n2,"
+            " 3, 'purchase_after_click', n3) as (stage, step, n)"
+        )
+    )
+    w = Window.orderBy("stage")
+    return (
+        counts.select(
+            "stage",
+            "step",
+            F.col("n").cast("bigint").alias("n_users"),
+            (
+                F.col("n").cast("double")
+                / F.lag("n", 1).over(w).cast("double")
+            ).alias("conversion"),
+        )
+        .orderBy("stage")
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS stage, 'view' AS step, count(*) AS n FROM s1
+  UNION ALL
+  SELECT 2, 'click_after_view', count(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase_after_click', count(*) FROM s3
+)
+SELECT stage, step, CAST(n AS BIGINT) AS n_users,
+       CAST(n AS DOUBLE) / CAST(lag(n) OVER (ORDER BY stage) AS DOUBLE) AS conversion
+FROM counts ORDER BY stage
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, and
+    for each later week the count still active — the activation/
+    retention matrix every growth dashboard draws. Integer counts and
+    day arithmetic only, so the oracle is exact.
+
+    Scale shape: first-seen week is one keyed aggregation; the matrix
+    is a distinct + join back on user_id + one grouped count — all
+    partitionings on user_id then (cohort, offset); linear."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    week = lambda c: F.date_trunc("week", c).cast("date")
+    first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    active = ev.select("user_id", week(F.col("ts")).alias("act_week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", F.datediff("act_week", "cohort_week").alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+        .filter(F.col("week_offset") % 7 == 0)  # guard: offsets are whole weeks
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.col("week_offset") / 7).cast("bigint").alias("week_offset"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week FROM events
+)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+       CAST(datediff('day', cohort_week, act_week) / 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_week, datediff('day', cohort_week, act_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
+    "events_funnel_conversion": events_funnel_conversion,
+    "events_retention_cohorts": events_retention_cohorts,
     "q1_pricing_summary": q1_pricing_summary,
     "q2_min_price_supplier": min_price_supplier,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1747,6 +1889,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel_conversion": FUNNEL_SQL,
+    "events_retention_cohorts": RETENTION_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q2_min_price_supplier": Q2_SQL,
     "q3_shipping_priority": Q3_SQL,
