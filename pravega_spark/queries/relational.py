@@ -1703,18 +1703,33 @@ ORDER BY cntrycode
 
 
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (view → click → purchase): a user converts a step
-    only with an event strictly AFTER their previous step's first
-    event — the product-analytics funnel, not three independent
-    counts. Stage times are min-aggregates per user, so the result is
-    order-independent and exactly oracle-able.
+    """Ordered EARLY-JOURNEY funnel (view → click → purchase within
+    each user's first 12 events): a user converts a step only with an
+    event strictly AFTER their previous step's first event — the
+    product-analytics funnel, not three independent counts. The
+    12-event horizon is what makes the fixture discriminating: over
+    the full stream every synthetic user eventually converts every
+    stage, so an ordering bug (>= for >, or dropping the
+    after-previous-step condition) would pass a full-stream oracle
+    unseen; within 12 events the stage counts strictly decrease and
+    ordered != unordered. Anonymous (NULL user_id) events are
+    excluded on both sides — JOIN USING in the oracle would drop them
+    asymmetrically otherwise. Stage times are min-aggregates per
+    user, so the result is order-independent and exactly oracle-able.
 
-    Scale shape: the three stage times are stacked UNBOUNDED window
-    mins over the SAME user_id partitioning — ONE shuffle of the event
-    stream total (the naive three-aggregations-plus-two-joins plan
-    costs five), then per-user collapse reuses the partitioning and
-    the stage counts are a tiny global rollup."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    Scale shape: the journey trim and the three stage times are ONE
+    ordered window pass + stacked UNBOUNDED window mins over the SAME
+    user_id partitioning — a single shuffle of the event stream, then
+    per-user collapse reuses the partitioning and the stage counts
+    are a tiny global rollup."""
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") <= 12)
+    )
     w = Window.partitionBy("user_id")
     staged = (
         ev.withColumn(
@@ -1757,7 +1772,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("stage")
     return (
         counts.select(
-            "stage",
+            F.col("stage").cast("bigint").alias("stage"),
             "step",
             F.col("n").cast("bigint").alias("n_users"),
             (
@@ -1770,18 +1785,26 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUNNEL_SQL = """
-WITH s1 AS (
-  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+WITH journey AS (
+  SELECT user_id, event_type, ts
+  FROM (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE user_id IS NOT NULL
+  ) WHERE rn <= 12
+),
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM journey WHERE event_type = 'view' GROUP BY user_id
 ),
 s2 AS (
   SELECT e.user_id, min(e.ts) AS t2
-  FROM events e JOIN s1 USING (user_id)
+  FROM journey e JOIN s1 USING (user_id)
   WHERE e.event_type = 'click' AND e.ts > s1.t1
   GROUP BY e.user_id
 ),
 s3 AS (
   SELECT e.user_id, min(e.ts) AS t3
-  FROM events e JOIN s2 USING (user_id)
+  FROM journey e JOIN s2 USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
   GROUP BY e.user_id
 ),
@@ -1792,7 +1815,7 @@ counts AS (
   UNION ALL
   SELECT 3, 'purchase_after_click', count(*) FROM s3
 )
-SELECT stage, step, CAST(n AS BIGINT) AS n_users,
+SELECT CAST(stage AS BIGINT) AS stage, step, CAST(n AS BIGINT) AS n_users,
        CAST(n AS DOUBLE) / CAST(lag(n) OVER (ORDER BY stage) AS DOUBLE) AS conversion
 FROM counts ORDER BY stage
 """

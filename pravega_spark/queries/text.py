@@ -1356,6 +1356,20 @@ def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFr
         loc = _os.path.join(wh.removeprefix("file:"), tbl)
         if _os.path.isdir(loc):
             _shutil.rmtree(loc, ignore_errors=True)
+        # GC stale siblings: every corpus regeneration mints a NEW
+        # content-keyed name, so old indexes would otherwise accumulate
+        # unboundedly (catalog entries + warehouse dirs)
+        for t in spark.catalog.listTables():
+            if t.name.startswith("pvs_corpus_fp_b16_") and t.name != tbl:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                except Exception:
+                    pass
+        wh_dir = wh.removeprefix("file:")
+        if _os.path.isdir(wh_dir):
+            for d in _os.listdir(wh_dir):
+                if d.startswith("pvs_corpus_fp_b16_") and d != tbl:
+                    _shutil.rmtree(_os.path.join(wh_dir, d), ignore_errors=True)
         try:
             # one file per bucket: sortBy sorts per FILE, so multi-file
             # buckets would force a merge Sort back into every reader
