@@ -235,6 +235,55 @@ def _claim_name(token: str) -> str:
     return f"{_time.time_ns():020d}-{token}"
 
 
+# a claim that stays unparseable past this age is a crashed writer's
+# truncated orphan, not an in-flight rewrite — see _read_claim_doc
+_CLAIM_TORN_GRACE_S = 5.0
+
+
+def _read_claim_doc(f, info):
+    """Parse one claim file, robust to a holder's in-place lease rewrite.
+
+    open_output_stream on pyarrow-wrapped REAL filesystems (file://,
+    hdfs://) is truncate+write, so a contender reading DURING the
+    holder's lease/3 heartbeat can glimpse partial JSON. Treating that
+    as "claim absent" elects a second holder (r7 ADVICE); instead:
+    re-read once (in-flight rewrites resolve in sub-ms), and if still
+    unparseable treat a RECENT claim (mtime within the torn grace) as
+    LIVE-and-blocking — conservative: the election stalls one poll
+    rather than double-electing. Only an unparseable claim OLDER than
+    the grace (a writer that died mid-write — impossible on object
+    stores, whose PUTs are atomic) is reaped here, so a truncated
+    orphan cannot deadlock the lock forever. Returns the parsed doc, a
+    blocking placeholder doc, or None (absent — never for a file that
+    might still be a healthy claim)."""
+    import json as _json
+    import time as _time
+
+    for attempt in range(2):
+        try:
+            with f.open_input_stream(info.path) as fh:
+                return _json.loads(fh.read().decode("utf-8"))
+        except (FileNotFoundError, OSError):
+            return None  # released/reaped between list and read
+        except ValueError:
+            if attempt == 0:
+                _time.sleep(0.02)
+    mtime = getattr(info, "mtime", None)
+    if mtime is not None:
+        try:
+            age_s = _time.time() - mtime.timestamp()
+        except (AttributeError, OSError, OverflowError):
+            age_s = 0.0
+        if age_s > _CLAIM_TORN_GRACE_S:
+            try:
+                f.delete_file(info.path)  # truncated orphan: reap
+            except (FileNotFoundError, OSError):
+                pass
+            return None
+    # recent or unknown age: block, don't double-elect
+    return {"token": "", "expiry_ms": 1 << 62}
+
+
 def _live_claims(f, claims_dir: str):
     """Sorted (name, doc) of live claim files under ``claims_dir``;
     stale claims are reaped in passing (a failed reap delete just
@@ -254,13 +303,9 @@ def _live_claims(f, claims_dir: str):
         if info.type != pafs.FileType.File:
             continue
         name = info.path.rsplit("/", 1)[-1]
-        try:
-            with f.open_input_stream(info.path) as fh:
-                import json as _json
-
-                doc = _json.loads(fh.read().decode("utf-8"))
-        except (FileNotFoundError, OSError, ValueError):
-            continue  # released/reaped between list and read, or in flight
+        doc = _read_claim_doc(f, info)
+        if doc is None:
+            continue
         if doc.get("expiry_ms", 0) < now_ms:
             try:
                 f.delete_file(info.path)
@@ -435,6 +480,9 @@ def renew_lock(path: str, token: str, lease_ms: int = 30_000) -> bool:
         payload = _json.dumps(
             {"token": token, "expiry_ms": int(_time.time() * 1000) + lease_ms}
         ).encode("utf-8")
+        # in-place rewrite is safe against contender listings because
+        # _read_claim_doc treats a mid-rewrite partial doc as
+        # live-and-blocking, never as absent (r7 ADVICE)
         with f.open_output_stream(claim) as fh:
             fh.write(payload)
         return True

@@ -16,6 +16,9 @@ deterministic mutated copies (doc_id + 1_000_000) inside the query.
 
 from __future__ import annotations
 
+import threading
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1324,6 +1327,67 @@ FROM matched ORDER BY doc_id
 """
 
 
+# serializes every check-GC-build sequence below: two harness threads
+# sharing one session (the r7 caching.py scenario) could both see
+# tableExists()==False and race rmtree/DROP/saveAsTable on the same
+# warehouse location (r7 ADVICE). One lock for ALL index prefixes —
+# builds are rare and short, and a single lock can never deadlock.
+_INDEX_BUILD_LOCK = threading.Lock()
+
+
+def _ensure_bucketed_index(
+    spark: SparkSession,
+    prefix: str,
+    tbl: str,
+    build_df: Callable[[], DataFrame],
+    keys: list[str],
+    n_buckets: int,
+) -> bool:
+    """Idempotently materialize ``tbl`` (= ``prefix`` + content key) as
+    a bucketed+sorted catalog table of ``build_df()``, GC'ing stale
+    siblings under the same prefix. False = warehouse unwritable; the
+    caller degrades to its unindexed (shuffling) twin.
+
+    Names are keyed by source CONTENT fingerprint (per-file size+mtime),
+    not just path — a regenerated corpus at the same path must mint a
+    NEW index, never serve stale rows; every regeneration therefore
+    also orphans the old name, so stale siblings (catalog entries AND
+    warehouse dirs a previous session's in-memory catalog forgot) are
+    dropped here before each build."""
+    import os as _os
+    import shutil as _shutil
+
+    from pravega_spark.sources.bucketing import bucketize
+
+    with _INDEX_BUILD_LOCK:
+        if spark.catalog.tableExists(tbl):
+            return True
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = _os.path.join(wh.removeprefix("file:"), tbl)
+        if _os.path.isdir(loc):
+            _shutil.rmtree(loc, ignore_errors=True)
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix) and t.name != tbl:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                except Exception:
+                    pass
+        wh_dir = wh.removeprefix("file:")
+        if _os.path.isdir(wh_dir):
+            for d in _os.listdir(wh_dir):
+                if d.startswith(prefix) and d != tbl:
+                    _shutil.rmtree(_os.path.join(wh_dir, d), ignore_errors=True)
+        try:
+            # one file per bucket: sortBy sorts per FILE, so multi-file
+            # buckets would force a merge Sort back into every reader
+            bucketize(
+                spark, build_df().repartition(n_buckets, *keys), tbl, keys, n_buckets
+            )
+        except Exception:
+            return False
+    return True
+
+
 def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`corpus_dedup_incremental` through the MAINTAINED fingerprint
     index — the shape that actually runs daily at 100 TB: corpus
@@ -1335,52 +1399,18 @@ def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFr
     local per-bucket re-sort of the already-sorted runs remains —
     linear work, zero data movement.) Output (and oracle) identical to
     the unindexed query; plan pinned by test_r7_fixes."""
-    import os as _os
-
     from pravega_spark.sources.bucketed import _source_fingerprint
-    from pravega_spark.sources.bucketing import bucketize
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # keyed by source CONTENT fingerprint (per-file size+mtime), not
-    # just the path — a regenerated corpus at the same path must yield
-    # a new index, never serve stale fingerprints
     tbl = f"pvs_corpus_fp_b16_{_source_fingerprint(sf_dir, 'documents')}"
-    if not spark.catalog.tableExists(tbl):
-        # a previous SESSION may have left the managed location behind
-        # (the in-memory catalog forgot it): rebuild clean — cheap at
-        # test SFs; a production deployment re-attaches via a
-        # persistent metastore instead (see sources/bucketed.py)
-        import shutil as _shutil
-
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = _os.path.join(wh.removeprefix("file:"), tbl)
-        if _os.path.isdir(loc):
-            _shutil.rmtree(loc, ignore_errors=True)
-        # GC stale siblings: every corpus regeneration mints a NEW
-        # content-keyed name, so old indexes would otherwise accumulate
-        # unboundedly (catalog entries + warehouse dirs)
-        for t in spark.catalog.listTables():
-            if t.name.startswith("pvs_corpus_fp_b16_") and t.name != tbl:
-                try:
-                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-                except Exception:
-                    pass
-        wh_dir = wh.removeprefix("file:")
-        if _os.path.isdir(wh_dir):
-            for d in _os.listdir(wh_dir):
-                if d.startswith("pvs_corpus_fp_b16_") and d != tbl:
-                    _shutil.rmtree(_os.path.join(wh_dir, d), ignore_errors=True)
-        try:
-            # one file per bucket: sortBy sorts per FILE, so multi-file
-            # buckets would force a merge Sort back into every reader
-            bucketize(
-                spark, _corpus_fingerprints(docs).repartition(16, "fp"), tbl, ["fp"], 16
-            )
-        except Exception:
-            # unwritable warehouse: results must not depend on the plan
-            # demo — degrade to the plain (shuffling) fingerprint frame,
-            # same as sources/bucketed.py does for the fact tables
-            return _dedup_increment_vs(_corpus_fingerprints(docs), docs)
+    if not _ensure_bucketed_index(
+        spark, "pvs_corpus_fp_b16_", tbl,
+        lambda: _corpus_fingerprints(docs), ["fp"], 16,
+    ):
+        # unwritable warehouse: results must not depend on the plan
+        # demo — degrade to the plain (shuffling) fingerprint frame,
+        # same as sources/bucketed.py does for the fact tables
+        return _dedup_increment_vs(_corpus_fingerprints(docs), docs)
     return _dedup_increment_vs(spark.table(tbl), docs)
 
 

@@ -81,9 +81,11 @@ def _fields_nullable(schema_json: str) -> dict[str, tuple[str, bool]]:
 def _type_ok(t_writer: str, t_reader: str) -> bool:
     """True when a reader on ``t_reader`` can decode ``t_writer`` data:
     equal, or a promotion in the direction Avro actually resolves —
-    writer-int -> reader-long / writer-float -> reader-double. Used for
-    the BACKWARD direction only; FORWARD requires exact equality (a
-    pinned old reader cannot take a widened writer's values)."""
+    writer-int -> reader-long / writer-float -> reader-double. Used in
+    BOTH compatibility directions (resolution is always writer->reader;
+    only which side is "new" flips): under FORWARD this admits a
+    narrowed new writer while still rejecting a widened one, whose
+    values a pinned old reader could not take."""
     return t_writer == t_reader or (t_writer, t_reader) in _ALLOWED_WIDENINGS
 
 
@@ -105,18 +107,17 @@ def _can_read(reader_json: str, writer_json: str, absent_ok_if_nullable: bool,
     for name, (t_r, nullable) in _fields_nullable(reader_json).items():
         if name in writer:
             t_w = writer[name][0]
-            if new_is_reader:
-                # BACKWARD: the new reader may widen over the old
-                # writer's type (Avro resolves writer-int -> reader-long)
-                ok = _type_ok(t_w, t_r)
-            else:
-                # FORWARD: the reader is PINNED to the old version; a
-                # widened new writer (int -> long) would hand it values
-                # beyond its type's range and Avro promotion only runs
-                # writer->reader, so require exact equality (the
-                # registry reference likewise rejects widening under
-                # FORWARD/FULL)
-                ok = t_r == t_w
+            # Avro resolution always runs writer->reader, whichever
+            # side is "new": BACKWARD lets the new reader widen over an
+            # old writer (writer-int -> reader-long), and FORWARD
+            # symmetrically admits a NARROWED new writer whose values a
+            # pinned old reader promotes up (writer-int -> reader-long
+            # again — the roles flip, the direction doesn't). What
+            # FORWARD must reject is a WIDENED new writer (int -> long)
+            # handing an old int reader out-of-range values — and
+            # _type_ok(t_w, t_r) rejects exactly that, since widenings
+            # are only allowed writer-narrow -> reader-wide.
+            ok = _type_ok(t_w, t_r)
             if not ok:
                 return f"field retyped: {name} {t_w} -> {t_r}" if new_is_reader else (
                     f"field retyped: {name} {t_r} -> {t_w}"

@@ -363,6 +363,11 @@ class DelegatingObjectStoreHandler(pafs.FileSystemHandler):
         s, d = self._norm(src), self._norm(dest)
         self._maybe_fail("copy", s)
         self._count("copy")
+        # the mock commits the copy via _commit_put(dest) — mirror its
+        # fault surface (an armed 'put' on the destination must fire
+        # here too; the delegate must never be NARROWER than the mock)
+        self._maybe_fail("put", d)
+        self._count("put")
         self._inner.copy_file(s, d)
 
     def open_input_stream(self, path):

@@ -85,3 +85,34 @@ def test_state_and_bytestream_on_uri_root(tmp_path):
     assert r.read(6, 5) == b"world"
     w.truncate_data_before(6)
     assert r.fetch_head_offset() == 6
+
+
+def test_torn_claim_blocks_fresh_then_reaps_stale(tmp_path):
+    """An unparseable claim (a holder's in-place heartbeat rewrite
+    glimpsed mid-write on a real filesystem) must read as LIVE and
+    blocking — never as absent, which would let a contender elect a
+    second holder — while a claim unparseable PAST the torn grace is a
+    crashed writer's truncated orphan and is reaped, so it cannot
+    deadlock the lock forever (r7 ADVICE)."""
+    import os
+    import time
+
+    lock = f"file://{tmp_path}/locks/t"
+    f, p = fsio._split(lock)
+    claims = f"{p}.claims"
+    f.create_dir(claims, recursive=True)
+    torn = f"{claims}/{fsio._claim_name('deadbeef')}"
+    with f.open_output_stream(torn) as fh:
+        fh.write(b'{"token": "deadbe')  # truncated mid-write
+    live = fsio._live_claims(f, claims)
+    assert len(live) == 1
+    assert live[0][1]["token"] == ""  # blocking placeholder, not absent
+    assert live[0][1]["expiry_ms"] > time.time() * 1000  # never auto-stale
+    # age past the torn grace: now an orphan — absent and reaped
+    old = time.time() - 10 * fsio._CLAIM_TORN_GRACE_S
+    os.utime(torn, (old, old))
+    assert fsio._live_claims(f, claims) == []
+    assert not os.path.exists(torn)
+    # and the lock is acquirable afterwards
+    tok = fsio.acquire_lock(lock, lease_ms=500, timeout_ms=5000, poll_s=0.01)
+    fsio.release_lock(lock, tok)

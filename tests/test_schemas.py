@@ -99,8 +99,10 @@ def test_compatibility_mode_matrix(store):
     removed = _st(("a", LongType(), True))
     widened = _st(("a", DoubleType(), True), ("b", DoubleType(), True))
     retyped = _st(("a", StringType(), True), ("b", DoubleType(), True))
-    # NARROWING (long->integer, double->float) silently NULLs/overflows
-    # large values on read — rejected in every checking mode/direction
+    # NARROWING (long->integer, double->float): a narrowed NEW READER
+    # over old wide data silently NULLs/overflows — rejected under
+    # BACKWARD/FULL. A narrowed NEW WRITER is Avro-legal under FORWARD:
+    # old readers promote writer-int -> reader-long (r8 ADVICE fix).
     narrowed = _st(("a", IntegerType(), True), ("b", DoubleType(), True))
     narrowed2 = _st(("a", LongType(), True), ("b", FloatType(), True))
     cases = {
@@ -108,11 +110,12 @@ def test_compatibility_mode_matrix(store):
         # widening is BACKWARD-only: the FORWARD direction pins old
         # readers, which cannot take a widened writer's values (r7
         # ADVICE fix — the registry reference rejects widening under
-        # FORWARD/FULL the same way)
+        # FORWARD/FULL the same way); symmetrically, narrowing is
+        # FORWARD-only (promotion always resolves writer->reader)
         "BACKWARD": ([add_nullable, removed, widened],
                      [add_required, retyped, narrowed, narrowed2]),
-        "FORWARD": ([add_nullable, add_required],
-                    [removed, retyped, narrowed, narrowed2, widened]),
+        "FORWARD": ([add_nullable, add_required, narrowed, narrowed2],
+                    [removed, retyped, widened]),
         "FULL": ([add_nullable],
                  [add_required, removed, retyped, narrowed, narrowed2, widened]),
         "NONE": ([add_nullable, add_required, removed, widened, retyped,
