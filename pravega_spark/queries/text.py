@@ -1414,6 +1414,245 @@ def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFr
     return _dedup_increment_vs(spark.table(tbl), docs)
 
 
+# ------------------------------------------- incremental NEAR-dup (indexed)
+def _inc_near_docs(docs: DataFrame) -> DataFrame:
+    """The near-dup re-crawl increment, derived deterministically in
+    BOTH engines (the one Spark twin of the oracle's ``inc`` CTE):
+    docs with doc_id %% 4 == 0, three classes by doc_id %% 3 —
+    byte-identical (exact dup, J = 1), ' rev2a rev2b'-salted
+    (near-identical: all original trigram shingles survive, a couple of
+    new ones appear, so J ≈ (W-2)/(W+1) — above the 0.6 threshold for
+    normal docs, below it for very short ones, so the fixture splits
+    both ways), and fully synthetic text sharing no shingle with the
+    corpus (genuinely new)."""
+    return docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.trim(F.col("text")))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.trim(F.col("text")), F.lit(" rev2a rev2b")),
+        )
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 12), "
+                "i -> concat('novel', cast(doc_id AS STRING), 'x', cast(i AS STRING))))"
+            )
+        )
+        .alias("text"),
+    )
+
+
+def _mh_sigs(df: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, sh_set, mh0..mh{k}) — distinct trigram shingles,
+    their count, the set itself (for exact-Jaccard verification) and
+    the k=4 seeded-md5 minhash signature, in ONE aggregation pass (the
+    same construction as dedup_minhash_pairs, factored for reuse)."""
+    sh = df.withColumn("w", _tokens(F.col("text"))).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_EXPR))).alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        F.collect_set("shingle").alias("sh_set"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"seed{k}:"), F.col("shingle")))).alias(f"mh{k}")
+            for k in range(_N_HASHES)
+        ],
+    )
+
+
+def _corpus_band_index(docs: DataFrame) -> DataFrame:
+    """(band, corpus_doc, n_sh): the standing corpus's exploded MinHash
+    band postings — what persists as the bucketed near-dup index. One
+    row per (doc, band); n_sh rides along so the size-ratio prune runs
+    during the band join, before any verification work."""
+    sigs = _mh_sigs(docs)
+    return sigs.select(
+        F.explode(
+            F.array(*[F.col(f"mh{k}") for k in range(_N_HASHES)])
+        ).alias("band"),
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("n_sh").alias("n_c"),
+    )
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against a MAINTAINED MinHash band index —
+    the daily-ingest job a 100 TB pipeline actually runs (recomputing
+    whole-corpus pairs per day would be O(corpus); this is
+    O(increment)). The standing corpus's banded signatures persist as a
+    bucketed+sorted catalog table keyed on ``band`` (same maintained-
+    index pattern as corpus_dedup_incremental_indexed), so the band
+    join moves ONLY the increment: the corpus side is a bucketed scan
+    with no shuffle Exchange (plan pinned by test_r8_incremental_neardup).
+
+    Pipeline: increment docs → shingle/minhash in flight → band-wise
+    join against the index (size-ratio pruned — result-preserving,
+    J ≤ min/max) → exact-Jaccard verify the few candidates by
+    re-reading just their corpus rows (candidate ids broadcast into the
+    corpus scan, so verification is also corpus-shuffle-free; at scale
+    the id-sorted parquet layout turns this into min/max row-group
+    skipping) → best match per increment doc (highest Jaccard, ties to
+    the smallest corpus id). Emits (doc_id, is_near_dup, matched_doc,
+    similarity): exact dups surface at similarity 1.0, salted re-crawls
+    at ~0.9, synthetic-new docs as non-dups.
+
+    Reference parity: the reference has no dedup plane (payloads are
+    opaque bytes); this extends the engine's LLM-curation layer
+    (SURVEY §6) with the incremental shape of dedup_minhash_pairs."""
+    from pravega_spark.sources.bucketed import _source_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = f"pvs_corpus_mh_b16_{_source_fingerprint(sf_dir, 'documents')}"
+    if _ensure_bucketed_index(
+        spark, "pvs_corpus_mh_b16_", tbl, lambda: _corpus_band_index(docs), ["band"], 16
+    ):
+        corpus_bands = spark.table(tbl)
+    else:
+        # unwritable warehouse: same result through the shuffling twin
+        corpus_bands = _corpus_band_index(docs)
+    inc = _inc_near_docs(docs)
+    # the increment is small by definition — signatures (incl. shingle
+    # sets) are computed in flight and kept hot across the band join
+    # and the verification join
+    inc_sigs = _mh_sigs(inc).persist()
+    inc_bands = inc_sigs.select(
+        "doc_id",
+        F.col("n_sh").alias("n_i"),
+        F.explode(F.array(*[F.col(f"mh{k}") for k in range(_N_HASHES)])).alias("band"),
+    )
+    cand = (
+        inc_bands.join(corpus_bands, "band")
+        # size-ratio prune (result-preserving: J <= min/max), evaluated
+        # inside the band join before candidates are even distinct'd
+        .filter(
+            F.least(F.col("n_i"), F.col("n_c"))
+            >= F.lit(_JACCARD_THRESHOLD) * F.greatest(F.col("n_i"), F.col("n_c"))
+        )
+        .select("doc_id", "corpus_doc")
+        .distinct()
+    )
+    # exact verification: only candidate corpus rows are re-shingled —
+    # the candidate id list broadcasts into the corpus scan (no corpus
+    # shuffle; at scale, id-sorted parquet min/max skips whole files)
+    cand_ids = cand.select(F.col("corpus_doc").alias("doc_id")).distinct()
+    corpus_cand = _mh_sigs(
+        docs.join(F.broadcast(cand_ids), "doc_id")
+    ).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("n_sh").alias("n_c"),
+        F.col("sh_set").alias("set_c"),
+    )
+    raw_j = F.col("n_common") / (F.col("n_i") + F.col("n_c") - F.col("n_common"))
+    verified = (
+        cand.join(inc_sigs.select("doc_id", F.col("n_sh").alias("n_i"), F.col("sh_set").alias("set_i")), "doc_id")
+        .join(corpus_cand, "corpus_doc")
+        .withColumn("n_common", F.size(F.array_intersect("set_i", "set_c")))
+        # threshold the UNROUNDED ratio; round only the emitted column
+        .filter(raw_j >= _JACCARD_THRESHOLD)
+        .select("doc_id", "corpus_doc", raw_j.alias("j"))
+    )
+    best = verified.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("j"), F.col("corpus_doc"))
+        ),
+    ).filter(F.col("rn") == 1)
+    out = (
+        inc.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("corpus_doc").isNotNull().alias("is_near_dup"),
+            F.col("corpus_doc").alias("matched_doc"),
+            F.round("j", 4).alias("similarity"),
+        )
+        .orderBy("doc_id")
+    )
+    out = register_result_cache(out.persist())
+    out.count()
+    inc_sigs.unpersist()
+    return out
+
+
+_MH_LIST = ", ".join(f"mh{k}" for k in range(_N_HASHES))
+
+MINHASH_INCREMENTAL_SQL = f"""
+WITH inc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN trim(text)
+              WHEN doc_id % 3 = 1 THEN trim(text) || ' rev2a rev2b'
+              ELSE array_to_string(list_transform(range(1, 13),
+                     i -> 'novel' || doc_id || 'x' || i), ' ')
+         END AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+corpus_sh AS (
+  SELECT doc_id AS corpus_doc, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+             THEN list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents))
+),
+inc_sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+             THEN list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM inc))
+),
+corpus_sigs AS (
+  SELECT corpus_doc, count(*) AS n_c,
+         {", ".join(f"min(md5('seed{k}:' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+  FROM corpus_sh GROUP BY corpus_doc
+),
+inc_sigs AS (
+  SELECT doc_id, count(*) AS n_i,
+         {", ".join(f"min(md5('seed{k}:' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+  FROM inc_sh GROUP BY doc_id
+),
+corpus_bands AS (
+  SELECT DISTINCT corpus_doc, band FROM (
+    SELECT corpus_doc, unnest([{_MH_LIST}]) AS band FROM corpus_sigs)
+),
+inc_bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id, unnest([{_MH_LIST}]) AS band FROM inc_sigs)
+),
+cand AS (
+  SELECT DISTINCT i.doc_id, c.corpus_doc
+  FROM inc_bands i JOIN corpus_bands c ON i.band = c.band
+),
+inter AS (
+  SELECT cd.doc_id, cd.corpus_doc, count(*) AS n_common
+  FROM cand cd
+  JOIN inc_sh a ON a.doc_id = cd.doc_id
+  JOIN corpus_sh b ON b.corpus_doc = cd.corpus_doc AND b.shingle = a.shingle
+  GROUP BY cd.doc_id, cd.corpus_doc
+),
+verified AS (
+  SELECT t.doc_id, t.corpus_doc,
+         n_common / CAST(i.n_i + c.n_c - n_common AS DOUBLE) AS j
+  FROM inter t
+  JOIN inc_sigs i ON i.doc_id = t.doc_id
+  JOIN corpus_sigs c ON c.corpus_doc = t.corpus_doc
+  WHERE n_common / CAST(i.n_i + c.n_c - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+),
+best AS (
+  SELECT doc_id, corpus_doc, j,
+         row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, corpus_doc) AS rn
+  FROM verified
+)
+SELECT i.doc_id,
+       b.corpus_doc IS NOT NULL AS is_near_dup,
+       b.corpus_doc AS matched_doc,
+       round(b.j, 4) AS similarity
+FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = i.doc_id
+ORDER BY i.doc_id
+"""
+
+
 # ----------------------------------------------------- mixture rebalancing
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture rebalancing weights: per-language token share
@@ -1467,6 +1706,7 @@ QUERIES = {
     "corpus_mixture_weights": corpus_mixture_weights,
     "corpus_dedup_incremental": corpus_dedup_incremental,
     "corpus_dedup_incremental_indexed": corpus_dedup_incremental_indexed,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "text_bpe_token_stats": text_bpe_token_stats,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_decontaminate": corpus_decontaminate,
@@ -1491,6 +1731,7 @@ ORACLES = {
     "corpus_mixture_weights": MIXTURE_WEIGHTS_SQL,
     "corpus_dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "corpus_dedup_incremental_indexed": DEDUP_INCREMENTAL_SQL,
+    "dedup_minhash_incremental": MINHASH_INCREMENTAL_SQL,
     "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
