@@ -878,6 +878,184 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# ------------------------------------------------------------ learned BPE
+_BPE_STEPS = 6       # merges learned; unrolled in the SQL oracle
+_BPE_SAMPLE_MOD = 5  # training sample: docs with doc_id % MOD == 0
+# scalar-subquery fallback when a step finds no pair (degenerate tiny
+# corpora): '~' is not a word symbol, so the replace is a no-op
+_BPE_NOPAIR = "~~"
+
+
+def text_bpe_learned_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED byte-pair-encoding tokenization — the real-pipeline
+    upgrade over text_bpe_token_stats' fixed regex proxy: merge rules
+    are TRAINED from the corpus itself and then applied corpus-wide.
+
+    Training is the textbook BPE loop run as a driver-side loop of
+    distributed aggregations (exactly how BPE trains at scale): from a
+    deterministic doc sample, count adjacent symbol pairs weighted by
+    word frequency, pick the most frequent pair (ties: lexicographic),
+    merge it everywhere, repeat. Words are represented as
+    '(h)(e)(l)(l)(o)' symbol strings, so one ``replace`` per merge
+    rewrites every occurrence left-to-right with no boundary overlap —
+    deterministic, and expressible identically in DuckDB, which lets
+    the ORACLE unroll the same six training steps as CTEs and derive
+    the same merge table from the same data (no constants smuggled in).
+
+    Application is pure whole-stage-codegen string expressions (one
+    regexp_replace + six replaces + a length difference), linear over
+    the corpus; per-token state never leaves the JVM. Output: one row
+    per learned merge ('merge', '<step>:<pa>+<pb>', step, pair_count)
+    and one per language ('lang', lang, n_words, n_tokens) — token
+    counts pin the merge table transitively, merge rows pin it
+    directly.
+
+    Scale shape: training touches only the sample's distinct words
+    (a vocabulary, shrinking each step); each of the 6 steps is one
+    map-side-combined aggregation + a one-row collect (control plane).
+    Application adds zero shuffles beyond the final per-lang rollup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words_all = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), " +")).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    sample_freq = (
+        words_all.filter(F.col("doc_id") % _BPE_SAMPLE_MOD == 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    cur = sample_freq.select(
+        "w", "freq", F.regexp_replace("w", "(.)", r"($1)").alias("repr")
+    ).persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _step in range(_BPE_STEPS):
+            pairs = (
+                cur.withColumn(
+                    "s", F.expr(r"split(substring(repr, 2, length(repr)-2), '\\)\\(')")
+                )
+                .filter(F.size("s") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(s)-1), "
+                            "i -> struct(s[i-1] AS pa, s[i] AS pb))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.pa", "p.pb")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+            )
+            best = pairs.orderBy(F.desc("cnt"), "pa", "pb").limit(1).collect()
+            if not best:
+                break
+            pa, pb, cnt = best[0]["pa"], best[0]["pb"], int(best[0]["cnt"])
+            merges.append((pa, pb, cnt))
+            nxt = cur.withColumn(
+                "repr", F.expr(f"replace(repr, '({pa})({pb})', '({pa}{pb})')")
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    # corpus-wide application: nested codegen replaces, then per-lang
+    # token counts (token count = '(' count in the merged repr)
+    expr = "regexp_replace(w, '(.)', '($1)')"
+    for pa, pb, _ in merges:
+        expr = f"replace({expr}, '({pa})({pb})', '({pa}{pb})')"
+    per_lang = (
+        words_all.withColumn("r", F.expr(expr))
+        .select(
+            "lang", (F.length("r") - F.length(F.expr("replace(r, '(', '')"))).alias("n_tok")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_words"), F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    lang_rows = per_lang.select(
+        F.lit("lang").alias("row_kind"), F.col("lang").alias("k"), "n_words", "n_tokens"
+    )
+    merge_rows = spark.createDataFrame(
+        [
+            ("merge", f"{i + 1:02d}:{pa}+{pb}", i + 1, cnt)
+            for i, (pa, pb, cnt) in enumerate(merges)
+        ],
+        schema="row_kind string, k string, n_words bigint, n_tokens bigint",
+    )
+    return merge_rows.unionByName(lang_rows).orderBy("row_kind", "k")
+
+
+def _bpe_learned_sql() -> str:
+    """The oracle's unrolled twin of the training loop: step i's pair
+    counts come from step i-1's representations; the chosen pair is a
+    pair of coalesced scalar subqueries so a degenerate (pairless) step
+    no-ops instead of nulling the corpus."""
+    steps = []
+    for i in range(1, _BPE_STEPS + 1):
+        prev = f"s{i - 1}"
+        steps.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT s[i] AS pa, s[i + 1] AS pb, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, string_split(substr(repr, 2, len(repr) - 2), ')(') AS s FROM {prev}
+  ), unnest(range(1, len(s))) AS t(i)
+  GROUP BY pa, pb
+),
+b{i} AS MATERIALIZED (SELECT pa, pb, cnt FROM p{i} ORDER BY cnt DESC, pa, pb LIMIT 1),
+s{i} AS MATERIALIZED (
+  SELECT w, freq,
+         replace(repr,
+                 '(' || coalesce((SELECT pa FROM b{i}), '{_BPE_NOPAIR}') || ')('
+                     || coalesce((SELECT pb FROM b{i}), '{_BPE_NOPAIR}') || ')',
+                 '(' || coalesce((SELECT pa FROM b{i}), '{_BPE_NOPAIR}')
+                     || coalesce((SELECT pb FROM b{i}), '{_BPE_NOPAIR}') || ')') AS repr
+  FROM {prev}
+)""")
+    apply_expr = r"regexp_replace(w, '(.)', '(\1)', 'g')"
+    for i in range(1, _BPE_STEPS + 1):
+        pa = f"coalesce((SELECT pa FROM b{i}), '{_BPE_NOPAIR}')"
+        pb = f"coalesce((SELECT pb FROM b{i}), '{_BPE_NOPAIR}')"
+        apply_expr = (
+            f"replace({apply_expr}, '(' || {pa} || ')(' || {pb} || ')', "
+            f"'(' || {pa} || {pb} || ')')"
+        )
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS row_kind, lpad(CAST({i} AS VARCHAR), 2, '0') || ':' || pa || '+' || pb AS k, "
+        f"CAST({i} AS BIGINT) AS n_words, cnt AS n_tokens FROM b{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+    return f"""
+WITH wa AS MATERIALIZED (
+  SELECT doc_id, lang, w FROM (
+    SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), ' +')) AS w
+    FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$')
+),
+freqs AS MATERIALIZED (
+  SELECT w, count(*) AS freq FROM wa WHERE doc_id % {_BPE_SAMPLE_MOD} = 0 GROUP BY w
+),
+s0 AS MATERIALIZED (SELECT w, freq, regexp_replace(w, '(.)', '(\\1)', 'g') AS repr FROM freqs),
+{",".join(steps)},
+applied AS (
+  SELECT lang, {apply_expr} AS r FROM wa
+),
+per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(r) - len(replace(r, '(', ''))) AS BIGINT) AS n_tokens
+  FROM applied GROUP BY lang
+)
+SELECT row_kind, k, n_words, n_tokens FROM (
+  {merge_rows}
+  UNION ALL
+  SELECT 'lang' AS row_kind, lang AS k, n_words, n_tokens FROM per_lang
+) ORDER BY row_kind, k
+"""
+
+
+BPE_LEARNED_SQL = _bpe_learned_sql()
+
+
 # ---------------------------------------------------------------- stratified sample
 _SAMPLE_PER_LANG = 25  # deterministic per-language cap
 
@@ -1708,6 +1886,7 @@ QUERIES = {
     "corpus_dedup_incremental_indexed": corpus_dedup_incremental_indexed,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "text_bpe_token_stats": text_bpe_token_stats,
+    "text_bpe_learned_tokenize": text_bpe_learned_tokenize,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_chunk_windows": corpus_chunk_windows,
@@ -1733,6 +1912,7 @@ ORACLES = {
     "corpus_dedup_incremental_indexed": DEDUP_INCREMENTAL_SQL,
     "dedup_minhash_incremental": MINHASH_INCREMENTAL_SQL,
     "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
+    "text_bpe_learned_tokenize": BPE_LEARNED_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
     "corpus_chunk_windows": CHUNK_WINDOWS_SQL,

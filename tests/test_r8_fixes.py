@@ -92,3 +92,38 @@ def test_minhash_incremental_index_gc_and_fallback(spark, tmp_path, monkeypatch)
     monkeypatch.setattr(T, "_ensure_bucketed_index", lambda *a, **k: False)
     got = {tuple(r) for r in T.dedup_minhash_incremental(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_bpe_learned_tokenize_learns_and_compresses(spark):
+    """The merge table is genuinely learned (frequency-ordered, can
+    consume earlier merges' output) and applying it compresses: per
+    language, n_words <= n_tokens < total characters."""
+    from pravega_spark.queries.text import _BPE_STEPS, text_bpe_learned_tokenize
+
+    rows = text_bpe_learned_tokenize(spark, SF_DIR).collect()
+    merges = [r for r in rows if r["row_kind"] == "merge"]
+    langs = [r for r in rows if r["row_kind"] == "lang"]
+    assert len(merges) == _BPE_STEPS
+    assert len({r["k"] for r in merges}) == _BPE_STEPS  # no repeated pair
+    # selection is by max count: counts are non-increasing in step order
+    cnts = [r["n_tokens"] for r in sorted(merges, key=lambda r: r["k"])]
+    assert all(a >= b for a, b in zip(cnts, cnts[1:])), cnts
+    assert langs
+    # character totals per lang for the same word population
+    from pyspark.sql import functions as F
+
+    from pravega_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chars = {
+        r["lang"]: r["n_chars"]
+        for r in docs.select(
+            "lang", F.explode(F.split(F.lower(F.trim("text")), " +")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("lang")
+        .agg(F.sum(F.length("w")).alias("n_chars"))
+        .collect()
+    }
+    for r in langs:
+        assert r["n_words"] <= r["n_tokens"] < chars[r["k"]], r
