@@ -456,6 +456,131 @@ def streaming_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+_EPOCH_READ_MOD = 8  # deterministic stream subset: event_id % MOD == 0
+
+
+def streaming_scale_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/R2 exactly-once streaming read ACROSS an auto-scale epoch
+    boundary, through the oracle gate (SURVEY §7 hard part 5; reference
+    io.pravega.client.stream.impl.ReaderGroupStateManager successor
+    handoff): half the events are written into a 2-segment stream and
+    drained by a reader group; the hottest segment is then split
+    (seal + successors, new epoch); the second half lands in the
+    successors and a SECOND drain resumes from the group's checkpoint
+    across the boundary. The union of drained batches must equal the
+    batch truth — any dropped, duplicated or re-delivered event at the
+    epoch seam breaks the count/sum/max parity.
+
+    The query PROVES the boundary was crossed: it raises unless the
+    drained rows span >= 2 distinct epochs (epoch = segment_id >> 32)
+    and the second drain delivered rows from a successor segment.
+
+    Scale shape: drained batches append to parquet (distributed, no
+    driver collect); the final rollup is one map-side-combined groupBy.
+    The streamed subset is a deterministic 1/8 modulus of events so the
+    sweep SFs bound the Python-datasource transfer, not the engine."""
+    import shutil
+    import tempfile
+
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+    from pravega_spark.store import StreamStore
+    from pravega_spark.streaming import ReaderGroup
+
+    scratch = tempfile.mkdtemp(prefix="pvs_scale_epoch_")
+    try:
+        store = StreamStore(spark, f"{scratch}/store")
+        store.create_scope("q")
+        store.create_stream(
+            "q", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(2))
+        )
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") % _EPOCH_READ_MOD == 0
+        )
+        # halves split by alternating multiples of the modulus:
+        # deterministic, and both halves touch every routing key (so
+        # the split segment's key range keeps receiving data after the
+        # scale)
+        half_a = ev.filter(F.col("event_id") % (2 * _EPOCH_READ_MOD) == 0)
+        half_b = ev.filter(F.col("event_id") % (2 * _EPOCH_READ_MOD) == _EPOCH_READ_MOD)
+
+        def _env(df):
+            return df.select(
+                F.col("user_id").cast("string").alias("routing_key"),
+                F.col("ts").alias("event_time"),
+                F.to_json(
+                    F.struct(
+                        "event_id",
+                        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+                    )
+                ).cast("binary").alias("payload"),
+            )
+
+        store.write_events("q", "ev", _env(half_a))
+        rg = ReaderGroup(store, "q", "ev", "rg_epoch")
+        out_dir = f"{scratch}/drained"
+
+        def sink(df, _bid):
+            df.select("routing_key", "segment_id", "payload").write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        rg.drain(sink)
+        # split the hottest segment at its key-range midpoint -> epoch 1
+        segs = store.current_segments("q", "ev")
+        tails = store.meta.tail_offsets("q", "ev")
+        hot = max(segs, key=lambda s: tails.get(s["segment_id"], 0))
+        lo, hi = hot["key_start"], hot["key_end"]
+        mid = (lo + hi) / 2
+        store.scale_stream("q", "ev", [hot["segment_id"]], [(lo, mid), (mid, hi)])
+        store.write_events("q", "ev", _env(half_b))
+        rg.drain(sink)  # resumes from checkpoint, crosses the epoch seam
+        acc = spark.read.parquet(out_dir)
+        epochs = [
+            r["e"]
+            for r in acc.select(
+                F.shiftrightunsigned(F.col("segment_id"), 32).alias("e")
+            ).distinct().collect()
+        ]
+        if len(epochs) < 2:
+            raise AssertionError(
+                f"drain never crossed an epoch boundary (epochs read: {epochs})"
+            )
+        out = (
+            acc.select(
+                F.col("routing_key").cast("long").alias("user_id"),
+                F.get_json_object(F.col("payload").cast("string"), "$.event_id")
+                .cast("long")
+                .alias("event_id"),
+                F.get_json_object(F.col("payload").cast("string"), "$.cents")
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                (F.sum("cents").cast("double") / 100).alias("total_value"),
+                F.max("event_id").alias("last_event"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint()  # materialize before scratch vanishes
+        )
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+SCALE_EPOCH_READ_SQL = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+       max(event_id) AS last_event
+FROM events
+WHERE event_id % {_EPOCH_READ_MOD} = 0
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 SESSION_FOLD_SQL = """
 SELECT user_id,
        count(*) AS n_events,
@@ -470,6 +595,7 @@ ORDER BY user_id
 
 QUERIES = {
     "streaming_session_fold": streaming_session_fold,
+    "streaming_scale_epoch_read": streaming_scale_epoch_read,
     "stream_segment_assignment": stream_segment_assignment,
     "stream_tail_offsets": stream_tail_offsets,
     "streamcut_bounded_read": streamcut_bounded_read,
@@ -487,6 +613,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_session_fold": SESSION_FOLD_SQL,
+    "streaming_scale_epoch_read": SCALE_EPOCH_READ_SQL,
     "stream_segment_assignment": SEGMENT_ASSIGNMENT_SQL,
     "stream_tail_offsets": TAIL_OFFSETS_SQL,
     "streamcut_bounded_read": BOUNDED_READ_SQL,

@@ -127,3 +127,35 @@ def test_bpe_learned_tokenize_learns_and_compresses(spark):
     }
     for r in langs:
         assert r["n_words"] <= r["n_tokens"] < chars[r["k"]], r
+
+
+def test_streaming_scale_epoch_read_exactly_once(spark):
+    """The gated scale-epoch query equals the batch truth (the in-query
+    assertion already proves >= 2 epochs were read; here we prove the
+    drained union is exactly-once: per-user counts/sums/max match)."""
+    from pravega_spark.queries.stream_ops import (
+        _EPOCH_READ_MOD,
+        streaming_scale_epoch_read,
+    )
+    from pravega_spark.sources import load_table
+
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_event"])
+        for r in streaming_scale_epoch_read(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_id") % _EPOCH_READ_MOD == 0
+    )
+    want = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_event"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+                "total_value"
+            ),
+            F.max("event_id").alias("last_event"),
+        )
+        .collect()
+    }
+    assert got == want
