@@ -48,6 +48,11 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "multimodal_frame_samples",
+    # r8 additions (APPEND-only: the list stays comparable round-over-
+    # round — never remove or reorder existing entries)
+    "dedup_minhash_incremental",
+    "text_bpe_learned_tokenize",
+    "streaming_scale_epoch_read",
 ]
 
 

@@ -35,69 +35,13 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
-    # -- new in round 7 (never gated) -----------------------------------
-    "streaming_session_fold",
-    "text_pii_scrub",
-    "text_repetition_topgram",
-    "corpus_mixture_weights",
-    "corpus_dedup_incremental",
-    "corpus_dedup_incremental_indexed",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    # -- r7 rotation (VERDICT r6 item 2): the 27 queries past the r6
-    # -- 50-entry cap (latest driver rows r4; judge-verified in r6) —
-    # -- fronted so driver evidence never goes two rounds stale ---------
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "stream_segment_assignment",
-    "stream_tail_offsets",
-    "stream_fetch_event",
-    "stream_time_to_position",
-    "stream_per_key_order",
-    "stream_watermark_bounds",
-    "stream_scale_hotspots",
-    "stream_retention_cut",
-    "cust_above_nation_avg",
-    "events_sessionization",
-    "events_asof_purchase",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "kvt_latest_version",
-    "kvt_range_scan",
-    "kvt_prefix_scan",
-    "kvt_delta_iterator",
-    "streamcut_bounded_read",
-    "q4_orders_with_returns",
-    "q13_customer_distribution",
-    # -- one r6 driver row (new in r6): keep gated a second round;
-    # -- corpus_token_packing was re-planned (salted) in r7 -------------
-    "text_bpe_token_stats",
-    "corpus_stratified_sample",
-    "corpus_decontaminate",
-    "corpus_chunk_windows",
-    "corpus_token_packing",
-    "events_percentile_sketch",
-    # -- LLM-pipeline layer (r6 rows): perf-sensitive ops kept in-gate
-    # -- so every round records their parity post-churn (label_centroids,
-    # -- a plain map-side agg stable since r2, yields its slot to the
-    # -- r7-new entries and moves to the tail) --------------------------
-    "text_quality_score",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_bucketed",
-    "embedding_near_dup",
-    "multimodal_decode_features",
-    "dedup_clusters",
-    # -- tail (past the 50-entry cap this round): every entry below has
-    # -- a fresh r6 driver row, so nothing goes two rounds stale. r8
-    # -- rotation note: front this block next round ---------------------
+    # -- new in round 8 (never gated) -----------------------------------
+    "dedup_minhash_incremental",
+    "text_bpe_learned_tokenize",
+    "streaming_scale_epoch_read",
+    # -- r8 rotation (VERDICT r7 item 2): the 35 queries past the r7
+    # -- 50-entry cap (latest driver rows r6) — fronted so driver
+    # -- evidence never goes two rounds stale ---------------------------
     "text_langid",
     "similarity_ivf_search",
     "multimodal_frame_samples",
@@ -133,6 +77,64 @@ _GATE_ORDER = [
     "events_hourly_agg",
     "events_json_extract",
     "events_running_value",
+    # -- perf-sensitive / r8-churned keeps (r7 rows): the near-dup and
+    # -- similarity family shares code with the r8 incremental index
+    # -- (shingle/signature helpers, the locked _ensure_bucketed_index),
+    # -- and the streaming fold shares the streaming plane with the new
+    # -- epoch-crossing query — keep their parity recorded post-churn ---
+    "corpus_dedup_incremental",
+    "corpus_dedup_incremental_indexed",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "embedding_near_dup",
+    "streaming_session_fold",
+    # -- tail (past the 50-entry cap this round): every entry below has
+    # -- a fresh r7 driver row, so nothing goes two rounds stale. r9
+    # -- rotation note: front this block next round ---------------------
+    "text_pii_scrub",
+    "text_repetition_topgram",
+    "corpus_mixture_weights",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "doc_fingerprint",
+    "stream_segment_assignment",
+    "stream_tail_offsets",
+    "stream_fetch_event",
+    "stream_time_to_position",
+    "stream_per_key_order",
+    "stream_watermark_bounds",
+    "stream_scale_hotspots",
+    "stream_retention_cut",
+    "cust_above_nation_avg",
+    "events_sessionization",
+    "events_asof_purchase",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "kvt_latest_version",
+    "kvt_range_scan",
+    "kvt_prefix_scan",
+    "kvt_delta_iterator",
+    "streamcut_bounded_read",
+    "q4_orders_with_returns",
+    "q13_customer_distribution",
+    "text_bpe_token_stats",
+    "corpus_stratified_sample",
+    "corpus_decontaminate",
+    "corpus_chunk_windows",
+    "corpus_token_packing",
+    "events_percentile_sketch",
+    "text_quality_score",
+    "multimodal_decode_features",
 ]
 
 
