@@ -437,6 +437,12 @@ def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
         # claim-file election instead
         return _acquire_lock_claims(f, p, lease_ms, timeout_ms, poll_s, token)
     deadline = _time.time() + timeout_ms / 1000.0
+    # local contention is ms-scale (hard-link create, ~17 ms hot-append
+    # critical sections): a fixed poll_s=50 ms wait per handoff was
+    # measured to serialize 4 concurrent writers down to single-writer
+    # throughput (r8). Back off exponentially from 1 ms instead, capped
+    # at the caller's poll_s — two cheap syscalls per retry.
+    sleep_s = 0.001
     while True:
         payload = _json.dumps(
             {"token": token, "expiry_ms": int(_time.time() * 1000) + lease_ms}
@@ -464,7 +470,8 @@ def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
             continue  # verified stale reap; re-contend via create_exclusive
         if _time.time() > deadline:
             raise TimeoutError(f"lock {path} not acquired within {timeout_ms}ms")
-        _time.sleep(poll_s)
+        _time.sleep(sleep_s)
+        sleep_s = min(sleep_s * 2, poll_s)
 
 
 def renew_lock(path: str, token: str, lease_ms: int = 30_000) -> bool:
