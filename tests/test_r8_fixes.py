@@ -159,3 +159,28 @@ def test_streaming_scale_epoch_read_exactly_once(spark):
         .collect()
     }
     assert got == want
+
+
+def test_append_events_first_row_schema_semantics(store):
+    """The column-wise Arrow build keeps Table.from_pylist's contract:
+    the FIRST event's keys define the schema, later missing keys read
+    as NULL, later extra keys are ignored (r8 write-path change)."""
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+
+    store.create_scope("s")
+    store.create_stream("s", "h", StreamConfiguration(scaling=ScalingPolicy.fixed(2)))
+    store.append_events(
+        "s", "h",
+        [
+            {"routing_key": "a", "val": 1, "tag": "x"},
+            {"routing_key": "b", "val": 2},                 # tag -> NULL
+            {"routing_key": "c", "val": 3, "extra": 99},    # extra ignored
+        ],
+        writer_id="w", batch_seq=0,
+    )
+    df = store.read("s", "h")
+    rows = {r["routing_key"]: r for r in df.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert "extra" not in df.columns
+    assert rows["a"]["tag"] == "x" and rows["b"]["tag"] is None
+    assert [rows[k]["val"] for k in "abc"] == [1, 2, 3]
