@@ -1531,30 +1531,67 @@ def _ensure_bucketed_index(
     NEW index, never serve stale rows; every regeneration therefore
     also orphans the old name, so stale siblings (catalog entries AND
     warehouse dirs a previous session's in-memory catalog forgot) are
-    dropped here before each build."""
+    dropped here before each build. A COMPLETE on-disk copy from a
+    previous session (_SUCCESS + matching bucket-spec marker) is
+    RE-ATTACHED as an external bucketed table instead of rebuilt —
+    metadata-only, same as sources/bucketed.py's fact tables; the
+    maintained index's whole point is that the standing corpus is
+    processed once, not once per session."""
     import os as _os
     import shutil as _shutil
 
-    from pravega_spark.sources.bucketing import bucketize
+    from pravega_spark.sources.bucketing import bucketize, read_bucket_spec
 
     with _INDEX_BUILD_LOCK:
         if spark.catalog.tableExists(tbl):
             return True
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = _os.path.join(wh.removeprefix("file:"), tbl)
-        if _os.path.isdir(loc):
-            _shutil.rmtree(loc, ignore_errors=True)
-        for t in spark.catalog.listTables():
-            if t.name.startswith(prefix) and t.name != tbl:
+        wh_dir = wh.removeprefix("file:")
+        loc = _os.path.join(wh_dir, tbl)
+
+        def _gc_siblings() -> None:
+            for t in spark.catalog.listTables():
+                if t.name.startswith(prefix) and t.name != tbl:
+                    try:
+                        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                    except Exception:
+                        pass
+            if _os.path.isdir(wh_dir):
+                for d in _os.listdir(wh_dir):
+                    if d.startswith(prefix) and d != tbl:
+                        _shutil.rmtree(_os.path.join(wh_dir, d), ignore_errors=True)
+
+        spec = read_bucket_spec(loc)
+        spec_ok = (
+            spec is not None
+            and spec.get("keys") == keys
+            and spec.get("n_buckets") == n_buckets
+        )
+        if _os.path.isfile(_os.path.join(loc, "_SUCCESS")) and spec_ok:
+            try:
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in build_df().schema.fields
+                )
+                sorted_by = f"SORTED BY ({', '.join(keys)}) " if spec.get("sorted") else ""
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({', '.join(keys)}) {sorted_by}"
+                    f"INTO {n_buckets} BUCKETS LOCATION '{_os.path.abspath(loc)}'"
+                )
+                _gc_siblings()
+                return True
+            except Exception as e:
+                import warnings
+
+                warnings.warn(f"index re-attach of {tbl} failed ({e!r}); rebuilding")
                 try:
-                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
                 except Exception:
                     pass
-        wh_dir = wh.removeprefix("file:")
-        if _os.path.isdir(wh_dir):
-            for d in _os.listdir(wh_dir):
-                if d.startswith(prefix) and d != tbl:
-                    _shutil.rmtree(_os.path.join(wh_dir, d), ignore_errors=True)
+        if _os.path.isdir(loc):
+            _shutil.rmtree(loc, ignore_errors=True)
+        _gc_siblings()
         try:
             # one file per bucket: sortBy sorts per FILE, so multi-file
             # buckets would force a merge Sort back into every reader
@@ -1638,12 +1675,27 @@ def _mh_sigs(df: DataFrame) -> DataFrame:
     )
 
 
+def _collapse_exact(docs: DataFrame) -> DataFrame:
+    """One representative (min doc_id) per distinct text — the standard
+    exact-collapse pre-pass before near-dup work. OUTPUT-IDENTICAL for
+    this query: byte-identical docs have identical shingle sets, hence
+    identical Jaccard against every query, and the best-match tie-break
+    is min(corpus_doc) — which IS the representative. On duplicated
+    corpora (the synthetic sf10 is ~100 copies per text; real crawls
+    run 2-5x) this shrinks the band index, the candidate fan-out and
+    the verification stage by the duplication factor."""
+    return docs.groupBy(F.md5("text").alias("_tk")).agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+
+
 def _corpus_band_index(docs: DataFrame) -> DataFrame:
     """(band, corpus_doc, n_sh): the standing corpus's exploded MinHash
     band postings — what persists as the bucketed near-dup index. One
-    row per (doc, band); n_sh rides along so the size-ratio prune runs
-    during the band join, before any verification work."""
-    sigs = _mh_sigs(docs)
+    row per (distinct-text representative, band); n_sh rides along so
+    the size-ratio prune runs during the band join, before any
+    verification work."""
+    sigs = _mh_sigs(_collapse_exact(docs).select("doc_id", "text"))
     return sigs.select(
         F.explode(
             F.array(*[F.col(f"mh{k}") for k in range(_N_HASHES)])
@@ -1680,19 +1732,25 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pravega_spark.sources.bucketed import _source_fingerprint
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tbl = f"pvs_corpus_mh_b16_{_source_fingerprint(sf_dir, 'documents')}"
+    # v2: the index now holds exact-collapsed representatives; the GC
+    # prefix covers the v1 generation so stale uncollapsed copies are
+    # reaped rather than re-attached
+    tbl = f"pvs_corpus_mh_b16v2_{_source_fingerprint(sf_dir, 'documents')}"
     if _ensure_bucketed_index(
-        spark, "pvs_corpus_mh_b16_", tbl, lambda: _corpus_band_index(docs), ["band"], 16
+        spark, "pvs_corpus_mh_", tbl, lambda: _corpus_band_index(docs), ["band"], 16
     ):
         corpus_bands = spark.table(tbl)
     else:
         # unwritable warehouse: same result through the shuffling twin
         corpus_bands = _corpus_band_index(docs)
     inc = _inc_near_docs(docs)
-    # the increment is small by definition — signatures (incl. shingle
-    # sets) are computed in flight and kept hot across the band join
-    # and the verification join
-    inc_sigs = _mh_sigs(inc).persist()
+    # exact-collapse the increment too (same argument as the corpus
+    # side: identical texts get identical best matches), then expand
+    # results back over the text key at the end — signatures (incl.
+    # shingle sets) are computed in flight for REPRESENTATIVES only and
+    # kept hot across the band join and the verification join
+    inc_reps = _collapse_exact(inc).persist()
+    inc_sigs = _mh_sigs(inc_reps.select("doc_id", "text")).persist()
     inc_bands = inc_sigs.select(
         "doc_id",
         F.col("n_sh").alias("n_i"),
@@ -1735,9 +1793,15 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("doc_id").orderBy(F.desc("j"), F.col("corpus_doc"))
         ),
     ).filter(F.col("rn") == 1)
+    # expand representative results back over the text key: every inc
+    # doc sharing a text gets its representative's best match (small
+    # side broadcasts; the md5 re-derivation is one linear map)
+    rep_best = best.join(
+        inc_reps.select("doc_id", "_tk"), "doc_id"
+    ).select("_tk", "corpus_doc", "j")
     out = (
-        inc.select("doc_id")
-        .join(best, "doc_id", "left")
+        inc.select("doc_id", F.md5("text").alias("_tk"))
+        .join(rep_best, "_tk", "left")
         .select(
             "doc_id",
             F.col("corpus_doc").isNotNull().alias("is_near_dup"),
@@ -1749,6 +1813,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = register_result_cache(out.persist())
     out.count()
     inc_sigs.unpersist()
+    inc_reps.unpersist()
     return out
 
 
