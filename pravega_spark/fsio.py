@@ -237,7 +237,11 @@ def _claim_name(token: str) -> str:
 
 # a claim that stays unparseable past this age is a crashed writer's
 # truncated orphan, not an in-flight rewrite — see _read_claim_doc
-_CLAIM_TORN_GRACE_S = 5.0
+_CLAIM_TORN_GRACE_S = 10.0
+# first-seen times of torn claims on filesystems that report no mtime:
+# the only aging signal available there (entries are dropped as soon as
+# the claim parses or disappears, so the dict stays tiny)
+_TORN_FIRST_SEEN: dict[str, float] = {}
 
 
 def _read_claim_doc(f, info):
@@ -262,25 +266,47 @@ def _read_claim_doc(f, info):
     for attempt in range(2):
         try:
             with f.open_input_stream(info.path) as fh:
-                return _json.loads(fh.read().decode("utf-8"))
+                doc = _json.loads(fh.read().decode("utf-8"))
+            _TORN_FIRST_SEEN.pop(info.path, None)
+            return doc
         except (FileNotFoundError, OSError):
+            _TORN_FIRST_SEEN.pop(info.path, None)
             return None  # released/reaped between list and read
         except ValueError:
             if attempt == 0:
                 _time.sleep(0.02)
-    mtime = getattr(info, "mtime", None)
+    # age from a FRESH stat, never the listing snapshot: a live
+    # holder's in-flight rewrite refreshes mtime the moment it
+    # truncates, so a torn read whose fresh mtime is still old means
+    # the writer DIED mid-write that long ago — while the listing's
+    # mtime predates the rewrite and would misage a live claim into
+    # the reap path (r8 review). The grace also exceeds any sane
+    # re-write latency by orders of magnitude.
+    mtime = None
+    try:
+        mtime = getattr(f.get_file_info(info.path), "mtime", None)
+    except (FileNotFoundError, OSError):
+        _TORN_FIRST_SEEN.pop(info.path, None)
+        return None
     if mtime is not None:
         try:
             age_s = _time.time() - mtime.timestamp()
         except (AttributeError, OSError, OverflowError):
             age_s = 0.0
-        if age_s > _CLAIM_TORN_GRACE_S:
-            try:
-                f.delete_file(info.path)  # truncated orphan: reap
-            except (FileNotFoundError, OSError):
-                pass
-            return None
-    # recent or unknown age: block, don't double-elect
+    else:
+        # no mtime on this filesystem: age by when THIS process first
+        # saw the claim torn — without any aging signal a truncated
+        # orphan would block every contender until timeout forever
+        first = _TORN_FIRST_SEEN.setdefault(info.path, _time.time())
+        age_s = _time.time() - first
+    if age_s > _CLAIM_TORN_GRACE_S:
+        try:
+            f.delete_file(info.path)  # truncated orphan: reap
+        except (FileNotFoundError, OSError):
+            pass
+        _TORN_FIRST_SEEN.pop(info.path, None)
+        return None
+    # recent: block, don't double-elect
     return {"token": "", "expiry_ms": 1 << 62}
 
 

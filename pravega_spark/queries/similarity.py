@@ -336,12 +336,12 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast lineage). Values are identical either way (one Spark
     aggregation, materialized), so the oracle is unchanged."""
     from pravega_spark.functions.vectors import cosine as v_cosine
-    from pravega_spark.queries.text import _ensure_bucketed_index
     from pravega_spark.sources.bucketed import _source_fingerprint
+    from pravega_spark.sources.bucketing import ensure_bucketed_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     tbl = f"pvs_ivf_cent_{_source_fingerprint(sf_dir, 'embeddings')}"
-    if _ensure_bucketed_index(
+    if ensure_bucketed_index(
         spark, "pvs_ivf_cent_", tbl, lambda: _ivf_centroids(emb), ["label"], 2
     ):
         cent = spark.table(tbl)

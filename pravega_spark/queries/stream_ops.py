@@ -519,10 +519,15 @@ def streaming_scale_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         rg = ReaderGroup(store, "q", "ev", "rg_epoch")
         out_dir = f"{scratch}/drained"
 
-        def sink(df, _bid):
+        def sink(df, bid):
+            # batch-id-keyed overwrite, not a blind append: a retried
+            # foreachBatch micro-batch must replace its own output, or
+            # the sink itself would double-count and masquerade as an
+            # engine exactly-once violation (batch ids are monotone
+            # across both drains — one checkpoint)
             df.select("routing_key", "segment_id", "payload").write.mode(
-                "append"
-            ).parquet(out_dir)
+                "overwrite"
+            ).parquet(f"{out_dir}/batch_{bid}")
 
         rg.drain(sink)
         # split the hottest segment at its key-range midpoint -> epoch 1
@@ -534,7 +539,7 @@ def streaming_scale_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.scale_stream("q", "ev", [hot["segment_id"]], [(lo, mid), (mid, hi)])
         store.write_events("q", "ev", _env(half_b))
         rg.drain(sink)  # resumes from checkpoint, crosses the epoch seam
-        acc = spark.read.parquet(out_dir)
+        acc = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
         epochs = [
             r["e"]
             for r in acc.select(

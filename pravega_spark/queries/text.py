@@ -16,9 +16,6 @@ deterministic mutated copies (doc_id + 1_000_000) inside the query.
 
 from __future__ import annotations
 
-import threading
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1505,102 +1502,12 @@ FROM matched ORDER BY doc_id
 """
 
 
-# serializes every check-GC-build sequence below: two harness threads
-# sharing one session (the r7 caching.py scenario) could both see
-# tableExists()==False and race rmtree/DROP/saveAsTable on the same
-# warehouse location (r7 ADVICE). One lock for ALL index prefixes —
-# builds are rare and short, and a single lock can never deadlock.
-_INDEX_BUILD_LOCK = threading.Lock()
-
-
-def _ensure_bucketed_index(
-    spark: SparkSession,
-    prefix: str,
-    tbl: str,
-    build_df: Callable[[], DataFrame],
-    keys: list[str],
-    n_buckets: int,
-) -> bool:
-    """Idempotently materialize ``tbl`` (= ``prefix`` + content key) as
-    a bucketed+sorted catalog table of ``build_df()``, GC'ing stale
-    siblings under the same prefix. False = warehouse unwritable; the
-    caller degrades to its unindexed (shuffling) twin.
-
-    Names are keyed by source CONTENT fingerprint (per-file size+mtime),
-    not just path — a regenerated corpus at the same path must mint a
-    NEW index, never serve stale rows; every regeneration therefore
-    also orphans the old name, so stale siblings (catalog entries AND
-    warehouse dirs a previous session's in-memory catalog forgot) are
-    dropped here before each build. A COMPLETE on-disk copy from a
-    previous session (_SUCCESS + matching bucket-spec marker) is
-    RE-ATTACHED as an external bucketed table instead of rebuilt —
-    metadata-only, same as sources/bucketed.py's fact tables; the
-    maintained index's whole point is that the standing corpus is
-    processed once, not once per session."""
-    import os as _os
-    import shutil as _shutil
-
-    from pravega_spark.sources.bucketing import bucketize, read_bucket_spec
-
-    with _INDEX_BUILD_LOCK:
-        if spark.catalog.tableExists(tbl):
-            return True
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        wh_dir = wh.removeprefix("file:")
-        loc = _os.path.join(wh_dir, tbl)
-
-        def _gc_siblings() -> None:
-            for t in spark.catalog.listTables():
-                if t.name.startswith(prefix) and t.name != tbl:
-                    try:
-                        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-                    except Exception:
-                        pass
-            if _os.path.isdir(wh_dir):
-                for d in _os.listdir(wh_dir):
-                    if d.startswith(prefix) and d != tbl:
-                        _shutil.rmtree(_os.path.join(wh_dir, d), ignore_errors=True)
-
-        spec = read_bucket_spec(loc)
-        spec_ok = (
-            spec is not None
-            and spec.get("keys") == keys
-            and spec.get("n_buckets") == n_buckets
-        )
-        if _os.path.isfile(_os.path.join(loc, "_SUCCESS")) and spec_ok:
-            try:
-                cols = ", ".join(
-                    f"`{f.name}` {f.dataType.simpleString()}"
-                    for f in build_df().schema.fields
-                )
-                sorted_by = f"SORTED BY ({', '.join(keys)}) " if spec.get("sorted") else ""
-                spark.sql(
-                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
-                    f"CLUSTERED BY ({', '.join(keys)}) {sorted_by}"
-                    f"INTO {n_buckets} BUCKETS LOCATION '{_os.path.abspath(loc)}'"
-                )
-                _gc_siblings()
-                return True
-            except Exception as e:
-                import warnings
-
-                warnings.warn(f"index re-attach of {tbl} failed ({e!r}); rebuilding")
-                try:
-                    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-                except Exception:
-                    pass
-        if _os.path.isdir(loc):
-            _shutil.rmtree(loc, ignore_errors=True)
-        _gc_siblings()
-        try:
-            # one file per bucket: sortBy sorts per FILE, so multi-file
-            # buckets would force a merge Sort back into every reader
-            bucketize(
-                spark, build_df().repartition(n_buckets, *keys), tbl, keys, n_buckets
-            )
-        except Exception:
-            return False
-    return True
+# the locked check-GC-build/re-attach sequence lives with the other
+# bucketing machinery; imported under the old name so existing tests
+# can keep monkeypatching this module's attribute
+from pravega_spark.sources.bucketing import (  # noqa: E402
+    ensure_bucketed_index as _ensure_bucketed_index,
+)
 
 
 def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,7 +23,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pravega_spark.sources.bucketing import bucketize
 from pravega_spark.sources.tables import load_table
 
 BUCKETS = int(os.environ.get("PRAVEGA_SPARK_BUCKETS", "16"))
@@ -55,72 +54,26 @@ def _source_fingerprint(sf_dir: str, name: str) -> str:
 
 
 def bucketed_table(spark: SparkSession, sf_dir: str, name: str, n_buckets: int | None = None) -> DataFrame:
-    """Load ``name`` as a table bucketed+sorted on its join key."""
+    """Load ``name`` as a table bucketed+sorted on its join key.
+
+    All mechanics (locked check-GC-build, cross-session re-attach of a
+    complete on-disk copy via its recorded bucket-spec marker, stale
+    content-keyed sibling GC, unwritable-warehouse degrade) live in
+    ``bucketing.ensure_bucketed_index`` — one implementation for the
+    fact tables and the maintained dedup/quantizer indexes (r8: the
+    r7 build-race lock now covers this path too)."""
+    from pravega_spark.sources.bucketing import ensure_bucketed_index
+
     n = n_buckets or BUCKETS
     key = _BUCKET_KEYS[name]
     sfh = _source_fingerprint(sf_dir, name)
     tbl = f"pvs_{name}_b{n}_{sfh}"
-    if not spark.catalog.tableExists(tbl):
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(wh.removeprefix("file:"), tbl)
-        # a previous SESSION may have left a complete bucketed copy on
-        # disk that the in-memory catalog forgot. The bucket id lives in
-        # each file's name, so re-registering the files as an external
-        # bucketed table restores the no-shuffle join without rewriting
-        # (the sf10 copy costs ~37 s to build; re-registration is
-        # metadata-only). _SUCCESS gates against half-written crashes;
-        # the fingerprinted name gates against stale sources.
-        # the DDL must declare exactly the layout the files HAVE: the
-        # writer records its spec in a marker, and re-attach derives
-        # CLUSTERED/SORTED BY from it. A copy without a matching marker
-        # (pre-marker leftovers, foreign spec) is rebuilt — declaring a
-        # sort order the files lack would let a merge join silently
-        # elide a needed sort.
-        from pravega_spark.sources.bucketing import read_bucket_spec
-
-        spec = read_bucket_spec(loc)
-        spec_ok = spec is not None and spec.get("keys") == [key] and spec.get("n_buckets") == n
-        if os.path.isfile(os.path.join(loc, "_SUCCESS")) and spec_ok:
-            try:
-                cols = ", ".join(
-                    f"`{f.name}` {f.dataType.simpleString()}"
-                    for f in load_table(spark, sf_dir, name).schema.fields
-                )
-                sorted_by = f"SORTED BY ({key}) " if spec.get("sorted") else ""
-                spark.sql(
-                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
-                    f"CLUSTERED BY ({key}) {sorted_by}INTO {n} BUCKETS "
-                    f"LOCATION '{os.path.abspath(loc)}'"
-                )
-                return spark.table(tbl)
-            except Exception as e:
-                # loud fall-through: a systematic DDL failure would
-                # otherwise silently demote every session to a rebuild
-                import warnings
-
-                warnings.warn(f"bucketed re-attach of {tbl} failed ({e!r}); rebuilding")
-                try:
-                    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-                except Exception:
-                    pass  # half-created entry may make DROP fail too; rebuild below
-        # no reusable copy: clear any partial files so saveAsTable can't
-        # collide, then build
-        if os.path.isdir(loc):
-            import shutil
-
-            shutil.rmtree(loc, ignore_errors=True)
-        try:
-            bucketize(
-                spark,
-                # one file per bucket, not one per input split
-                load_table(spark, sf_dir, name).repartition(n, key),
-                tbl,
-                keys=[key],
-                n_buckets=n,
-            )
-        except Exception:
-            # a host whose warehouse dir isn't writable can't hold the
-            # bucketed copy — results must not depend on the plan demo,
-            # so degrade to the plain (shuffling) table
-            return load_table(spark, sf_dir, name)
-    return spark.table(tbl)
+    if ensure_bucketed_index(
+        spark, f"pvs_{name}_b{n}_", tbl,
+        lambda: load_table(spark, sf_dir, name), [key], n,
+    ):
+        return spark.table(tbl)
+    # a host whose warehouse dir isn't writable can't hold the bucketed
+    # copy — results must not depend on the plan demo, so degrade to
+    # the plain (shuffling) table
+    return load_table(spark, sf_dir, name)
