@@ -426,6 +426,33 @@ def _find_claim(f, p: str, token: str):
     return None
 
 
+_INPROC_LOCKS: dict[str, object] = {}
+_INPROC_GUARD = None
+
+
+def _inproc_lock(path: str):
+    """Per-path in-process mutex fronting the cross-process file lock.
+
+    File-lock handoff between LOCAL contenders is poll-based (create →
+    fail → backoff), so two threads of one process trading a hot commit
+    lock paid 1-50 ms of sleep per handoff — the r9 x4-writer profile
+    showed lock_acquire p90 at 55 ms, worse than the serialized work it
+    guarded. Same-process contenders now queue on a real mutex (µs
+    handoff, OS-scheduled fairness) and only the queue head contends on
+    the file; cross-process exclusion is still the file protocol's job.
+    """
+    global _INPROC_GUARD
+    import threading
+
+    if _INPROC_GUARD is None:
+        _INPROC_GUARD = threading.Lock()
+    with _INPROC_GUARD:
+        lk = _INPROC_LOCKS.get(path)
+        if lk is None:
+            lk = _INPROC_LOCKS[path] = threading.Lock()
+        return lk
+
+
 def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
                  poll_s: float = 0.05) -> str:
     """Lease-based mutual exclusion.
@@ -463,11 +490,14 @@ def acquire_lock(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000,
         # claim-file election instead
         return _acquire_lock_claims(f, p, lease_ms, timeout_ms, poll_s, token)
     deadline = _time.time() + timeout_ms / 1000.0
-    # local contention is ms-scale (hard-link create, ~17 ms hot-append
-    # critical sections): a fixed poll_s=50 ms wait per handoff was
-    # measured to serialize 4 concurrent writers down to single-writer
-    # throughput (r8). Back off exponentially from 1 ms instead, capped
-    # at the caller's poll_s — two cheap syscalls per retry.
+    # local contention is ms-scale (hard-link create, ~3 ms reserve/
+    # publish critical sections): a fixed poll_s=50 ms wait per handoff
+    # was measured to serialize 4 concurrent writers down to single-
+    # writer throughput (r8). Back off exponentially from 1 ms, capped
+    # at 4 ms (two cheap syscalls per retry — ~250/s polling worst
+    # case, negligible) so a cross-process handoff never waits an order
+    # of magnitude longer than the critical section it follows.
+    poll_s = min(poll_s, 0.004)
     sleep_s = 0.001
     while True:
         payload = _json.dumps(
@@ -543,41 +573,100 @@ def release_lock(path: str, token: str) -> None:
         remove(path)
 
 
-def locked(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000):
-    """Context manager: lease lock with background heartbeat renewal.
+_HELD_LOCKS: dict[str, list] = {}  # token -> [path, lease_ms, last_renew_monotonic]
+_HELD_GUARD = None
+_RENEWER_STARTED = False
 
-    The heartbeat (every lease/3) keeps a live holder's lease fresh for
-    as long as its critical section runs — a multi-minute distributed
+
+def _register_held(token: str, path: str, lease_ms: int) -> None:
+    """Track a held lease for the SHARED renewer thread.
+
+    One daemon thread renews every held lease that has run past
+    lease/3 — replacing the per-acquisition heartbeat thread, whose
+    create + join cost ~65 ms per hot append under 4-writer GIL
+    contention (r9 profile: thread wake latency dominated the commit,
+    not the lock work itself). Renewals happen UNDER the registry guard
+    so a concurrent release blocks until an in-flight renew of its
+    entry finishes — a renew racing past release would resurrect a
+    freed lock file and stall the next acquirer for a full lease.
+    """
+    global _HELD_GUARD, _RENEWER_STARTED
+    import threading
+    import time as _time
+
+    if _HELD_GUARD is None:
+        _HELD_GUARD = threading.Lock()
+    with _HELD_GUARD:
+        _HELD_LOCKS[token] = [path, lease_ms, _time.monotonic()]
+        if not _RENEWER_STARTED:
+            _RENEWER_STARTED = True
+
+            def _renew_loop():
+                while True:
+                    with _HELD_GUARD:
+                        leases = [ent[1] for ent in _HELD_LOCKS.values()]
+                    # wake often enough to renew the SHORTEST held lease
+                    # well inside its lease/3 budget (tests use sub-second
+                    # leases; production commit locks are 30 s)
+                    _time.sleep(min(1.0, min(leases) / 9000.0) if leases else 0.5)
+                    with _HELD_GUARD:
+                        now = _time.monotonic()
+                        for tok, ent in list(_HELD_LOCKS.items()):
+                            p, lease, last = ent
+                            if now - last < lease / 3000.0:
+                                continue
+                            try:
+                                if renew_lock(p, tok, lease):
+                                    ent[2] = now
+                                else:
+                                    del _HELD_LOCKS[tok]  # fenced out
+                            except Exception:
+                                del _HELD_LOCKS[tok]
+
+            threading.Thread(target=_renew_loop, daemon=True, name="fsio-lock-renewer").start()
+
+
+def _unregister_held(token: str) -> None:
+    if _HELD_GUARD is None:
+        return
+    with _HELD_GUARD:
+        _HELD_LOCKS.pop(token, None)
+
+
+def locked(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000):
+    """Context manager: lease lock with background renewal.
+
+    The shared renewer (every lease/3 once a section runs that long)
+    keeps a live holder's lease fresh — a multi-minute distributed
     write job under the commit lock is never fenced merely for being
-    slow. If the heartbeat ever finds the lock gone or re-owned (a real
-    pause longer than the lease), it stops silently: the holder's
-    version-conditional document write is what then rejects the commit.
+    slow; millisecond sections never pay a renewal. If renewal finds
+    the lock gone or re-owned (a real pause longer than the lease), it
+    stops silently: the holder's version-conditional document write is
+    what then rejects the commit. Same-process contenders serialize on
+    an in-process mutex first (µs handoff); the file protocol only
+    arbitrates across processes.
     """
     from contextlib import contextmanager
 
     @contextmanager
     def _guard():
-        import threading
-
-        token = acquire_lock(path, lease_ms, timeout_ms)
-        stop = threading.Event()
-
-        def _beat():
-            while not stop.wait(lease_ms / 3000.0):
-                try:
-                    if not renew_lock(path, token, lease_ms):
-                        return
-                except Exception:
-                    return
-
-        t = threading.Thread(target=_beat, daemon=True, name=f"lock-renew:{path}")
-        t.start()
+        local = _inproc_lock(path)
+        if not local.acquire(timeout=timeout_ms / 1000.0):
+            raise TimeoutError(f"lock {path} not acquired within {timeout_ms}ms (in-process)")
+        try:
+            token = acquire_lock(path, lease_ms, timeout_ms)
+        except BaseException:
+            local.release()
+            raise
+        _register_held(token, path, lease_ms)
         try:
             yield token
         finally:
-            stop.set()
-            t.join(timeout=2.0)
-            release_lock(path, token)
+            _unregister_held(token)
+            try:
+                release_lock(path, token)
+            finally:
+                local.release()
 
     return _guard()
 
@@ -671,6 +760,18 @@ def parquet_write_table(table, path: str, use_deprecated_int96: bool = False) ->
         f.create_dir(parent, recursive=True)
     pq.write_table(table, p, compression="snappy", filesystem=f,
                    use_deprecated_int96_timestamps=use_deprecated_int96)
+
+
+def parquet_read_table(path: str):
+    """Read one parquet file into an Arrow table (crash-repair path:
+    renumbering a pending commit's offsets after a reservation expires,
+    store.py ``_reap_reservations_locked``)."""
+    import pyarrow.parquet as pq
+
+    f, p = _split(path)
+    if f is None:
+        return pq.read_table(p)
+    return pq.read_table(p, filesystem=f)
 
 
 def parquet_num_rows(path: str) -> int:

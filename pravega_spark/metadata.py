@@ -262,27 +262,36 @@ class MetadataStore:
         self._write(self._doc_path(scope, stream, "segments.json"), doc)
 
     # ---------- sharded per-segment file manifests ----------
-    def _manifest_path(self, scope: str, stream: str, sid: str, version: int) -> str:
+    def _manifest_path(self, scope: str, stream: str, sid: str, version) -> str:
+        # ``version`` is an int for legacy/compaction snapshots, a tag
+        # string for r9 chain-fold snapshots — both name uniquely
         return self._doc_path(scope, stream, "manifests", f"{sid}.{version}.json")
 
     def write_segment_manifest(self, scope: str, stream: str, sid: str,
-                               version: int, files: list[str]) -> None:
+                               version, files: list[str]) -> None:
         self._write(self._manifest_path(scope, stream, sid, version), {"files": files})
 
-    def drop_segment_manifest(self, scope: str, stream: str, sid: str, version: int) -> None:
+    def drop_segment_manifest(self, scope: str, stream: str, sid: str, version) -> None:
         fsio.remove(self._manifest_path(scope, stream, sid, version))
 
     def segment_files(self, scope: str, stream: str, sid: str, entry: dict) -> list[str]:
-        """Resolve a segment's committed file list: inline (legacy) or
-        from its sharded manifest pointer. Callers hold the commit lock
-        (a held lock guarantees the pointed-to shard exists); lockless
-        readers use :meth:`resolve_files`, which retries the race where
-        a commit GCs the old shard between doc read and shard read."""
+        """Resolve a segment's committed file list: snapshot shard (the
+        ``manifest`` pointer) plus the inline ``chain`` of files
+        committed since that snapshot (r9: the hot commit appends file
+        names to the bounded in-doc chain — O(1) per commit — and folds
+        the chain into a fresh snapshot shard every CHAIN_MAX commits,
+        so the doc stays O(segments), never O(stream files)). Legacy
+        inline ``files`` lists still resolve. Callers hold the commit
+        lock (a held lock guarantees the pointed-to shard exists);
+        lockless readers use :meth:`resolve_files`, which retries the
+        race where a commit GCs the old shard between doc read and
+        shard read."""
+        chain = list(entry.get("chain", ()))
         if "files" in entry:
-            return list(entry["files"])
+            return list(entry["files"]) + chain
         v = entry.get("manifest")
         if v is None:
-            return []
+            return chain
         doc = self._read(self._manifest_path(scope, stream, sid, v), None)
         if doc is None:
             # dangling pointer: the doc we were handed went stale and the
@@ -291,7 +300,7 @@ class MetadataStore:
             raise ConcurrentModificationException(
                 f"{scope}/{stream} segment {sid}: manifest shard v{v} missing"
             )
-        return list(doc["files"])
+        return list(doc["files"]) + chain
 
     def resolve_files(self, scope: str, stream: str) -> tuple[dict, dict[str, list[str]]]:
         """Lockless snapshot (segments, {sid: files}) for readers.

@@ -85,6 +85,41 @@ _UNKNOWN_EST_BYTES = 1 << 60
 # Arrow — trivially driver-sized; trigger sizing bounds it at scale).
 HOT_MAX_ROWS = int(os.environ.get("PRAVEGA_SPARK_HOT_MAX_ROWS", "200000"))
 
+# Lease on a reserved-but-unpublished offset range (the split hot-append
+# commit, r9): a writer that reserved offsets but never published within
+# the grace is presumed crashed; the next lock holder repairs the gap
+# (_reap_reservations_locked). Generous on purpose — a live writer's
+# payload write is milliseconds, so the grace only bounds how long a
+# crash can stall seal/scale and later writers' visibility, and a large
+# value tolerates cross-process clock skew on shared roots.
+RESERVATION_GRACE_MS = int(os.environ.get("PRAVEGA_SPARK_RESERVATION_GRACE_MS", "30000"))
+
+# Per-segment in-doc file-name chain length at which the chain folds
+# into a snapshot manifest shard (see metadata.segment_files): bounds
+# the segments doc at O(segments * CHAIN_MAX names) while keeping the
+# common commit free of any O(files/segment) manifest rewrite.
+CHAIN_MAX = int(os.environ.get("PRAVEGA_SPARK_CHAIN_MAX", "64"))
+
+_IO_POOL = None
+
+
+def _io_pool():
+    """Shared thread pool for per-segment parquet + manifest-shard I/O.
+
+    Module-level on purpose: a fresh ThreadPoolExecutor per append was
+    ~3.5 ms of pure thread spin-up on the hot ack path (measured r9,
+    100 KiB-event batches) — paid inside the commit critical section's
+    shadow under concurrent writers. pyarrow releases the GIL for file
+    I/O, so one pool serves all writers; tasks are sub-millisecond so
+    fairness across writers is a non-issue.
+    """
+    global _IO_POOL
+    if _IO_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _IO_POOL = ThreadPoolExecutor(max_workers=16, thread_name_prefix="pvs-io")
+    return _IO_POOL
+
 
 @dataclass
 class StreamInfo:
@@ -317,8 +352,48 @@ class StreamStore:
         self.meta.update_stream(scope, stream, config)
 
     def seal_stream(self, scope: str, stream: str) -> None:
-        with self._commit_lock(scope, stream):
-            self.meta.seal_stream(scope, stream)
+        self._with_quiescent_lock(scope, stream, lambda: self.meta.seal_stream(scope, stream))
+
+    def _with_quiescent_lock(self, scope: str, stream: str, fn, timeout_s: float | None = None):
+        """Run ``fn`` under the commit lock with NO open reservations or
+        pending entries — operations that freeze segment tails (seal,
+        scale) must not race a hot append that holds a reserved offset
+        range, and a sealed segment's tail must be final the moment it
+        seals. Hot publishes land in milliseconds, so the drain loop is
+        normally 0-1 iterations; a crashed writer bounds it at the
+        reservation grace (its gap is reaped, stranded pendings absorb).
+        """
+        if timeout_s is None:
+            timeout_s = RESERVATION_GRACE_MS / 1000.0 + 30.0
+        path = self._stream_path(scope, stream)
+        deadline = time.time() + timeout_s
+        while True:
+            with self._commit_lock(scope, stream):
+                doc = self.meta.segments_doc(scope, stream)
+                obsolete = self._reap_reservations_locked(doc, path)
+                if not doc.get("reservations") and not doc.get("pending"):
+                    if obsolete is not None:
+                        self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+                        for rel in obsolete:
+                            fsio.remove(fsio.join(path, rel))
+                    return fn()
+                absorbable = any(
+                    entries and min(e["base"] for e in entries)
+                    == doc["segments"].get(sid_str, {}).get("tail_offset", 0)
+                    for sid_str, entries in doc.get("pending", {}).items()
+                )
+                if obsolete is not None or absorbable:
+                    # absorb whatever became contiguous (a reaped gap can
+                    # strand pendings nobody else will ever flip in)
+                    self._publish_locked(
+                        scope, stream, doc, {}, None, None, obsolete=obsolete or ()
+                    )
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"{scope}/{stream}: open reservations/pending commits did not "
+                    f"drain within {timeout_s:.0f}s"
+                )
+            time.sleep(0.002)
 
     def delete_stream(self, scope: str, stream: str) -> None:
         self.meta.delete_stream(scope, stream)
@@ -484,19 +559,10 @@ class StreamStore:
                 tbl = tbl.set_column(tbl.column_names.index(EVENT_TIME), EVENT_TIME, col)
             else:
                 tbl = tbl.append_column(EVENT_TIME, col)
-        with self._commit_lock(scope, stream):
-            doc = self.meta.segments_doc(scope, stream)
-            if self._already_applied(doc, writer_marker, None):
-                return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
-            ranges = self.meta.active_ranges(scope, stream)
-            tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
-            path = self._stream_path(scope, stream)
-            tag = uuid.uuid4().hex[:8]
-            new_files, counts = self._write_hot_batch(tbl, ranges, tails, [], path, tag)
-            return self._publish_manifest(
-                scope, stream, doc, new_files, counts, writer_marker, txn_marker=None,
-                attribute_updates=attribute_updates,
-            )
+        return self._hot_commit(
+            scope, stream, tbl, [], writer_marker, txn_marker=None,
+            attribute_updates=attribute_updates,
+        )
 
     def append_table(
         self,
@@ -543,18 +609,7 @@ class StreamStore:
                 tbl = tbl.set_column(tbl.column_names.index(EVENT_TIME), EVENT_TIME, col)
             else:
                 tbl = tbl.append_column(EVENT_TIME, col)
-        with self._commit_lock(scope, stream):
-            doc = self.meta.segments_doc(scope, stream)
-            if self._already_applied(doc, writer_marker, None):
-                return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
-            ranges = self.meta.active_ranges(scope, stream)
-            tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
-            path = self._stream_path(scope, stream)
-            tag = uuid.uuid4().hex[:8]
-            new_files, counts = self._write_hot_batch(tbl, ranges, tails, [], path, tag)
-            return self._publish_manifest(
-                scope, stream, doc, new_files, counts, writer_marker, txn_marker=None
-            )
+        return self._hot_commit(scope, stream, tbl, [], writer_marker, txn_marker=None)
 
     @staticmethod
     def _already_applied(doc: dict, writer_marker, txn_marker) -> bool:
@@ -623,47 +678,71 @@ class StreamStore:
         order_cols = [c for c in ("_part", "_seq") if c in staged.columns]
         tag = uuid.uuid4().hex[:8]
 
+        # Tier routing runs OUTSIDE the lock (r9): the estimate/probe is
+        # a pure function of the batch, and collecting a hot batch is a
+        # Spark action no concurrent writer should serialize behind. A
+        # replayed duplicate now pays this collect before the reserve-
+        # time dedup check catches it — retries are the rare path.
+        est = self._estimate_bytes(staged)
+        hot = None
+        if 0 < HOT_MAX_EST_BYTES >= est:
+            hot = staged.toArrow()
+        elif (
+            HOT_MAX_EST_BYTES > 0
+            and est >= _UNKNOWN_EST_BYTES
+            and HOT_MAX_ROWS > 0
+            and not (row_count_hint is not None and row_count_hint > HOT_MAX_ROWS)
+        ):
+            # HOT_MAX_EST_BYTES=0 disables the hot tier entirely —
+            # including this unknown-stats probe branch. An exact
+            # row-count hint above the cap skips the probe outright:
+            # the old behavior paid a discarded bounded collect AND
+            # the distributed scan for every oversized trigger
+            # no Catalyst stats (Python-source micro-batch): bounded
+            # collect in ONE action — if the batch fits the hot cap
+            # we already hold all of it; only an oversized trigger
+            # pays a second (distributed) scan. Rows are bounded by
+            # the limit; BYTES are bounded by the driver's
+            # maxResultSize guard — wide-payload batches that trip
+            # it route to the distributed tier instead of failing.
+            try:
+                probe = staged.limit(HOT_MAX_ROWS + 1).toArrow()
+                if probe.num_rows <= HOT_MAX_ROWS:
+                    hot = probe
+            except Exception:
+                hot = None
+        if hot is not None:
+            return self._hot_commit(scope, stream, hot, order_cols, writer_marker, txn_marker)
+
+        # Distributed tier: the write job is long, so it keeps the
+        # legacy shape — one lock session around offset assignment,
+        # write, and publish (the heartbeat keeps the lease fresh).
+        # Offsets base at the RESERVED tail, so a hot writer that
+        # reserved before this job took the lock keeps its range; this
+        # commit then lands as a pending entry until that writer
+        # publishes (see _publish_locked).
         with self._commit_lock(scope, stream):
             doc = self.meta.segments_doc(scope, stream)
+            obsolete = self._reap_reservations_locked(doc, path)
             if self._already_applied(doc, writer_marker, txn_marker):
+                if obsolete is not None:
+                    self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+                    for rel in obsolete:
+                        fsio.remove(fsio.join(path, rel))
                 return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
             ranges = self.meta.active_ranges(scope, stream)
-            tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
-            est = self._estimate_bytes(staged)
-            hot = None
-            if 0 < HOT_MAX_EST_BYTES >= est:
-                hot = staged.toArrow()
-            elif (
-                HOT_MAX_EST_BYTES > 0
-                and est >= _UNKNOWN_EST_BYTES
-                and HOT_MAX_ROWS > 0
-                and not (row_count_hint is not None and row_count_hint > HOT_MAX_ROWS)
-            ):
-                # HOT_MAX_EST_BYTES=0 disables the hot tier entirely —
-                # including this unknown-stats probe branch. An exact
-                # row-count hint above the cap skips the probe outright:
-                # the old behavior paid a discarded bounded collect AND
-                # the distributed scan for every oversized trigger
-                # no Catalyst stats (Python-source micro-batch): bounded
-                # collect in ONE action — if the batch fits the hot cap
-                # we already hold all of it; only an oversized trigger
-                # pays a second (distributed) scan. Rows are bounded by
-                # the limit; BYTES are bounded by the driver's
-                # maxResultSize guard — wide-payload batches that trip
-                # it route to the distributed tier instead of failing.
-                try:
-                    probe = staged.limit(HOT_MAX_ROWS + 1).toArrow()
-                    if probe.num_rows <= HOT_MAX_ROWS:
-                        hot = probe
-                except Exception:
-                    hot = None
-            if hot is not None:
-                new_files, counts = self._write_hot_batch(hot, ranges, tails, order_cols, path, tag)
-            else:
-                new_files, counts = self._write_distributed_batch(
-                    staged, ranges, tails, order_cols, path, tag
-                )
-            return self._publish_manifest(scope, stream, doc, new_files, counts, writer_marker, txn_marker)
+            bases = {sid: self._reserved_tail(doc, str(sid)) for sid, _, _ in ranges}
+            new_files, counts = self._write_distributed_batch(
+                staged, ranges, bases, order_cols, path, tag
+            )
+            entries = {
+                sid: {"base": bases[sid], "n": counts[sid], "files": files}
+                for sid, files in new_files.items()
+            }
+            return self._publish_locked(
+                scope, stream, doc, entries, writer_marker, txn_marker,
+                obsolete=obsolete or (),
+            )
 
     @staticmethod
     def _estimate_bytes(df: DataFrame) -> int:
@@ -675,29 +754,37 @@ class StreamStore:
         except Exception:
             return 1 << 62
 
-    def _write_hot_batch(
+    def _hot_commit(
         self,
+        scope: str,
+        stream: str,
         tbl,
-        ranges,
-        tails: dict[int, int],
         order_cols: list[str],
-        path: str,
-        tag: str,
-    ) -> tuple[dict[int, list[str]], dict[int, int]]:
-        """Driver-side commit of a small Arrow batch: segment routing via
-        the scalar twin of the JVM hash, offsets by arrival order, one
-        parquet file per touched segment — the hot-tier append ack.
+        writer_marker: tuple[str, int] | None,
+        txn_marker: str | None = None,
+        attribute_updates: dict[int, list[tuple]] | None = None,
+    ) -> dict[int, int]:
+        """Driver-side append: reserve offsets → write payload OUTSIDE
+        the lock → publish.
 
-        Pure-Arrow on purpose: a pandas round-trip would upconvert the
-        µs timestamps Spark emitted to ns, and this session reads
-        TIMESTAMP(NANOS) parquet as LONG (nanosAsLong) — the hot files
-        must carry exactly the types the distributed writer produces.
+        The r8 profile showed the entire append (payload parquet encode
+        + manifest shards + doc flip) inside ONE per-stream critical
+        section, ~84% lock-busy under 4 writers — aggregate throughput
+        was flat in writer count (x4 ≈ x1). The reference serializes
+        appends per SEGMENT inside the owning segment store
+        (AppendProcessor.java:302), not per stream; this split gets the
+        same concurrency on a shared stream: only the offset-range
+        reservation and the manifest flip hold the lock (~2-3 ms each),
+        while payload encode/write — the dominant cost — overlaps
+        across writers. Durability ordering is unchanged: files land
+        before the doc references them, and a crash between reserve and
+        publish leaves an expired reservation whose gap the next lock
+        holder repairs (_reap_reservations_locked).
         """
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         if tbl.num_rows == 0:
-            return {}, {}
+            return self.meta.tail_offsets(scope, stream)
         if order_cols:
             # _seq (and _part) are unique, so sort order is total
             tbl = tbl.sort_by([(c, "ascending") for c in order_cols])
@@ -708,17 +795,171 @@ class StreamStore:
         stale = [c for c in (SEGMENT_ID, OFFSET, INGEST_TIME) if c in tbl.column_names]
         if stale:
             tbl = tbl.drop_columns(stale)
-        keys = tbl[ROUTING_KEY].to_pylist()
-        uniq = {k: segment_for_key_py(k, ranges) for k in set(keys)}
-        seg_arr = pa.array((uniq[k] for k in keys), type=pa.int64())
+        path = self._stream_path(scope, stream)
+        deadline = time.time() + RESERVATION_GRACE_MS / 1000.0 + 60.0
+        while True:
+            # --- route (outside the lock; epoch validated under it) ---
+            epoch = self.meta.active_epoch(scope, stream)
+            ranges = [(s["segment_id"], s["key_start"], s["key_end"]) for s in epoch["segments"]]
+            keys = tbl[ROUTING_KEY].to_pylist()
+            uniq = {k: segment_for_key_py(k, ranges) for k in set(keys)}
+            seg_ids = [uniq[k] for k in keys]
+            seg_arr = pa.array(seg_ids, type=pa.int64())
+            counts: dict[int, int] = {}
+            for sid in seg_ids:
+                counts[sid] = counts.get(sid, 0) + 1
+
+            # --- phase 1: reserve (short lock) ---
+            retry = False
+            with self._commit_lock(scope, stream):
+                doc = self.meta.segments_doc(scope, stream)
+                obsolete = self._reap_reservations_locked(doc, path)
+                if self._already_applied(doc, writer_marker, txn_marker):
+                    if obsolete is not None:
+                        self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+                        for rel in obsolete:
+                            fsio.remove(fsio.join(path, rel))
+                    return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
+                # same-writer / same-txn in-flight guard: a concurrent
+                # retry of a batch whose FIRST attempt holds an open
+                # reservation must wait for it to publish (→ dedup) or
+                # expire (→ this attempt re-reserves; the dead attempt's
+                # files stay invisible orphans) — without this, both
+                # would pass the writer_seqs check and double-append.
+                inflight = any(
+                    (writer_marker is not None and r.get("writer") == writer_marker[0])
+                    or (txn_marker is not None and r.get("txn") == txn_marker)
+                    for r in doc.get("reservations", {}).values()
+                )
+                if inflight:
+                    retry = True
+                    if obsolete is not None:
+                        self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+                        for rel in obsolete:
+                            fsio.remove(fsio.join(path, rel))
+                else:
+                    # Stale routing (a scale landed since we read the
+                    # epoch) is detected HERE without re-reading the
+                    # epochs doc: scale only repartitions the SEALED
+                    # segments' key space, so a stale route either hits
+                    # a carried segment (same range — still correct) or
+                    # a sealed one — which _reserve_locked rejects and
+                    # we re-route against the fresh epoch.
+                    try:
+                        res_id, bases = self._reserve_locked(doc, counts, writer_marker, txn_marker)
+                    except StreamSealedException:
+                        retry = True
+                        res_id = None
+                    if res_id is not None:
+                        self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+                        for rel in obsolete or ():
+                            fsio.remove(fsio.join(path, rel))
+            if retry:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"append to {scope}/{stream} could not reserve offsets "
+                        f"within the reservation grace window"
+                    )
+                time.sleep(0.002)
+                continue
+
+            # --- phase 2: payload (NO lock — overlaps across writers) ---
+            # A crash here leaves the reservation to expire; any files
+            # already written are invisible orphans (fsck reaps them).
+            tag = uuid.uuid4().hex[:8]
+            new_files, wcounts = self._write_hot_batch(tbl, seg_arr, bases, path, tag)
+
+            # --- phase 3: publish (short lock) ---
+            with self._commit_lock(scope, stream):
+                doc = self.meta.segments_doc(scope, stream)
+                obsolete = self._reap_reservations_locked(doc, path, keep=res_id)
+                res = doc.get("reservations", {}).pop(res_id, None)
+                if res is None or any(
+                    res["segs"][str(sid)][0] != base for sid, base in bases.items()
+                ):
+                    # fenced: we were paused past the grace and the gap
+                    # was repaired (reservation reaped, or an expired
+                    # sibling's removal shifted our unreclaimed entry).
+                    # Our files' absolute offsets are no longer valid —
+                    # orphan them and retry from routing; writer_seqs
+                    # were never advanced, so exactly-once holds. (The
+                    # pop above already discarded the shifted entry.)
+                    if obsolete is not None or res is not None:
+                        self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+                        for rel in obsolete or ():
+                            fsio.remove(fsio.join(path, rel))
+                    retry = True
+                else:
+                    entries = {
+                        sid: {"base": bases[sid], "n": wcounts[sid], "files": files}
+                        for sid, files in new_files.items()
+                    }
+                    try:
+                        return self._publish_locked(
+                            scope, stream, doc, entries, writer_marker, txn_marker,
+                            attribute_updates=attribute_updates, obsolete=obsolete or (),
+                        )
+                    except BaseException:
+                        # aborted commit (e.g. failed attribute CAS): the
+                        # holder is alive and KNOWS it will never publish
+                        # — release the reserved range NOW instead of
+                        # stalling later writers for the grace window.
+                        # The in-memory doc is mid-mutation; re-read the
+                        # stored one, force-expire our entry, and let the
+                        # reap rules clear it (or mark it for the next
+                        # lock holder if a live reservation sits above).
+                        doc2 = self.meta.segments_doc(scope, stream)
+                        if res_id in doc2.get("reservations", {}):
+                            doc2["reservations"][res_id]["ts"] = -(1 << 50)
+                            cancel_obs = self._reap_reservations_locked(doc2, path)
+                            self.meta.put_segments_doc(
+                                scope, stream, doc2, expected_version=doc2["version"]
+                            )
+                            for rel in cancel_obs or ():
+                                fsio.remove(fsio.join(path, rel))
+                        raise
+            for files in new_files.values():  # best-effort orphan cleanup
+                for rel in files:
+                    try:
+                        fsio.remove(fsio.join(path, rel))
+                    except OSError:
+                        pass
+            if time.time() > deadline:
+                raise TimeoutError(f"append to {scope}/{stream} repeatedly fenced")
+
+    def _write_hot_batch(
+        self,
+        tbl,
+        seg_arr,
+        bases: dict[int, int],
+        path: str,
+        tag: str,
+    ) -> tuple[dict[int, list[str]], dict[int, int]]:
+        """Write one parquet file per touched segment at pre-reserved
+        offsets — the payload half of the hot append, called WITHOUT the
+        commit lock (offsets were fixed at reserve time, so nothing here
+        depends on shared state).
+
+        Pure-Arrow on purpose: a pandas round-trip would upconvert the
+        µs timestamps Spark emitted to ns, and this session reads
+        TIMESTAMP(NANOS) parquet as LONG (nanosAsLong) — the hot files
+        must carry exactly the types the distributed writer produces.
+        Per-segment writes fan out over the shared module pool
+        (pyarrow's parquet writer releases the GIL), mirroring the
+        distributed tier's thread-pooled promotion.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         ts_us = pa.timestamp("us", tz="UTC")
         now = pa.scalar(int(time.time() * 1_000_000)).cast(ts_us)
+
         def _write_seg(sid: int) -> tuple[int, str, int] | None:
             seg = tbl.filter(pc.equal(seg_arr, sid))
             n = seg.num_rows
             if n == 0:
                 return None
-            base = tails.get(sid, 0)
+            base = bases[sid]
             s = seg.append_column(OFFSET, pa.array(range(base, base + n), type=pa.int64()))
             s = s.append_column(INGEST_TIME, pa.array([now.as_py()] * n, type=ts_us))
             if EVENT_TIME not in s.column_names:
@@ -727,28 +968,13 @@ class StreamStore:
             fsio.parquet_write_table(s, fsio.join(path, dst_rel))
             return sid, dst_rel, n
 
-        # per-segment writes are independent; pyarrow's parquet writer
-        # releases the GIL, so for BULK batches a thread pool overlaps
-        # the file I/O (mirrors the distributed tier's thread-pooled
-        # promotion). Small latency-critical acks (the reference's
-        # writeEvent dimension) stay serial — pool spin-up would tax
-        # the millisecond path for no overlap win on tiny files. "Bulk"
-        # is by ROWS or BYTES: a 50-event batch of 100 KiB payloads
-        # (the reference benchmark's shape) is a 5 MiB write whose 6-10
-        # per-segment files dominate the append ack when serialized
-        # (measured r8: ~10 of 17 ms) — pooling them is the difference
-        # between single-writer and aggregate throughput under the
-        # per-stream commit lock.
-        from concurrent.futures import ThreadPoolExecutor
-
-        sids = sorted(set(uniq.values()))
+        sids = sorted(bases)
+        if len(sids) == 1:
+            results = [_write_seg(sids[0])]
+        else:
+            results = list(_io_pool().map(_write_seg, sids))
         new_files: dict[int, list[str]] = {}
         counts: dict[int, int] = {}
-        if len(sids) == 1 or (tbl.num_rows < 4096 and tbl.nbytes < 1_000_000):
-            results = [_write_seg(s) for s in sids]
-        else:
-            with ThreadPoolExecutor(max_workers=min(8, len(sids))) as pool:
-                results = list(pool.map(_write_seg, sids))
         for r in results:
             if r is None:
                 continue
@@ -761,12 +987,12 @@ class StreamStore:
         self,
         staged: DataFrame,
         ranges,
-        tails: dict[int, int],
+        bases: dict[int, int],
         order_cols: list[str],
         path: str,
         tag: str,
     ) -> tuple[dict[int, list[str]], dict[int, int]]:
-        base = F.create_map(*[x for sid in [r[0] for r in ranges] for x in (F.lit(sid), F.lit(tails.get(sid, 0)))])
+        base = F.create_map(*[x for sid in [r[0] for r in ranges] for x in (F.lit(sid), F.lit(bases.get(sid, 0)))])
         # arrival order: optional txn part number first, then intra-part seq
         w = Window.partitionBy(SEGMENT_ID).orderBy(*[F.col(c) for c in order_cols])
         out = (
@@ -802,11 +1028,8 @@ class StreamStore:
                 return None
             return sid, dst_rel, n
 
-        from concurrent.futures import ThreadPoolExecutor
-
         rels = sorted(self._list_data_files(tmp))
-        with ThreadPoolExecutor(max_workers=min(16, max(1, len(rels)))) as pool:
-            promoted = [r for r in pool.map(_promote, rels) if r is not None]
+        promoted = [r for r in _io_pool().map(_promote, rels) if r is not None]
         fsio.rmtree(tmp)
         new_files: dict[int, list[str]] = {}
         counts: dict[int, int] = {}
@@ -815,69 +1038,242 @@ class StreamStore:
             counts[sid] = counts.get(sid, 0) + n
         return new_files, counts
 
-    def _publish_manifest(
+    # ---------- reservation protocol (r9: per-stream lock sharding) ----------
+    # The segments doc carries two extra structures so the hot append can
+    # release the lock while its payload writes:
+    #   reservations: {res_id: {"segs": {sid: [base, n]}, "ts": ms,
+    #                           "writer"/"txn": marker}} — offset ranges
+    #     handed out but not yet published;
+    #   pending: {sid: [{"base", "n", "files"}]} — published (durable,
+    #     acked) commits whose offsets are not yet contiguous with the
+    #     visible tail because an earlier reservation is still open.
+    # Readers see ONLY the manifest, so both structures are invisible to
+    # the data plane until absorption flips them in.
+
+    @staticmethod
+    def _reserved_tail(doc: dict, sid_str: str) -> int:
+        """Next free offset in a segment: visible tail plus every open
+        reservation and un-absorbed pending entry above it."""
+        t = doc["segments"].get(sid_str, {}).get("tail_offset", 0)
+        for e in doc.get("pending", {}).get(sid_str, ()):
+            t = max(t, e["base"] + e["n"])
+        for r in doc.get("reservations", {}).values():
+            seg = r["segs"].get(sid_str)
+            if seg:
+                t = max(t, seg[0] + seg[1])
+        return t
+
+    def _reserve_locked(
+        self,
+        doc: dict,
+        counts: dict[int, int],
+        writer_marker: tuple[str, int] | None,
+        txn_marker: str | None = None,
+    ) -> tuple[str, dict[int, int]]:
+        """Claim [reserved_tail, reserved_tail+n) per touched segment.
+        Mutates ``doc``; the caller persists it (conditional write) and
+        may then write payload files at these offsets WITHOUT the lock.
+        """
+        res_id = uuid.uuid4().hex
+        segs: dict[str, list[int]] = {}
+        for sid, n in counts.items():
+            sid_str = str(sid)
+            seg = doc["segments"].setdefault(
+                sid_str, {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0}
+            )
+            if seg.get("sealed"):
+                raise StreamSealedException(f"segment {sid} is sealed")
+            segs[sid_str] = [self._reserved_tail(doc, sid_str), int(n)]
+        entry: dict = {"segs": segs, "ts": int(time.time() * 1000)}
+        if writer_marker is not None:
+            entry["writer"] = writer_marker[0]
+        if txn_marker is not None:
+            entry["txn"] = txn_marker
+        doc.setdefault("reservations", {})[res_id] = entry
+        return res_id, {int(s): b for s, (b, _n) in segs.items()}
+
+    def _reap_reservations_locked(
+        self, doc: dict, path: str, keep: str | None = None
+    ) -> list[str] | None:
+        """Repair gaps left by writers that crashed between reserve and
+        publish. Called under the commit lock by every lock holder.
+
+        An expired reservation is droppable iff no LIVE reservation sits
+        above any of its ranges (shifting a live holder's base would
+        invalidate the absolute offsets its payload files already
+        carry). Dropping it shifts every pending entry and expired
+        sibling above it down by the gap; pending files are REWRITTEN
+        under new names with renumbered offsets — crash-safe ordering:
+        new-name files land first, the caller's conditional doc write
+        flips the names, and only then are the old names deletable.
+
+        Returns None if the doc is untouched, else the list of obsolete
+        (old-name) file rel-paths the caller must delete AFTER its doc
+        write. A crash before that write leaves the new-name files as
+        invisible orphans; after it, the old names — either way fsck
+        reaps them.
+        """
+        res = doc.get("reservations")
+        if not res:
+            return None
+        now = int(time.time() * 1000)
+        # ``keep``: the caller's OWN reservation (publish path) — its
+        # holder is provably alive, so it is live regardless of age and
+        # its ranges block shifts like any live reservation's
+        expired = {
+            rid for rid, r in res.items()
+            if rid != keep and now - r["ts"] > RESERVATION_GRACE_MS
+        }
+        if not expired:
+            return None
+        obsolete: list[str] = []
+        changed = False
+        for rid in sorted(expired):
+            r = res.get(rid)
+            if r is None:
+                continue
+            blocked = any(
+                rid2 not in expired
+                and sid_str in r2["segs"]
+                and r2["segs"][sid_str][0] > base
+                for sid_str, (base, _n) in r["segs"].items()
+                for rid2, r2 in res.items()
+                if rid2 != rid
+            )
+            if blocked:
+                continue
+            for sid_str, (base, n) in r["segs"].items():
+                for e in doc.get("pending", {}).get(sid_str, []):
+                    if e["base"] > base:
+                        obsolete += self._shift_pending_entry(path, e, n)
+                        e["base"] -= n
+                for rid2 in expired:
+                    if rid2 == rid or rid2 not in res:
+                        continue
+                    seg2 = res[rid2]["segs"].get(sid_str)
+                    if seg2 and seg2[0] > base:
+                        # shifting an expired sibling is safe: if its
+                        # holder revives, publish detects the moved base
+                        # and retries instead of landing stale offsets
+                        seg2[0] -= n
+            del res[rid]
+            changed = True
+        return obsolete if changed else None
+
+    @staticmethod
+    def _shift_pending_entry(path: str, entry: dict, gap: int) -> list[str]:
+        """Renumber one pending commit's files down by ``gap`` offsets
+        (crash-repair only). Writes renumbered copies under NEW names,
+        updates ``entry["files"]`` in place, and returns the old names
+        for post-doc-write deletion."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        old_files = list(entry["files"])
+        new_names = []
+        for rel in old_files:
+            t = fsio.parquet_read_table(fsio.join(path, rel))
+            idx = t.column_names.index(OFFSET)
+            t = t.set_column(idx, OFFSET, pc.subtract(t[OFFSET], pa.scalar(gap, pa.int64())))
+            d, b = os.path.split(rel)
+            new_rel = os.path.join(d, f"shift{uuid.uuid4().hex[:6]}-{b}")
+            fsio.parquet_write_table(t, fsio.join(path, new_rel))
+            new_names.append(new_rel)
+        entry["files"] = new_names
+        return old_files
+
+    def _publish_locked(
         self,
         scope: str,
         stream: str,
         doc: dict,
-        new_files: dict[int, list[str]],
-        counts: dict[int, int],
+        entries: dict[int, dict],
         writer_marker: tuple[str, int] | None,
         txn_marker: str | None,
         attribute_updates: dict[int, list[tuple]] | None = None,
+        obsolete=(),
     ) -> dict[int, int]:
         """The single atomic commit point: files + offsets + markers
         (+ optional per-segment attribute updates — atomic WITH the
         append, the reference's AttributeUpdateCollection semantics).
 
-        Sharded-manifest protocol: per TOUCHED segment, the full file
-        list is written to ``manifests/<sid>.<v+1>.json`` FIRST, then
-        the segments doc flips every pointer + offset + marker in one
-        conditional write — readers resolve either all-old or all-new;
-        a crash in between leaves unreferenced manifest files (reaped
-        with data orphans). A commit therefore writes O(touched
-        segments), never O(stream files).
+        ``entries`` maps sid → {"base", "n", "files"}; each lands in the
+        segment's pending list, then the contiguous prefix at the
+        visible tail is absorbed into the manifest. A later-reserved
+        writer that publishes first therefore stays durable-but-
+        invisible until the earlier reservation publishes — offsets stay
+        contiguous and readers never see a gap. Exactly-once markers
+        advance at PUBLISH (durable == acked), even if visibility waits.
+
+        Manifest protocol (r9): each absorbed file name appends to the
+        segment's bounded in-doc ``chain`` — O(1) doc bytes per commit.
+        When a chain exceeds CHAIN_MAX entries, the full list folds into
+        a fresh tag-named snapshot shard ``manifests/<sid>.<tag>.json``
+        written BEFORE the doc flip, and the chain resets — so the
+        amortized commit writes O(touched segments) small updates, the
+        doc stays O(segments), and the r8 shape (full per-segment file
+        list rewritten EVERY commit, O(files/segment) JSON inside the
+        critical section) is gone. Readers resolve either all-old or
+        all-new off the single conditional doc write; a crash between
+        snapshot write and doc flip leaves an unreferenced shard (reaped
+        with data orphans).
         """
         segs = doc["segments"]
         ver = doc["version"]
-        gc: list[tuple[str, int]] = []
-        shards: list[tuple[str, int, dict, list[str]]] = []
-        for sid, n in counts.items():
-            if n == 0:
+        pend = doc.setdefault("pending", {})
+        for sid, e in entries.items():
+            if e["n"] == 0:
                 continue
-            sid_str = str(sid)
+            pend.setdefault(str(sid), []).append(
+                {"base": e["base"], "n": e["n"], "files": sorted(e["files"])}
+            )
+        gc: list[tuple[str, int]] = []
+        shards: list[tuple[str, str, list[str]]] = []
+        for sid_str in sorted(pend, key=int):
+            waiting = sorted(pend[sid_str], key=lambda e: e["base"])
             s = segs.setdefault(
                 sid_str, {"sealed": False, "head_offset": 0, "tail_offset": 0, "event_count": 0}
             )
-            files = self.meta.segment_files(scope, stream, sid_str, s) + sorted(new_files.get(sid, []))
-            shards.append((sid_str, n, s, files))
-        # the per-segment manifest shards are independent files written
-        # BEFORE the doc flip (crash ordering unchanged); writing them
-        # concurrently shaves the commit-lock critical section, which
-        # the r8 x4-writer profile showed is the whole single-node
-        # write-throughput ceiling (lock ~84% busy)
+            absorbed: list[str] = []
+            n_abs = 0
+            while waiting and waiting[0]["base"] == s["tail_offset"] + n_abs:
+                e = waiting.pop(0)
+                absorbed += e["files"]
+                n_abs += e["n"]
+            if waiting:
+                pend[sid_str] = waiting
+            else:
+                del pend[sid_str]
+            if not absorbed:
+                continue
+            chain = s.setdefault("chain", [])
+            chain.extend(absorbed)
+            s["tail_offset"] += n_abs
+            s["event_count"] += n_abs
+            if len(chain) > CHAIN_MAX or "files" in s:
+                # fold chain (and any legacy inline list) into a fresh
+                # tag-named snapshot — tag names make concurrent
+                # processes' snapshots collision-free by construction
+                full = self.meta.segment_files(scope, stream, sid_str, s)
+                tag = uuid.uuid4().hex[:8]
+                shards.append((sid_str, tag, full))
+                if "manifest" in s:
+                    gc.append((sid_str, s["manifest"]))
+                s.pop("files", None)
+                s["manifest"] = tag
+                s["chain"] = []
+        # snapshot folds are rare (every CHAIN_MAX commits per segment)
+        # and independent — fan them out BEFORE the doc flip (crash
+        # ordering: an unreferenced snapshot is an invisible orphan)
         if len(shards) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(8, len(shards))) as pool:
-                list(
-                    pool.map(
-                        lambda sh: self.meta.write_segment_manifest(
-                            scope, stream, sh[0], ver + 1, sh[3]
-                        ),
-                        shards,
-                    )
+            list(
+                _io_pool().map(
+                    lambda sh: self.meta.write_segment_manifest(scope, stream, sh[0], sh[1], sh[2]),
+                    shards,
                 )
+            )
         elif shards:
-            sid_str, _n, _s, files = shards[0]
-            self.meta.write_segment_manifest(scope, stream, sid_str, ver + 1, files)
-        for sid_str, n, s, _files in shards:
-            if "manifest" in s:
-                gc.append((sid_str, s["manifest"]))
-            s.pop("files", None)  # migrate inline (legacy) -> sharded
-            s["manifest"] = ver + 1
-            s["tail_offset"] += n
-            s["event_count"] += n
+            self.meta.write_segment_manifest(scope, stream, shards[0][0], shards[0][1], shards[0][2])
         if writer_marker is not None:
             doc["writer_seqs"][writer_marker[0]] = writer_marker[1]
         if txn_marker is not None:
@@ -893,6 +1289,8 @@ class StreamStore:
         self.meta.put_segments_doc(scope, stream, doc, expected_version=ver)
         for sid_str, old_ver in gc:  # now-unreferenced manifest shards
             self.meta.drop_segment_manifest(scope, stream, sid_str, old_ver)
+        for rel in obsolete:  # old names of reap-renumbered pending files
+            fsio.remove(fsio.join(self._stream_path(scope, stream), rel))
         return {int(k): v["tail_offset"] for k, v in segs.items()}
 
     def fsck_stream(self, scope: str, stream: str) -> list[str]:
@@ -912,24 +1310,51 @@ class StreamStore:
             doc = self.meta.segments_doc(scope, stream)
             segs = doc["segments"]
             if any(
-                s.get("tail_offset", 0) and "files" not in s and "manifest" not in s
+                s.get("tail_offset", 0)
+                and "files" not in s and "manifest" not in s and "chain" not in s
                 for s in segs.values()
             ):
                 # pre-manifest layout (_raw_read still supports it): the
                 # manifest is empty, so "disk minus manifest" would be EVERY
                 # data file — reaping here would delete the whole stream.
                 return []
-            manifest = {
+            # fsck is the repair tool: clear expired reservations first so
+            # their gaps don't stall absorption forever
+            reap_obsolete = self._reap_reservations_locked(doc, path)
+            referenced = {
                 f
                 for sid, s in segs.items()
                 for f in self.meta.segment_files(scope, stream, sid, s)
             }
-            orphans = sorted(self._list_data_files(path) - manifest)
+            # pending (published-not-yet-contiguous) commits are durable
+            # and referenced by the doc — NOT orphans; files an OPEN
+            # reservation's holder may be writing right now aren't listed
+            # anywhere yet, so fsck with live writers could reap an
+            # in-flight commit's files — skip data reaping then (they're
+            # orphans only once the reservation expires).
+            for entries in doc.get("pending", {}).values():
+                for e in entries:
+                    referenced.update(e["files"])
+            if doc.get("reservations"):
+                if reap_obsolete is not None:
+                    self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+                    for rel in reap_obsolete:
+                        fsio.remove(fsio.join(path, rel))
+                return []
+            # reap-renumbered old names are deletable only AFTER the doc
+            # flips to the new names — exclude them from the scan pass
+            # and remove them after the conditional write below
+            orphans = sorted(
+                self._list_data_files(path) - referenced - set(reap_obsolete or ())
+            )
             for f in orphans:
                 fsio.remove(fsio.join(path, f))
-            if orphans:
+            if orphans or reap_obsolete is not None:
                 # fence out any compaction whose rewrite raced the reap
                 self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+                for rel in reap_obsolete or []:
+                    fsio.remove(fsio.join(path, rel))
+            orphans += reap_obsolete or []
             # sweep unreferenced manifest shards too (left by a crash between
             # shard write and doc flip, or by a lost compaction race)
             live = {f"{sid}.{s['manifest']}.json" for sid, s in segs.items() if "manifest" in s}
@@ -1154,7 +1579,8 @@ class StreamStore:
         # the stale-plan check is per SEGMENT, not per stream.
         doc0 = self.meta.segments_doc(scope, stream)
         planned = {
-            sid: (s.get("manifest"), tuple(s.get("files", [])), s["tail_offset"])
+            sid: (s.get("manifest"), tuple(s.get("files", [])),
+                  tuple(s.get("chain", [])), s["tail_offset"])
             for sid, s in doc0["segments"].items()
         }
         heads = {int(k): v["head_offset"] for k, v in doc0["segments"].items()}
@@ -1201,7 +1627,8 @@ class StreamStore:
             gc: list[tuple[str, int]] = []
             any_flip = False
             for sid_str, s in doc["segments"].items():
-                current = (s.get("manifest"), tuple(s.get("files", [])), s["tail_offset"])
+                current = (s.get("manifest"), tuple(s.get("files", [])),
+                           tuple(s.get("chain", [])), s["tail_offset"])
                 if planned.get(sid_str) != current:
                     # a commit landed in THIS segment since planning: the
                     # lazy plan would drop its rows — abandon just this
@@ -1216,6 +1643,7 @@ class StreamStore:
                 if "manifest" in s:
                     gc.append((sid_str, s["manifest"]))
                 s.pop("files", None)
+                s.pop("chain", None)  # the rewrite folded the chain in
                 s["manifest"] = ver + 1
                 s["head_offset"] = max(s["head_offset"], heads.get(int(sid_str), 0))
             if any_flip:
@@ -1242,8 +1670,10 @@ class StreamStore:
         writes changes; bounded reads crossing the boundary union epochs
         via offset ranges, which the read path already does.
         """
-        with self._commit_lock(scope, stream):
-            return self._scale_stream_locked(scope, stream, seal_segments, new_ranges)
+        return self._with_quiescent_lock(
+            scope, stream,
+            lambda: self._scale_stream_locked(scope, stream, seal_segments, new_ranges),
+        )
 
     def _scale_stream_locked(
         self,

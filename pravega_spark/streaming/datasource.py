@@ -205,7 +205,7 @@ def _load_files(root: str, scope: str, stream: str,
             for k, v in _load_segments(root, scope, stream).items():
                 if only_sids is not None and int(k) not in only_sids:
                     continue
-                if "files" in v or v.get("manifest") is not None:
+                if "files" in v or "chain" in v or v.get("manifest") is not None:
                     out[int(k)] = ms.segment_files(scope, stream, k, v)
                 else:
                     out[int(k)] = None  # pre-manifest: read the whole dir

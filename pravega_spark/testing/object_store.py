@@ -77,16 +77,23 @@ class ObjectStoreHandler(pafs.FileSystemHandler):
 
     # -- fault injection ---------------------------------------------------
 
-    def fail_on(self, op: str, substring: str) -> None:
+    def fail_on(self, op: str, substring: str, skip: int = 0) -> None:
         """Arm a one-shot InjectedFailure for the next ``op`` whose path
-        contains ``substring``. Ops: put, delete, move_delete, copy."""
+        contains ``substring``, after letting ``skip`` matching ops
+        through (e.g. skip=1 on segments.json crashes the publish flip
+        of the two-doc-write r9 hot append, not the offset reservation).
+        Ops: put, delete, move_delete, copy."""
         with self._lock:
-            self._faults.append((op, substring))
+            self._faults.append([op, substring, skip])
 
     def _maybe_fail(self, op: str, path: str) -> None:
         with self._lock:
-            for i, (fop, sub) in enumerate(self._faults):
+            for i, fault in enumerate(self._faults):
+                fop, sub, skip = fault
                 if fop == op and sub in path:
+                    if skip > 0:
+                        fault[2] -= 1
+                        return
                     del self._faults[i]
                     raise InjectedFailure(f"injected {op} failure at {path}")
 

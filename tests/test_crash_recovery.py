@@ -34,18 +34,34 @@ class _Boom(RuntimeError):
     pass
 
 
-def _crash_next_doc_write(store, monkeypatch):
-    """Arm a one-shot crash on the next segments-doc write."""
+def _crash_next_doc_write(store, monkeypatch, skip=0):
+    """Arm a one-shot crash on a segments-doc write, after letting
+    ``skip`` writes through. The r9 hot append commits in two doc
+    writes (offset reservation, then the publish/visibility flip) —
+    ``skip=1`` crashes the flip, the window where payload files are
+    already on disk but invisible."""
     real = store.meta.put_segments_doc
-    state = {"armed": True}
+    state = {"skip": skip, "armed": True}
 
     def crashing(scope, stream, doc, expected_version=None):
         if state["armed"]:
-            state["armed"] = False
-            raise _Boom("crash before visibility flip")
+            if state["skip"] > 0:
+                state["skip"] -= 1
+            else:
+                state["armed"] = False
+                raise _Boom("crash before visibility flip")
         return real(scope, stream, doc, expected_version=expected_version)
 
     monkeypatch.setattr(store.meta, "put_segments_doc", crashing)
+
+
+def _expire_reservations(monkeypatch):
+    """Treat every reservation not held by a live publisher as expired
+    (grace < 0), so the next lock holder repairs the crashed writer's
+    gap immediately instead of after the real 30 s grace."""
+    import pravega_spark.store as store_mod
+
+    monkeypatch.setattr(store_mod, "RESERVATION_GRACE_MS", -1)
 
 
 def test_crash_between_append_and_manifest_is_invisible_and_retryable(store, events, monkeypatch):
@@ -54,11 +70,12 @@ def test_crash_between_append_and_manifest_is_invisible_and_retryable(store, eve
     store.write_events("s", "ev", _env(events, 0, 49))
     assert store.read("s", "ev").count() == 50
 
-    _crash_next_doc_write(store, monkeypatch)
+    _crash_next_doc_write(store, monkeypatch, skip=1)  # crash the publish flip
     with pytest.raises(_Boom):
         store.write_events("s", "ev", _env(events, 50, 79))
     # orphan parquet files exist, but readers see only the manifest
     assert store.read("s", "ev").count() == 50
+    _expire_reservations(monkeypatch)  # crashed writer's reservation
     orphans = store.fsck_stream("s", "ev")
     assert orphans  # the crashed batch's files were on disk
 
@@ -71,9 +88,10 @@ def test_crashed_retry_without_fsck_never_duplicates(store, events, monkeypatch)
     """Even with orphans still on disk, a retry cannot double-count."""
     store.create_scope("s")
     store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(2)))
-    _crash_next_doc_write(store, monkeypatch)
+    _crash_next_doc_write(store, monkeypatch, skip=1)  # crash the publish flip
     with pytest.raises(_Boom):
         store.write_events("s", "ev", _env(events, 0, 99))
+    _expire_reservations(monkeypatch)  # retry's reserve reaps the gap inline
     store.write_events("s", "ev", _env(events, 0, 99))  # no fsck first
     assert _ids(store.read("s", "ev")) == list(range(100))
     assert store.fsck_stream("s", "ev")  # orphans reaped afterwards
@@ -198,11 +216,12 @@ def test_streaming_sink_crash_probe_path_replays_exactly_once(store, events, mon
     n = _mk_src_dst(store, events)
     rg = ReaderGroup(store, "s", "src", "g-crashp")
     sink = write_stream_batch(store, "s", "dst", writer_id="w-crashp")
-    _crash_next_doc_write(store, monkeypatch)
+    _crash_next_doc_write(store, monkeypatch, skip=1)  # crash the publish flip
     exc = _run_stream_once(store, rg, sink, n)
     assert exc is not None, "armed crash must fail the query"
     # the crashed batch is invisible; its files are orphans
     assert store.read("s", "dst").count() == 0
+    _expire_reservations(monkeypatch)  # crashed trigger's reservation
     assert store.fsck_stream("s", "dst")
     # restart: same checkpoint -> same batchId replays -> exactly once
     exc = _run_stream_once(store, rg, sink, n)
@@ -241,7 +260,11 @@ def test_streaming_sink_crash_pump_path_replays_exactly_once(store, events, monk
     rg.drain(sink)
     store.write_events("s", "src", _env(events, 1, n - 1))
     cap = max(1, n // 8)
-    _crash_next_doc_write(store, monkeypatch)
+    _crash_next_doc_write(store, monkeypatch, skip=1)  # crash a publish flip
+    # the crashed commit leaves an open reservation; expiring it lets the
+    # fallback path's own reserve reap the gap inline instead of leaving
+    # the fallback's rows pending behind it for the real 30 s grace
+    _expire_reservations(monkeypatch)
     exc = _run_stream_once(store, rg, sink, n, cap=cap)
     # the pump wraps commit errors into a fallback write_events attempt,
     # which ALSO hits the armed crash? no — one-shot: the pump's

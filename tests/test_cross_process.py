@@ -104,40 +104,49 @@ def test_kvt_concurrent_instances_serialize(spark, tmp_path):
     assert t1.get("a0") == ("v0b", v)
 
 
-def test_sharded_manifests_bound_commit_cost(store):
-    """Commit metadata cost is O(touched segments), not O(stream files):
-    the segments doc stays flat-sized as commits accumulate (file lists
-    live in per-segment manifest shards), and a commit touching one
-    segment bumps only that segment's shard."""
+def test_chained_manifests_bound_commit_cost(store, monkeypatch):
+    """Commit metadata cost is O(touched segments) amortized, and the
+    segments doc stays BOUNDED as commits accumulate (r9 protocol): each
+    commit appends file names to the touched segment's in-doc chain —
+    no O(files/segment) shard rewrite in the critical section — and the
+    chain folds into a snapshot shard every CHAIN_MAX commits, so the
+    doc never grows past O(segments * CHAIN_MAX names)."""
     import os
 
+    import pravega_spark.store as store_mod
     from pravega_spark.hashing import segment_for_key_py
 
+    monkeypatch.setattr(store_mod, "CHAIN_MAX", 8)
     store.create_scope("s")
     store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(8)))
     ranges = store.meta.active_ranges("s", "ev")
     # a routing key that lands in exactly one known segment
     key = next(f"k{i}" for i in range(1000) if segment_for_key_py(f"k{i}", ranges) == ranges[0][0])
     doc_path = store.meta._doc_path("s", "ev", "segments.json")
-
-    store.append_events("s", "ev", [{"routing_key": key, "payload": "x"}])
-    size_after_1 = os.path.getsize(doc_path)
-    for b in range(30):
-        store.append_events("s", "ev", [{"routing_key": key, "payload": f"x{b}"}])
-    size_after_31 = os.path.getsize(doc_path)
-    # flat: 30 more commits (30 more files) must not grow the commit doc
-    assert size_after_31 <= size_after_1 + 64
-    doc = store.meta.segments_doc("s", "ev")
     sid0 = str(ranges[0][0])
-    assert "files" not in doc["segments"][sid0]
-    # only the touched segment carries a manifest pointer
-    assert doc["segments"][sid0]["manifest"] == doc["version"]
-    untouched = [s for k, s in doc["segments"].items() if k != sid0]
-    assert all("manifest" not in s and "files" not in s for s in untouched)
-    # the shard holds all 31 files; exactly one live shard version exists
-    files = store.meta.segment_files("s", "ev", sid0, doc["segments"][sid0])
-    assert len(files) == 31
     shard_dir = store.meta._doc_path("s", "ev", "manifests")
+
+    sizes = []
+    for b in range(31):
+        store.append_events("s", "ev", [{"routing_key": key, "payload": f"x{b}"}])
+        sizes.append(os.path.getsize(doc_path))
+    # bounded, not flat: the doc grows with the open chain but every
+    # fold snaps it back — across 31 commits (3+ folds at CHAIN_MAX=8)
+    # the max doc size stays within one chain's worth of names
+    assert max(sizes) <= sizes[0] + 9 * 64, sizes
+    assert sizes[-1] <= max(sizes[:9]) + 64  # no cross-fold growth trend
+    doc = store.meta.segments_doc("s", "ev")
+    seg0 = doc["segments"][sid0]
+    assert "files" not in seg0
+    assert len(seg0.get("chain", [])) <= 8
+    # only the touched segment carries manifest state
+    untouched = [s for k, s in doc["segments"].items() if k != sid0]
+    assert all(
+        "manifest" not in s and "files" not in s and not s.get("chain") for s in untouched
+    )
+    # snapshot + chain resolve to all 31 files; exactly one live shard
+    files = store.meta.segment_files("s", "ev", sid0, seg0)
+    assert len(files) == 31
     shards = [f for f in os.listdir(shard_dir) if f.startswith(f"{sid0}.")]
     assert len(shards) == 1
     assert store.read("s", "ev").count() == 31

@@ -248,22 +248,44 @@ def test_hot_append_manifest_flip_fsck_truncate(object_store):
 
 
 def test_crash_between_shard_and_doc_flip(object_store):
-    """Kill the segments-doc PUT after data + manifest shards landed:
-    the torn commit stays invisible, fsck reaps the orphans, and the
-    retried batch applies exactly once."""
+    """Kill the segments-doc PUT after data + a chain-fold snapshot
+    shard landed: the torn commit stays invisible, fsck reaps both the
+    data orphans and the unreferenced shard, and the retried batch
+    applies exactly once. CHAIN_MAX=0 forces every publish to fold so
+    the shard-write→doc-flip crash window exists on this commit."""
+    import pravega_spark.store as store_mod
+
     handler, root = object_store
     store = StreamStore(None, root)
     store.create_scope("s")
     store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(2)))
+    old_chain = store_mod.CHAIN_MAX
+    store_mod.CHAIN_MAX = 0  # every publish folds -> shard precedes flip
+    try:
+        _run_crash_between_shard_and_doc_flip(handler, root, store)
+    finally:
+        store_mod.CHAIN_MAX = old_chain
+
+
+def _run_crash_between_shard_and_doc_flip(handler, root, store):
     store.append_events("s", "ev", _evbatch(0, 20), writer_id="w", batch_seq=0)
     t0 = dict(store.meta.tail_offsets("s", "ev"))
-    handler.fail_on("put", "segments.json")
+    # skip=1: let the offset-reservation doc write through, kill the
+    # publish flip — data + manifest shards are then on disk, invisible
+    handler.fail_on("put", "segments.json", skip=1)
     with pytest.raises(InjectedFailure):
         store.append_events("s", "ev", _evbatch(20, 40), writer_id="w", batch_seq=1)
     # crash-restart: a FRESH store sees the pre-crash state
     store2 = StreamStore(None, root)
     assert dict(store2.meta.tail_offsets("s", "ev")) == t0
-    orphans = store2.fsck_stream("s", "ev")
+    import pravega_spark.store as store_mod
+
+    old_grace = store_mod.RESERVATION_GRACE_MS
+    store_mod.RESERVATION_GRACE_MS = -1  # the crashed writer's reservation
+    try:
+        orphans = store2.fsck_stream("s", "ev")
+    finally:
+        store_mod.RESERVATION_GRACE_MS = old_grace
     assert any(o.endswith(".parquet") for o in orphans), orphans
     assert any("_manifests/" in o for o in orphans), orphans
     assert store2.fsck_stream("s", "ev") == []

@@ -196,9 +196,14 @@ def test_compact_flips_untouched_segments_despite_racing_commit(spark, tmp_path)
     assert files_b and not any("compact-" in f for f in files_b)
 
 
-def test_dangling_manifest_shard_raises_not_empty(spark, tmp_path):
-    """A manifest pointer whose shard is gone must fail loudly — a
-    silent empty-segment read would skip committed events."""
+def test_dangling_manifest_shard_raises_not_empty(spark, tmp_path, monkeypatch):
+    """A manifest pointer whose snapshot shard is gone must fail loudly —
+    a silent empty-segment read would skip committed events. CHAIN_MAX=0
+    forces the commit to fold its chain into a snapshot shard (r9:
+    ordinary commits keep file names inline in the doc)."""
+    import pravega_spark.store as store_mod
+
+    monkeypatch.setattr(store_mod, "CHAIN_MAX", 0)
     st = _mk_stream(spark, tmp_path)
     st.append_events("sc", "s", [{"routing_key": "a", "v": 1}])
     doc = st.meta.segments_doc("sc", "s")
