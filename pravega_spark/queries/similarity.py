@@ -28,6 +28,8 @@ size(embedding) = dim AND NOT exists(embedding, x -> x IS NULL)).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -342,7 +344,8 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     tbl = f"pvs_ivf_cent_{_source_fingerprint(sf_dir, 'embeddings')}"
     if ensure_bucketed_index(
-        spark, "pvs_ivf_cent_", tbl, lambda: _ivf_centroids(emb), ["label"], 2
+        spark, "pvs_ivf_cent_", tbl, lambda: _ivf_centroids(emb), ["label"], 2,
+        source_path=os.path.join(os.path.abspath(sf_dir), "embeddings.parquet"),
     ):
         cent = spark.table(tbl)
     else:

@@ -16,6 +16,8 @@ deterministic mutated copies (doc_id + 1_000_000) inside the query.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1528,6 +1530,7 @@ def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFr
     if not _ensure_bucketed_index(
         spark, "pvs_corpus_fp_b16_", tbl,
         lambda: _corpus_fingerprints(docs), ["fp"], 16,
+        source_path=os.path.join(os.path.abspath(sf_dir), "documents.parquet"),
     ):
         # unwritable warehouse: results must not depend on the plan
         # demo — degrade to the plain (shuffling) fingerprint frame,
@@ -1644,18 +1647,43 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reaped rather than re-attached
     tbl = f"pvs_corpus_mh_b16v2_{_source_fingerprint(sf_dir, 'documents')}"
     if _ensure_bucketed_index(
-        spark, "pvs_corpus_mh_", tbl, lambda: _corpus_band_index(docs), ["band"], 16
+        spark, "pvs_corpus_mh_", tbl, lambda: _corpus_band_index(docs), ["band"], 16,
+        source_path=os.path.join(os.path.abspath(sf_dir), "documents.parquet"),
     ):
         corpus_bands = spark.table(tbl)
     else:
         # unwritable warehouse: same result through the shuffling twin
         corpus_bands = _corpus_band_index(docs)
     inc = _inc_near_docs(docs)
-    # exact-collapse the increment too (same argument as the corpus
-    # side: identical texts get identical best matches), then expand
-    # results back over the text key at the end — signatures (incl.
-    # shingle sets) are computed in flight for REPRESENTATIVES only and
-    # kept hot across the band join and the verification join
+    out, handles = _classify_vs_bands(inc, corpus_bands, docs)
+    out = register_result_cache(out.persist())
+    out.count()
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def _classify_vs_bands(
+    inc: DataFrame, band_index: DataFrame, verify_docs: DataFrame
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Classify an increment against a standing band index — the shared
+    core of the incremental near-dup family (r9: factored so the
+    index-MAINTAINED two-day query reuses it verbatim).
+
+    ``inc``: (doc_id, text) increment; ``band_index``: (band,
+    corpus_doc, n_c) postings (bucketed table or in-flight twin);
+    ``verify_docs``: (doc_id, text) source of truth the exact-Jaccard
+    verification re-reads candidate rows from (broadcast id list — no
+    index-side shuffle). Returns ((doc_id, is_near_dup, matched_doc,
+    similarity) ordered by doc_id, persisted handles for the caller to
+    release after materializing).
+
+    The increment is exact-collapsed to distinct-text representatives
+    (output-identical: identical texts have identical Jaccard
+    everywhere and the tie-break IS min doc_id) and expanded back over
+    the text key at the end; signatures (incl. shingle sets) are
+    computed in flight for representatives only and stay hot across the
+    band join and the verification join."""
     inc_reps = _collapse_exact(inc).persist()
     inc_sigs = _mh_sigs(inc_reps.select("doc_id", "text")).persist()
     inc_bands = inc_sigs.select(
@@ -1664,7 +1692,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.col(f"mh{k}") for k in range(_N_HASHES)])).alias("band"),
     )
     cand = (
-        inc_bands.join(corpus_bands, "band")
+        inc_bands.join(band_index, "band")
         # size-ratio prune (result-preserving: J <= min/max), evaluated
         # inside the band join before candidates are even distinct'd
         .filter(
@@ -1674,12 +1702,14 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "corpus_doc")
         .distinct()
     )
-    # exact verification: only candidate corpus rows are re-shingled —
-    # the candidate id list broadcasts into the corpus scan (no corpus
-    # shuffle; at scale, id-sorted parquet min/max skips whole files)
+    # exact verification: only candidate rows are re-shingled — the
+    # candidate id list broadcasts into the verify-source scan (no
+    # index-side shuffle; at scale, id-sorted parquet min/max skips
+    # whole files). Candidate ids absent from verify_docs (e.g. a
+    # self-posting on a rerun of the maintained query) drop out here.
     cand_ids = cand.select(F.col("corpus_doc").alias("doc_id")).distinct()
     corpus_cand = _mh_sigs(
-        docs.join(F.broadcast(cand_ids), "doc_id")
+        verify_docs.join(F.broadcast(cand_ids), "doc_id")
     ).select(
         F.col("doc_id").alias("corpus_doc"),
         F.col("n_sh").alias("n_c"),
@@ -1717,11 +1747,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    out = register_result_cache(out.persist())
-    out.count()
-    inc_sigs.unpersist()
-    inc_reps.unpersist()
-    return out
+    return out, [inc_sigs, inc_reps]
 
 
 _MH_LIST = ", ".join(f"mh{k}" for k in range(_N_HASHES))
@@ -1803,6 +1829,264 @@ ORDER BY i.doc_id
 """
 
 
+# ------------------------------------------- maintained-index near-dup (r9)
+_DAY1_ID_OFFSET = 10_000_000
+
+
+def _day1_docs(docs: DataFrame) -> DataFrame:
+    """Day-1 increment of the two-day index-maintenance fixture,
+    deterministic in both engines: docs with doc_id % 4 == 1 in three
+    classes by doc_id % 3 — synthetic-new 'nov1' text keyed by the
+    ORIGINAL doc_id (the survivors day-2 re-crawls; % 3 == 0), exact
+    corpus dup (% 3 == 1, flagged vs the base index), and salted
+    corpus text (% 3 == 2, near-dup for normal-length docs, survivor
+    for very short ones — the fixture splits both ways). Ids offset by
+    10M so index postings from day-1 survivors are distinguishable
+    from corpus ids (both draw from the documents id space)."""
+    return docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + _DAY1_ID_OFFSET).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 1, F.trim(F.col("text")))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 12), "
+                "i -> concat('nov1', cast(doc_id AS STRING), 'x', cast(i AS STRING))))"
+            ),
+        )
+        .otherwise(F.concat(F.trim(F.col("text")), F.lit(" rev2a rev2b")))
+        .alias("text"),
+    )
+
+
+def _day2_docs(docs: DataFrame) -> DataFrame:
+    """Day-2 increment: docs with doc_id % 4 == 2 — exact corpus dup
+    (% 3 == 0: dup either way), RE-CRAWL of day-1 doc (doc_id-1)'s
+    'nov1' synthetic text salted with ' rev2a rev2b' (% 3 == 1: flags
+    as near-dup ONLY IF the day-1 survivors were appended into the
+    standing index — the non-vacuous maintenance signal; note
+    (doc_id-1) % 4 == 1 and (doc_id-1) % 3 == 0, i.e. exactly the
+    day-1 survivor class), and fresh 'nov2' synthetic (% 3 == 2:
+    genuinely new)."""
+    return docs.filter(F.col("doc_id") % 4 == 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.trim(F.col("text")))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.expr(
+                    "concat_ws(' ', transform(sequence(1, 12), "
+                    "i -> concat('nov1', cast(doc_id - 1 AS STRING), 'x', cast(i AS STRING))))"
+                ),
+                F.lit(" rev2a rev2b"),
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 12), "
+                "i -> concat('nov2', cast(doc_id AS STRING), 'x', cast(i AS STRING))))"
+            )
+        )
+        .alias("text"),
+    )
+
+
+def dedup_minhash_incremental_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-day incremental near-dup with the index-MAINTENANCE loop
+    closed (r9): day 1 classifies its increment against the standing
+    corpus band index, then APPENDS the surviving documents' band
+    postings into that same bucketed table (append_bucketed_index:
+    bucket-aligned parquet appended under the existing CLUSTERED BY
+    spec — no index rebuild — with an exactly-once increment marker so
+    daily-job reruns are no-ops); day 2 classifies its increment
+    against the MAINTAINED index. A day-2 re-crawl of a document first
+    seen on day 1 therefore flags as a near-dup — the signal that only
+    exists if the maintenance step ran. Emits day-2's classification:
+    (doc_id, is_near_dup, matched_doc, matched_tier, similarity) where
+    matched_tier says whether the best match came from the original
+    corpus or the day-1 increment.
+
+    100 TB shape: both classification passes are O(increment) — the
+    index side stays a bucketed scan with no Exchange on the band key
+    (same plan pin as dedup_minhash_incremental; test_r9_fixes asserts
+    the day-2 run neither rebuilt the base index nor re-applied the
+    day-1 append), and the append writes O(survivor bands) bucket-
+    aligned files. Reruns are output-stable: the appended postings make
+    day-1 docs self-candidates, but verification re-reads candidates
+    from the corpus-only source, so survivor classification is
+    unchanged (see _classify_vs_bands).
+
+    Reference parity: no dedup plane in the reference; this closes the
+    operational loop VERDICT r8 named as the last missing piece of the
+    daily-ingest dedup shape (SURVEY §6)."""
+    from pravega_spark.sources.bucketed import _source_fingerprint
+    from pravega_spark.sources.bucketing import append_bucketed_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    tbl = f"pvs_mhmaint_{_source_fingerprint(sf_dir, 'documents')}"
+    indexed = _ensure_bucketed_index(
+        spark, "pvs_mhmaint_", tbl, lambda: _corpus_band_index(docs), ["band"], 16,
+        source_path=src,
+    )
+    base_bands = spark.table(tbl) if indexed else _corpus_band_index(docs)
+
+    # ---- day 1: classify vs the base index, append the survivors ----
+    day1 = _day1_docs(docs).persist()
+    day1_cls, h1 = _classify_vs_bands(day1, base_bands, docs)
+    survivors = day1.join(
+        day1_cls.filter(~F.col("is_near_dup")).select("doc_id"), "doc_id"
+    )
+    surv_bands = _corpus_band_index(survivors)
+    if indexed:
+        append_bucketed_index(spark, tbl, surv_bands, ["band"], 16, increment_id="day1")
+        maintained = spark.table(tbl)
+    else:
+        # unwritable warehouse: in-flight union twin, same math
+        maintained = base_bands.unionByName(surv_bands)
+
+    # ---- day 2: classify vs the MAINTAINED index ----
+    day2 = _day2_docs(docs)
+    out, h2 = _classify_vs_bands(day2, maintained, docs.unionByName(day1))
+    out = out.select(
+        "doc_id",
+        "is_near_dup",
+        "matched_doc",
+        F.when(F.col("matched_doc") >= _DAY1_ID_OFFSET, F.lit("increment"))
+        .when(F.col("matched_doc").isNotNull(), F.lit("corpus"))
+        .alias("matched_tier"),
+        "similarity",
+    ).orderBy("doc_id")
+    out = register_result_cache(out.persist())
+    out.count()
+    for h in h1 + h2 + [day1]:
+        h.unpersist()
+    return out
+
+
+_NOV1 = "array_to_string(list_transform(range(1, 13), i -> 'nov1' || orig_id || 'x' || i), ' ')"
+_NOV2 = "array_to_string(list_transform(range(1, 13), i -> 'nov2' || orig_id || 'x' || i), ' ')"
+_SHINGLE_SQL = """
+    SELECT {id} AS {out_id}, shingle FROM (
+      SELECT {id}, unnest(CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(range(1, len(w) - 1),
+                      i -> array_to_string(w[i:i+2], ' ')))
+               ELSE [array_to_string(w, ' ')] END) AS shingle
+      FROM (SELECT {id}, string_split_regex(trim(text), ' +') AS w FROM {src}))
+"""
+
+MINHASH_MAINTAINED_SQL = f"""
+WITH day1 AS MATERIALIZED (
+  SELECT orig_id + {_DAY1_ID_OFFSET} AS doc_id,
+         CASE WHEN orig_id % 3 = 1 THEN trim(text)
+              WHEN orig_id % 3 = 0 THEN {_NOV1}
+              ELSE trim(text) || ' rev2a rev2b' END AS text
+  FROM (SELECT doc_id AS orig_id, text FROM documents WHERE doc_id % 4 = 1)
+),
+day2 AS MATERIALIZED (
+  SELECT orig_id AS doc_id,
+         CASE WHEN orig_id % 3 = 0 THEN trim(text)
+              WHEN orig_id % 3 = 1 THEN
+                array_to_string(list_transform(range(1, 13),
+                  i -> 'nov1' || (orig_id - 1) || 'x' || i), ' ') || ' rev2a rev2b'
+              ELSE {_NOV2} END AS text
+  FROM (SELECT doc_id AS orig_id, text FROM documents WHERE doc_id % 4 = 2)
+),
+corpus_sh AS MATERIALIZED ({_SHINGLE_SQL.format(id="doc_id", out_id="corpus_doc", src="documents")}),
+d1_sh AS MATERIALIZED ({_SHINGLE_SQL.format(id="doc_id", out_id="doc_id", src="day1")}),
+d2_sh AS MATERIALIZED ({_SHINGLE_SQL.format(id="doc_id", out_id="doc_id", src="day2")}),
+corpus_sigs AS MATERIALIZED (
+  SELECT corpus_doc, count(*) AS n_c,
+         {", ".join(f"min(md5('seed{k}:' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+  FROM corpus_sh GROUP BY corpus_doc
+),
+d1_sigs AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_i,
+         {", ".join(f"min(md5('seed{k}:' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+  FROM d1_sh GROUP BY doc_id
+),
+d2_sigs AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_i,
+         {", ".join(f"min(md5('seed{k}:' || shingle)) AS mh{k}" for k in range(_N_HASHES))}
+  FROM d2_sh GROUP BY doc_id
+),
+corpus_bands AS (
+  SELECT DISTINCT corpus_doc, band FROM (
+    SELECT corpus_doc, unnest([{_MH_LIST}]) AS band FROM corpus_sigs)
+),
+d1_bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id, unnest([{_MH_LIST}]) AS band FROM d1_sigs)
+),
+-- day-1 classification vs the CORPUS index: a day-1 doc survives iff
+-- no corpus doc verifies at J >= threshold
+d1_dup AS MATERIALIZED (
+  SELECT DISTINCT v.doc_id FROM (
+    SELECT t.doc_id, t.corpus_doc,
+           n_common / CAST(i.n_i + c.n_c - n_common AS DOUBLE) AS j
+    FROM (
+      SELECT cd.doc_id, cd.corpus_doc, count(*) AS n_common
+      FROM (SELECT DISTINCT i.doc_id, c.corpus_doc
+            FROM d1_bands i JOIN corpus_bands c ON i.band = c.band) cd
+      JOIN d1_sh a ON a.doc_id = cd.doc_id
+      JOIN corpus_sh b ON b.corpus_doc = cd.corpus_doc AND b.shingle = a.shingle
+      GROUP BY cd.doc_id, cd.corpus_doc
+    ) t
+    JOIN d1_sigs i ON i.doc_id = t.doc_id
+    JOIN corpus_sigs c ON c.corpus_doc = t.corpus_doc
+  ) v WHERE v.j >= {_JACCARD_THRESHOLD}
+),
+-- the MAINTAINED index = corpus postings + day-1 survivors' postings
+index_sh AS MATERIALIZED (
+  SELECT corpus_doc, shingle FROM corpus_sh
+  UNION ALL
+  SELECT s.doc_id AS corpus_doc, s.shingle FROM d1_sh s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM d1_dup)
+),
+index_sigs AS MATERIALIZED (
+  SELECT corpus_doc, n_c, {_MH_LIST} FROM corpus_sigs
+  UNION ALL
+  SELECT doc_id AS corpus_doc, n_i AS n_c, {_MH_LIST} FROM d1_sigs
+  WHERE doc_id NOT IN (SELECT doc_id FROM d1_dup)
+),
+index_bands AS (
+  SELECT DISTINCT corpus_doc, band FROM (
+    SELECT corpus_doc, unnest([{_MH_LIST}]) AS band FROM index_sigs)
+),
+d2_bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id, unnest([{_MH_LIST}]) AS band FROM d2_sigs)
+),
+d2_verified AS (
+  SELECT t.doc_id, t.corpus_doc,
+         n_common / CAST(i.n_i + c.n_c - n_common AS DOUBLE) AS j
+  FROM (
+    SELECT cd.doc_id, cd.corpus_doc, count(*) AS n_common
+    FROM (SELECT DISTINCT i.doc_id, c.corpus_doc
+          FROM d2_bands i JOIN index_bands c ON i.band = c.band) cd
+    JOIN d2_sh a ON a.doc_id = cd.doc_id
+    JOIN index_sh b ON b.corpus_doc = cd.corpus_doc AND b.shingle = a.shingle
+    GROUP BY cd.doc_id, cd.corpus_doc
+  ) t
+  JOIN d2_sigs i ON i.doc_id = t.doc_id
+  JOIN index_sigs c ON c.corpus_doc = t.corpus_doc
+  WHERE n_common / CAST(i.n_i + c.n_c - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+),
+d2_best AS (
+  SELECT doc_id, corpus_doc, j,
+         row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, corpus_doc) AS rn
+  FROM d2_verified
+)
+SELECT d.doc_id,
+       b.corpus_doc IS NOT NULL AS is_near_dup,
+       b.corpus_doc AS matched_doc,
+       CASE WHEN b.corpus_doc >= {_DAY1_ID_OFFSET} THEN 'increment'
+            WHEN b.corpus_doc IS NOT NULL THEN 'corpus' END AS matched_tier,
+       round(b.j, 4) AS similarity
+FROM day2 d LEFT JOIN (SELECT * FROM d2_best WHERE rn = 1) b ON b.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ----------------------------------------------------- mixture rebalancing
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture rebalancing weights: per-language token share
@@ -1857,6 +2141,7 @@ QUERIES = {
     "corpus_dedup_incremental": corpus_dedup_incremental,
     "corpus_dedup_incremental_indexed": corpus_dedup_incremental_indexed,
     "dedup_minhash_incremental": dedup_minhash_incremental,
+    "dedup_minhash_incremental_maintained": dedup_minhash_incremental_maintained,
     "text_bpe_token_stats": text_bpe_token_stats,
     "text_bpe_learned_tokenize": text_bpe_learned_tokenize,
     "corpus_stratified_sample": corpus_stratified_sample,
@@ -1883,6 +2168,7 @@ ORACLES = {
     "corpus_dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "corpus_dedup_incremental_indexed": DEDUP_INCREMENTAL_SQL,
     "dedup_minhash_incremental": MINHASH_INCREMENTAL_SQL,
+    "dedup_minhash_incremental_maintained": MINHASH_MAINTAINED_SQL,
     "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "text_bpe_learned_tokenize": BPE_LEARNED_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,

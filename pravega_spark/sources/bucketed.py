@@ -71,6 +71,7 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str, n_buckets: int |
     if ensure_bucketed_index(
         spark, f"pvs_{name}_b{n}_", tbl,
         lambda: load_table(spark, sf_dir, name), [key], n,
+        source_path=os.path.join(os.path.abspath(sf_dir), f"{name}.parquet"),
     ):
         return spark.table(tbl)
     # a host whose warehouse dir isn't writable can't hold the bucketed

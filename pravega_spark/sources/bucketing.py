@@ -63,6 +63,7 @@ def bucketize(
     n_buckets: int,
     sort: bool = True,
     overwrite: bool = True,
+    source_path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and bucket-sorted) catalog table."""
     if overwrite:
@@ -73,7 +74,10 @@ def bucketize(
     writer.mode("overwrite").saveAsTable(table_name)
     # record the spec the files actually have, for cross-session
     # re-attach: the DDL there must declare sortedness from THIS
-    # invariant, never assume it
+    # invariant, never assume it. ``source`` scopes sibling GC (r9): a
+    # copy is reaped by a later build only when it derives from the
+    # SAME source path (i.e. the source regenerated) — copies of other
+    # sf_dirs survive a session that alternates between datasets.
     try:
         loc = (
             spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
@@ -81,7 +85,11 @@ def bucketize(
             .collect()[0]["data_type"]
         ).removeprefix("file:")
         with open(os.path.join(loc, BUCKET_SPEC_MARKER), "w") as fh:
-            json.dump({"keys": keys, "n_buckets": n_buckets, "sorted": bool(sort)}, fh)
+            json.dump(
+                {"keys": keys, "n_buckets": n_buckets, "sorted": bool(sort),
+                 "source": source_path},
+                fh,
+            )
     except Exception:
         pass  # non-local warehouse: re-attach will rebuild instead
 
@@ -102,6 +110,7 @@ def ensure_bucketed_index(
     build_df: Callable[[], DataFrame],
     keys: list[str],
     n_buckets: int,
+    source_path: str | None = None,
 ) -> bool:
     """Idempotently materialize ``tbl`` (= ``prefix`` + content key) as
     a bucketed+sorted catalog table of ``build_df()``, GC'ing stale
@@ -129,16 +138,34 @@ def ensure_bucketed_index(
         wh_dir = wh.removeprefix("file:")
         loc = _os.path.join(wh_dir, tbl)
 
+        def _stale_sibling(name: str) -> bool:
+            """A same-prefix sibling is reaped only when it provably
+            derives from OUR source (the source regenerated under the
+            same path, so the old copy can never be served again) or
+            carries no readable spec (legacy/mid-build debris). A
+            sibling recording a DIFFERENT source path belongs to
+            another dataset a session is alternating with — dropping
+            it would force a full rebuild on every switch and its
+            rmtree races that dataset's concurrent readers (r8 ADVICE).
+            """
+            if name == tbl or not name.startswith(prefix):
+                return False
+            sib_spec = read_bucket_spec(_os.path.join(wh_dir, name))
+            if sib_spec is None:
+                return True
+            sib_src = sib_spec.get("source")
+            return sib_src is None or source_path is None or sib_src == source_path
+
         def _gc_siblings() -> None:
             for t in spark.catalog.listTables():
-                if t.name.startswith(prefix) and t.name != tbl:
+                if _stale_sibling(t.name):
                     try:
                         spark.sql(f"DROP TABLE IF EXISTS {t.name}")
                     except Exception:
                         pass
             if _os.path.isdir(wh_dir):
                 for d in _os.listdir(wh_dir):
-                    if d.startswith(prefix) and d != tbl:
+                    if _stale_sibling(d):
                         _shutil.rmtree(_os.path.join(wh_dir, d), ignore_errors=True)
 
         spec = read_bucket_spec(loc)
@@ -176,8 +203,88 @@ def ensure_bucketed_index(
             # one file per bucket: sortBy sorts per FILE, so multi-file
             # buckets would force a merge Sort back into every reader
             bucketize(
-                spark, build_df().repartition(n_buckets, *keys), tbl, keys, n_buckets
+                spark, build_df().repartition(n_buckets, *keys), tbl, keys, n_buckets,
+                source_path=source_path,
             )
         except Exception:
             return False
+    return True
+
+
+# Exactly-once increment markers for maintained (appendable) indexes.
+APPLIED_MARKER = "_PVS_APPLIED.json"
+
+
+def applied_increments(spark: SparkSession, tbl: str) -> list[str]:
+    """Increment ids already merged into ``tbl`` (empty if none)."""
+    loc = _table_location(spark, tbl)
+    if loc is None:
+        return []
+    try:
+        with open(os.path.join(loc, APPLIED_MARKER)) as fh:
+            return list(json.load(fh).get("applied", []))
+    except (OSError, ValueError):
+        return []
+
+
+def _table_location(spark: SparkSession, tbl: str) -> str | None:
+    try:
+        return (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+            .filter("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        ).removeprefix("file:")
+    except Exception:
+        return None
+
+
+def append_bucketed_index(
+    spark: SparkSession,
+    tbl: str,
+    df: DataFrame,
+    keys: list[str],
+    n_buckets: int,
+    increment_id: str,
+) -> bool:
+    """Close the index-maintenance loop: merge an increment's rows into
+    a STANDING bucketed index — bucket-aligned files appended under the
+    same CLUSTERED BY spec, NO index rebuild — so tomorrow's dedup run
+    sees today's surviving documents. Returns True if the increment was
+    applied now, False if a previous run already merged it (the
+    ``increment_id`` marker is the writer_seqs analogue of the stream
+    plane: reruns of the same daily job are no-ops).
+
+    Crash window: a crash between the file append and the marker write
+    makes a rerun append the increment's band rows twice. That is
+    RESULT-SAFE for the dedup queries by construction — band postings
+    feed a DISTINCT candidate stage, so duplicate postings change no
+    output — and the next full rebuild (source regeneration) clears the
+    physical duplication. Readers of the appended table see multi-file
+    buckets: Spark keeps the bucket co-location (no Exchange on the
+    key), adding only a local per-bucket Sort where sortedness matters.
+    """
+    with _INDEX_BUILD_LOCK:
+        loc = _table_location(spark, tbl)
+        if loc is None:
+            raise ValueError(f"append_bucketed_index: no such table {tbl}")
+        marker = os.path.join(loc, APPLIED_MARKER)
+        try:
+            with open(marker) as fh:
+                applied = list(json.load(fh).get("applied", []))
+        except (OSError, ValueError):
+            applied = []
+        if increment_id in applied:
+            return False
+        (
+            df.write.format("parquet")
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .mode("append")
+            .saveAsTable(tbl)
+        )
+        with open(marker, "w") as fh:
+            json.dump({"applied": applied + [increment_id]}, fh)
+        # the catalog caches file listings per table; a same-session
+        # reader planned BEFORE this append must not miss the new files
+        spark.catalog.refreshTable(tbl)
     return True

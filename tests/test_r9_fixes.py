@@ -1,0 +1,264 @@
+"""Round-9 additions: the sharded hot-append commit (reserve → payload
+outside the lock → publish with pending absorption), the bounded in-doc
+manifest chains, and the index-MAINTAINED two-day near-dup loop."""
+
+import os
+import sys
+import threading
+import types
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pravega_spark.config import ScalingPolicy, StreamConfiguration  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _mk(store, n_segments=1):
+    store.create_scope("s")
+    store.create_stream(
+        "s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(n_segments))
+    )
+
+
+def _rows(tag, n):
+    return [{"routing_key": tag, "v": f"{tag}{i}"} for i in range(n)]
+
+
+def _offsets(store):
+    return sorted(r["offset"] for r in store.read("s", "ev").select("offset").collect())
+
+
+# ---------------- reserve/publish protocol ----------------
+
+
+def test_pending_commit_invisible_until_earlier_reservation_publishes(store):
+    """A later-reserved writer that publishes FIRST is durable but
+    invisible (pending) until the earlier reservation publishes —
+    offsets stay contiguous and readers never see a gap."""
+    _mk(store)
+    entered, hold = threading.Event(), threading.Event()
+    cls = type(store)
+    store_a = cls(store.spark, store.root)
+    store_b = cls(store.spark, store.root)
+    orig = cls._write_hot_batch
+
+    def slow_wb(self, tbl, seg_arr, bases, path, tag):
+        out = orig(self, tbl, seg_arr, bases, path, tag)
+        entered.set()
+        assert hold.wait(30), "test orchestration stalled"
+        return out
+
+    store_a._write_hot_batch = types.MethodType(slow_wb, store_a)
+    t = threading.Thread(
+        target=lambda: store_a.append_events("s", "ev", _rows("a", 5), writer_id="A", batch_seq=0)
+    )
+    t.start()
+    assert entered.wait(30)
+    # B commits while A's reservation is open: durable, NOT visible
+    store_b.append_events("s", "ev", _rows("b", 3), writer_id="B", batch_seq=0)
+    assert store.read("s", "ev").count() == 0
+    doc = store.meta.segments_doc("s", "ev")
+    assert doc.get("pending"), "B's publish did not land as pending"
+    assert doc["writer_seqs"].get("B") == 0  # acked (durable) at publish
+    hold.set()
+    t.join(30)
+    assert _offsets(store) == list(range(8))
+    assert store.fsck_stream("s", "ev") == []
+
+
+def test_crashed_reservation_gap_repair_renumbers_pending(store, monkeypatch):
+    """A writer that dies between reserve and publish leaves a gap; once
+    the reservation expires, the next lock holder drops it and shifts
+    the pending commits above it down — REWRITING their files' offsets
+    — so the stream stays contiguous and nothing is lost."""
+    import pravega_spark.store as store_mod
+
+    _mk(store)
+    store.append_events("s", "ev", _rows("base", 4), writer_id="W0", batch_seq=0)
+
+    armed = {"on": True}
+    orig = type(store)._write_hot_batch
+
+    def crashing(self, tbl, seg_arr, bases, path, tag):
+        if armed["on"]:
+            armed["on"] = False
+            raise _Boom("writer died mid-payload")
+        return orig(self, tbl, seg_arr, bases, path, tag)
+
+    monkeypatch.setattr(type(store), "_write_hot_batch", crashing)
+    with pytest.raises(_Boom):
+        store.append_events("s", "ev", _rows("dead", 5), writer_id="A", batch_seq=0)
+    # B lands ABOVE the dead reservation -> pending behind the gap
+    store.append_events("s", "ev", _rows("b", 3), writer_id="B", batch_seq=0)
+    assert store.read("s", "ev").count() == 4
+    doc = store.meta.segments_doc("s", "ev")
+    assert doc.get("reservations") and doc.get("pending")
+    # expire the dead writer's claim; C's commit reaps + repairs inline
+    monkeypatch.setattr(store_mod, "RESERVATION_GRACE_MS", -1)
+    store.append_events("s", "ev", _rows("c", 2), writer_id="C", batch_seq=0)
+    assert _offsets(store) == list(range(9))  # 4 base + 3 B + 2 C, no hole
+    got = {
+        r["v"]: r["offset"]
+        for r in store.read("s", "ev").select("v", "offset").collect()
+    }
+    assert {got[f"b{i}"] for i in range(3)} == {4, 5, 6}  # B renumbered down
+    doc = store.meta.segments_doc("s", "ev")
+    assert not doc.get("reservations") and not doc.get("pending")
+    # the dead writer's payload files (if any) and the pre-shift names
+    # are orphans; after fsck nothing dangles and nothing is lost
+    store.fsck_stream("s", "ev")
+    assert _offsets(store) == list(range(9))
+    assert store.fsck_stream("s", "ev") == []
+
+
+def test_same_writer_concurrent_retry_is_exactly_once(store):
+    """A concurrent retry of a batch whose first attempt holds an open
+    reservation must wait for it (then dedup via writer_seqs), never
+    double-append."""
+    _mk(store)
+    entered, hold = threading.Event(), threading.Event()
+    cls = type(store)
+    store_a, store_b = cls(store.spark, store.root), cls(store.spark, store.root)
+    orig = cls._write_hot_batch
+
+    def slow_wb(self, tbl, seg_arr, bases, path, tag):
+        out = orig(self, tbl, seg_arr, bases, path, tag)
+        entered.set()
+        assert hold.wait(30)
+        return out
+
+    store_a._write_hot_batch = types.MethodType(slow_wb, store_a)
+    t1 = threading.Thread(
+        target=lambda: store_a.append_events("s", "ev", _rows("x", 5), writer_id="W", batch_seq=0)
+    )
+    t1.start()
+    assert entered.wait(30)
+    done = threading.Event()
+
+    def retry():
+        store_b.append_events("s", "ev", _rows("x", 5), writer_id="W", batch_seq=0)
+        done.set()
+
+    t2 = threading.Thread(target=retry)
+    t2.start()
+    # the retry must be parked on the in-flight guard, not committing
+    assert not done.wait(0.5)
+    hold.set()
+    t1.join(30)
+    t2.join(30)
+    assert done.is_set()
+    assert _offsets(store) == list(range(5))  # exactly once
+    assert store.fsck_stream("s", "ev") == []
+
+
+def test_chain_folds_into_snapshot_and_reads_survive(store, monkeypatch):
+    """The in-doc chain folds into a snapshot shard at CHAIN_MAX and
+    resolution (snapshot + fresh chain) always returns every commit."""
+    import pravega_spark.store as store_mod
+
+    monkeypatch.setattr(store_mod, "CHAIN_MAX", 3)
+    _mk(store)
+    for b in range(8):
+        store.append_events("s", "ev", _rows(f"k{b}", 2), writer_id="w", batch_seq=b)
+    assert _offsets(store) == list(range(16))
+    doc = store.meta.segments_doc("s", "ev")
+    seg = doc["segments"]["0"]
+    assert "manifest" in seg  # at least one fold happened
+    assert len(seg.get("chain", [])) <= 3
+    files = store.meta.segment_files("s", "ev", "0", seg)
+    assert len(files) == 8
+    assert store.fsck_stream("s", "ev") == []
+
+
+# ---------------- maintained-index near-dup (VERDICT r8 item 4) ----------
+
+
+def test_maintained_neardup_fixture_classes(spark):
+    """Day-2 classes resolve three ways, and the re-crawl class matches
+    its day-1 ORIGINAL through the maintained index — the signal that
+    only exists because day-1 survivors were appended."""
+    from pravega_spark.queries.text import (
+        _DAY1_ID_OFFSET,
+        dedup_minhash_incremental_maintained,
+    )
+
+    rows = dedup_minhash_incremental_maintained(spark, SF_DIR).collect()
+    assert rows
+    by_class = {0: [], 1: [], 2: []}
+    for r in rows:
+        by_class[r["doc_id"] % 3].append(r)
+    for r in by_class[0]:  # exact corpus dups
+        assert r["is_near_dup"] and r["matched_tier"] == "corpus"
+        assert r["similarity"] == 1.0
+    matched_recrawl = [r for r in by_class[1] if r["is_near_dup"]]
+    assert matched_recrawl, "no day-2 re-crawl matched — maintenance vacuous"
+    for r in matched_recrawl:
+        assert r["matched_tier"] == "increment"
+        # best match IS the day-1 upload of this document
+        assert r["matched_doc"] == r["doc_id"] - 1 + _DAY1_ID_OFFSET
+        assert 0.0 < r["similarity"] < 1.0
+    for r in by_class[2]:  # genuinely new
+        assert not r["is_near_dup"] and r["matched_tier"] is None
+
+
+def test_maintained_neardup_no_rebuild_or_reappend_on_rerun(spark):
+    """The daily loop is truly incremental: a rerun neither rebuilds the
+    base index nor re-applies the day-1 append (exactly-once increment
+    marker) and produces identical output."""
+    from pravega_spark.queries.text import dedup_minhash_incremental_maintained
+    from pravega_spark.sources.bucketing import applied_increments
+
+    first = [tuple(r) for r in dedup_minhash_incremental_maintained(spark, SF_DIR).collect()]
+    tbl = next(
+        t.name for t in spark.catalog.listTables() if t.name.startswith("pvs_mhmaint_")
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, tbl)
+    listing1 = sorted(
+        (f, os.path.getmtime(os.path.join(loc, f)))
+        for f in os.listdir(loc)
+        if f.endswith(".parquet")
+    )
+    assert applied_increments(spark, tbl) == ["day1"]
+    second = [tuple(r) for r in dedup_minhash_incremental_maintained(spark, SF_DIR).collect()]
+    listing2 = sorted(
+        (f, os.path.getmtime(os.path.join(loc, f)))
+        for f in os.listdir(loc)
+        if f.endswith(".parquet")
+    )
+    assert listing1 == listing2, "rerun rebuilt or re-appended the index"
+    assert applied_increments(spark, tbl) == ["day1"]
+    assert first == second
+
+
+def test_maintained_neardup_corpus_side_shuffle_free(spark):
+    """At-scale plan shape (broadcast off): the maintained band index —
+    base snapshot PLUS appended day-1 files — reaches the day-2 band
+    join as a bucketed scan with no band-key shuffle."""
+    from test_r8_fixes import _assert_band_join_shuffle_free
+
+    from pravega_spark.queries.text import dedup_minhash_incremental_maintained
+
+    dedup_minhash_incremental_maintained(spark, SF_DIR)  # index + append exist
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            dedup_minhash_incremental_maintained(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    assert "pvs_mhmaint_" in plan
+    _assert_band_join_shuffle_free(plan, 16)
