@@ -275,31 +275,19 @@ def _read_claim_doc(f, info):
         except ValueError:
             if attempt == 0:
                 _time.sleep(0.02)
-    # age from a FRESH stat, never the listing snapshot: a live
-    # holder's in-flight rewrite refreshes mtime the moment it
-    # truncates, so a torn read whose fresh mtime is still old means
-    # the writer DIED mid-write that long ago — while the listing's
-    # mtime predates the rewrite and would misage a live claim into
-    # the reap path (r8 review). The grace also exceeds any sane
-    # re-write latency by orders of magnitude.
-    mtime = None
-    try:
-        mtime = getattr(f.get_file_info(info.path), "mtime", None)
-    except (FileNotFoundError, OSError):
-        _TORN_FIRST_SEEN.pop(info.path, None)
-        return None
-    if mtime is not None:
-        try:
-            age_s = _time.time() - mtime.timestamp()
-        except (AttributeError, OSError, OverflowError):
-            age_s = 0.0
-    else:
-        # no mtime on this filesystem: age by when THIS process first
-        # saw the claim torn — without any aging signal a truncated
-        # orphan would block every contender until timeout forever
-        first = _TORN_FIRST_SEEN.setdefault(info.path, _time.time())
-        age_s = _time.time() - first
-    if age_s > _CLAIM_TORN_GRACE_S:
+    # age by when THIS process first saw the claim torn — never by
+    # comparing the local clock against a store-reported mtime: on
+    # filesystems with clock skew or attribute caching (NFS, HDFS) a
+    # live holder's freshly-rewritten claim can APPEAR older than the
+    # grace and get deleted, reopening the double-holder window for
+    # callers that are not version-fenced at commit (r8 ADVICE). The
+    # local monotonic-ish signal is skew-immune: a LIVE holder's
+    # rewrite resolves in sub-ms, so the same path parsing torn across
+    # a full grace of polls means the writer died mid-write; the cost
+    # is that a fresh contender waits one grace before reaping a
+    # truncated orphan instead of reaping on sight.
+    first = _TORN_FIRST_SEEN.setdefault(info.path, _time.time())
+    if _time.time() - first > _CLAIM_TORN_GRACE_S:
         try:
             f.delete_file(info.path)  # truncated orphan: reap
         except (FileNotFoundError, OSError):

@@ -35,68 +35,12 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
-    # -- new in round 8 (never gated) -----------------------------------
-    "dedup_minhash_incremental",
-    "text_bpe_learned_tokenize",
-    "streaming_scale_epoch_read",
-    # -- r8 rotation (VERDICT r7 item 2): the 35 queries past the r7
-    # -- 50-entry cap (latest driver rows r6) — fronted so driver
+    # -- new in round 9 (never gated) -----------------------------------
+    "dedup_minhash_incremental_maintained",
+    "text_bpe_vocab_scale",
+    # -- r9 rotation (VERDICT r8 item 3): the 38 queries past the r8
+    # -- 50-entry cap (latest driver rows r7) — fronted so driver
     # -- evidence never goes two rounds stale ---------------------------
-    "text_langid",
-    "similarity_ivf_search",
-    "multimodal_frame_samples",
-    "pipeline_corpus_clean",
-    "similarity_label_centroids",
-    "q9_product_type_profit",
-    "q11_important_part_value",
-    "q12_priority_shipping_class",
-    "q20_dominant_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q18_bucketed_colocated_agg",
-    "q5_bucketed_colocated_join",
-    "q8_bucketed_colocated_join",
-    "q16_supplier_part_counts",
-    "cust_segment_set_ops",
-    "events_approx_distinct",
-    "events_value_percentiles",
-    "customers_without_orders",
-    "order_priority_pivot",
-    "events_session_window",
-    "text_token_stats",
-    "q2_min_price_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "orders_status_cube",
-    "top_parts_per_brand",
-    "revenue_rollup",
-    "events_hourly_agg",
-    "events_json_extract",
-    "events_running_value",
-    # -- perf-sensitive / r8-churned keeps (r7 rows): the near-dup and
-    # -- similarity family shares code with the r8 incremental index
-    # -- (shingle/signature helpers, the locked _ensure_bucketed_index),
-    # -- and the streaming fold shares the streaming plane with the new
-    # -- epoch-crossing query — keep their parity recorded post-churn ---
-    "corpus_dedup_incremental",
-    "corpus_dedup_incremental_indexed",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_bucketed",
-    "embedding_near_dup",
-    "streaming_session_fold",
-    # -- tail (past the 50-entry cap this round): every entry below has
-    # -- a fresh r7 driver row, so nothing goes two rounds stale. r9
-    # -- rotation note: front this block next round ---------------------
     "text_pii_scrub",
     "text_repetition_topgram",
     "corpus_mixture_weights",
@@ -135,6 +79,65 @@ _GATE_ORDER = [
     "events_percentile_sketch",
     "text_quality_score",
     "multimodal_decode_features",
+    # -- r9-churned keeps (r8 rows): the stream_* family above already
+    # -- re-gates the rewritten write path; these ten share code with
+    # -- this round's churn — the maintained-index family (bucketing.py
+    # -- source-scoped GC + append, _classify_vs_bands refactor), the
+    # -- BPE family, and the streaming plane the commit-lock rework
+    # -- touches through the sink/pump ----------------------------------
+    "dedup_minhash_incremental",
+    "text_bpe_learned_tokenize",
+    "streaming_scale_epoch_read",
+    "streaming_session_fold",
+    "corpus_dedup_incremental",
+    "corpus_dedup_incremental_indexed",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_signatures",
+    "embedding_near_dup",
+    # -- tail (past the 50-entry cap this round): every entry below has
+    # -- a fresh r8 driver row, so nothing goes two rounds stale. r10
+    # -- rotation note: front this block next round ---------------------
+    "text_langid",
+    "similarity_ivf_search",
+    "multimodal_frame_samples",
+    "pipeline_corpus_clean",
+    "similarity_label_centroids",
+    "q9_product_type_profit",
+    "q11_important_part_value",
+    "q12_priority_shipping_class",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q18_bucketed_colocated_agg",
+    "q5_bucketed_colocated_join",
+    "q8_bucketed_colocated_join",
+    "q16_supplier_part_counts",
+    "cust_segment_set_ops",
+    "events_approx_distinct",
+    "events_value_percentiles",
+    "customers_without_orders",
+    "order_priority_pivot",
+    "events_session_window",
+    "text_token_stats",
+    "q2_min_price_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "orders_status_cube",
+    "top_parts_per_brand",
+    "revenue_rollup",
+    "events_hourly_agg",
+    "events_json_extract",
+    "events_running_value",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
 ]
 
 
@@ -157,3 +160,14 @@ def oracle_sql() -> dict[str, str]:
     for m in _MODULES:
         out.update(m.ORACLES)
     return out
+
+
+def python_oracles() -> dict[str, Callable]:
+    """Deterministic pure-Python oracles for queries whose semantics SQL
+    cannot express (iterative training loops): ``sf_dir -> pandas
+    DataFrame``. scripts/check_parity.py compares these value-exact
+    through the same canonical-frame pipeline as the SQL oracles; the
+    driver's SQL-only gate records a rows-only check for these names."""
+    from pravega_spark.queries.py_oracles import PY_ORACLES
+
+    return dict(PY_ORACLES)

@@ -519,17 +519,25 @@ def streaming_scale_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         rg = ReaderGroup(store, "q", "ev", "rg_epoch")
         out_dir = f"{scratch}/drained"
 
+        drain_no = {"n": 1}
+
         def sink(df, bid):
             # batch-id-keyed overwrite, not a blind append: a retried
             # foreachBatch micro-batch must replace its own output, or
             # the sink itself would double-count and masquerade as an
             # engine exactly-once violation (batch ids are monotone
-            # across both drains — one checkpoint)
-            df.select("routing_key", "segment_id", "payload").write.mode(
-                "overwrite"
-            ).parquet(f"{out_dir}/batch_{bid}")
+            # across both drains — one checkpoint). Batches are also
+            # tagged with WHICH drain produced them, so the epoch
+            # assertion below can require the SECOND drain to have read
+            # successor segments — epoch-1 rows in general could also
+            # come from batches written before the resume point (r8
+            # ADVICE).
+            df.select("routing_key", "segment_id", "payload").withColumn(
+                "drain", F.lit(drain_no["n"])
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_{bid}")
 
         rg.drain(sink)
+        drain_no["n"] = 2
         # split the hottest segment at its key-range midpoint -> epoch 1
         segs = store.current_segments("q", "ev")
         tails = store.meta.tail_offsets("q", "ev")
@@ -540,15 +548,20 @@ def streaming_scale_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.write_events("q", "ev", _env(half_b))
         rg.drain(sink)  # resumes from checkpoint, crosses the epoch seam
         acc = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
-        epochs = [
+        epochs2 = [
             r["e"]
-            for r in acc.select(
-                F.shiftrightunsigned(F.col("segment_id"), 32).alias("e")
-            ).distinct().collect()
+            for r in acc.filter(F.col("drain") == 2)
+            .select(F.shiftrightunsigned(F.col("segment_id"), 32).alias("e"))
+            .distinct()
+            .collect()
         ]
-        if len(epochs) < 2:
+        if not any(e >= 1 for e in epochs2):
+            # the proof the checkpoint resume actually crossed the scale
+            # seam: the SECOND drain must deliver rows from a successor
+            # (epoch >= 1) segment — epoch-1 rows anywhere in the union
+            # would also be satisfied by pre-resume batches (r8 ADVICE)
             raise AssertionError(
-                f"drain never crossed an epoch boundary (epochs read: {epochs})"
+                f"second drain read no successor segments (its epochs: {epochs2})"
             )
         out = (
             acc.select(

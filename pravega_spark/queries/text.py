@@ -2134,6 +2134,188 @@ FROM per_lang, totals ORDER BY lang
 """
 
 
+# ------------------------------------------- BPE at vocabulary scale (r9)
+_BPE2_MERGES = 512     # target merge count (VERDICT r8 item 5: >= 256)
+_BPE2_SAMPLE_CAP = 4096  # training sample: top-K units by corpus frequency
+# SentencePiece-style unit: adjacent word PAIRS (space is a symbol), so
+# merges can cross the word boundary and the merge budget is O(vocab^2)
+# units instead of O(vocab) words — the synthetic corpus has only 31
+# distinct words, which saturates word-level BPE near 135 merges.
+_BPE2_UNIT_EXPR = (
+    "transform(sequence(0, cast(ceil(size(w) / 2.0) AS INT) - 1), "
+    "i -> concat_ws(' ', slice(w, 2 * i + 1, 2)))"
+)
+
+
+def _bpe2_merge_seq(s: list[str], a: str, b: str) -> list[str]:
+    """Merge every non-overlapping (a, b) occurrence left-to-right —
+    the single application rule both training and encoding use (and the
+    Python oracle mirrors symbol for symbol)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if i < n - 1 and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _bpe2_train(units: list[tuple[str, int]], n_target: int) -> list[tuple[str, str]]:
+    """Train up to ``n_target`` merges with INCREMENTALLY maintained
+    pair counts — the standard trick: picking the next merge only
+    re-counts the units that contain the merged pair, so per-step cost
+    is O(affected units), not O(sample). Selection: max frequency-
+    weighted count, ties to the lexicographically smallest pair; stop
+    when no pair reaches count 2."""
+    from collections import Counter, defaultdict
+
+    syms = [list(t) for t, _ in units]
+    freqs = [f for _, f in units]
+    pair_counts: Counter = Counter()
+    pair_units: dict = defaultdict(set)
+    for ui, s in enumerate(syms):
+        f = freqs[ui]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_counts[p] += f
+            pair_units[p].add(ui)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_target):
+        best = min(((-c, p) for p, c in pair_counts.items() if c >= 2), default=None)
+        if best is None:
+            break
+        pair = best[1]
+        merges.append(pair)
+        for ui in sorted(pair_units.get(pair, ())):
+            s, f = syms[ui], freqs[ui]
+            for i in range(len(s) - 1):
+                q = (s[i], s[i + 1])
+                pair_counts[q] -= f
+                if pair_counts[q] <= 0:
+                    del pair_counts[q]
+                pair_units[q].discard(ui)
+            s = _bpe2_merge_seq(s, *pair)
+            syms[ui] = s
+            for i in range(len(s) - 1):
+                q = (s[i], s[i + 1])
+                pair_counts[q] += f
+                pair_units[q].add(ui)
+    return merges
+
+
+def _bpe2_encode_len(t: str, merges: list[tuple[str, str]], ranks: dict) -> int:
+    """Token count of ``t`` under the learned merges: repeatedly apply
+    the LOWEST-RANK pair present (all non-overlapping occurrences) —
+    the canonical BPE encode."""
+    s = list(t)
+    while len(s) > 1:
+        best = None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        s = _bpe2_merge_seq(s, *merges[best])
+    return len(s)
+
+
+def _bpe2_merges_md5(merges: list[tuple[str, str]]) -> str:
+    import hashlib
+
+    blob = "\x1e".join(f"{a}\x1f{b}" for a, b in merges)
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
+def text_bpe_vocab_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE at realistic vocabulary scale (r9): trains ≥256
+    merges (target 512) and applies them corpus-wide in ONE Arrow pass.
+
+    text_bpe_learned_tokenize proves the 6-merge mechanism against a
+    SQL oracle; its per-step distributed recount and nested-``replace``
+    application both stop scaling around O(100) merges (VERDICT r8
+    item 5). This variant is the production shape:
+
+    * TRAINING — one distributed aggregation derives the sample (the
+      top _BPE2_SAMPLE_CAP SentencePiece-style units — adjacent word
+      pairs, space a symbol — by corpus frequency; one bounded
+      collect), then the driver trains with incrementally-maintained
+      pair counts: each merge re-counts ONLY the units containing the
+      merged pair (measured vs the naive full-recount loop in
+      NOTES_r9). This is how real BPE trainers work — the distributed
+      plane aggregates, the control plane learns.
+    * APPLICATION — zero per-document Python: documents explode to
+      units JVM-side, the ~10^3 DISTINCT units are encoded once in a
+      single ``mapInPandas`` pass with the broadcast merge-rank map
+      (memoized per batch), and a broadcast join + per-lang rollup
+      produces token counts. Cost at 100 TB: one scan + one tiny
+      distinct-unit aggregation — encoding work is O(distinct units),
+      which the vocabulary bounds, NOT O(corpus).
+
+    Output: one row per language (n_docs, n_units, n_tokens,
+    avg_tokens_per_doc) plus the learned-table pins (merges_used,
+    merges_md5 — the md5 covers every merge in rank order, so a single
+    divergent learned merge fails parity). Oracle: a deterministic
+    pure-Python reimplementation (queries/py_oracles.py) compared
+    value-exact by scripts/check_parity.py; the driver's SQL-only gate
+    records a rows-only check for this entry."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    norm = docs.withColumn("w", F.split(F.lower(F.trim("text")), " +")).withColumn(
+        "units", F.expr(_BPE2_UNIT_EXPR)
+    )
+    unit_freq = (
+        norm.select(F.explode("units").alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    sample = (
+        unit_freq.orderBy(F.desc("cnt"), F.md5("u"))
+        .limit(_BPE2_SAMPLE_CAP)
+        .collect()
+    )
+    merges = _bpe2_train([(r["u"], r["cnt"]) for r in sample], _BPE2_MERGES)
+    md5 = _bpe2_merges_md5(merges)
+    bc = spark.sparkContext.broadcast(merges)
+
+    def _encode(batches):
+        ms = bc.value
+        ranks = {p: i for i, p in enumerate(ms)}
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            out = []
+            for u in pdf["u"]:
+                n = memo.get(u)
+                if n is None:
+                    n = memo[u] = _bpe2_encode_len(u, ms, ranks)
+                out.append(n)
+            yield pd.DataFrame({"u": pdf["u"], "n_tok": out})
+
+    unit_tok = unit_freq.select("u").mapInPandas(_encode, "u string, n_tok long")
+    per_doc_units = norm.select("doc_id", "lang", F.explode("units").alias("u"))
+    out = (
+        per_doc_units.join(F.broadcast(unit_tok), "u")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_units"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        # unrounded on purpose: both engines divide the same exact
+        # integers in IEEE double, so the bit-exact parity hash holds
+        # without replicating Spark's HALF_UP rounding in stdlib Python
+        .withColumn("avg_tokens_per_doc", F.col("n_tokens") / F.col("n_docs"))
+        .withColumn("merges_used", F.lit(len(merges)).cast("long"))
+        .withColumn("merges_md5", F.lit(md5))
+        .orderBy("lang")
+    )
+    return register_result_cache(out)
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_topgram": text_repetition_topgram,
@@ -2144,6 +2326,7 @@ QUERIES = {
     "dedup_minhash_incremental_maintained": dedup_minhash_incremental_maintained,
     "text_bpe_token_stats": text_bpe_token_stats,
     "text_bpe_learned_tokenize": text_bpe_learned_tokenize,
+    "text_bpe_vocab_scale": text_bpe_vocab_scale,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_chunk_windows": corpus_chunk_windows,

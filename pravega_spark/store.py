@@ -22,11 +22,13 @@ Spark-first architecture:
   * Data lives as Parquet under ``streams/<scope>/<stream>/segment_id=N/``
     so StreamCut-bounded reads become partition-pruned scans with
     offset range predicates pushed to parquet row groups.
-  * Visibility is governed by the metadata tail offsets: a Spark append
-    may create files, but readers always filter ``offset < tail``, so a
-    batch becomes visible only when its metadata commit lands — this is
-    the atomic-commit manifest (SURVEY §7 hard parts 1-2) without
-    needing Delta.
+  * Visibility is manifest-based: readers see ONLY the parquet files
+    the segments doc references (bounded in-doc chains folded into
+    snapshot shards), so a batch becomes visible exactly when its
+    conditional doc write lands — the atomic-commit manifest (SURVEY
+    §7 hard parts 1-2) without needing Delta. Hot appends reserve
+    offset ranges first and publish after writing payload unlocked
+    (r9), with contiguous-prefix absorption keeping offsets gap-free.
   * Per-key order: a routing key hashes to exactly one live segment per
     epoch; offsets within a segment are assigned by a window over the
     arrival sequence, so ``ORDER BY offset`` per segment reproduces
@@ -419,13 +421,19 @@ class StreamStore:
         """Per-stream commit mutex for cross-process writers.
 
         The reference serializes appends per segment through its single
-        owning segment store (AppendProcessor); here arbitrary processes
-        may hold StreamStore instances on one root, so offset assignment
-        + manifest flip run under a lease lock (heartbeat-renewed, so a
-        long distributed write job is never fenced just for being slow),
-        and the doc write itself is version-conditional (a fenced-out
-        expired holder fails its publish instead of clobbering — no
-        lost commits either way).
+        owning segment store (AppendProcessor.java:302); here arbitrary
+        processes may hold StreamStore instances on one root, so the
+        metadata transitions serialize under a lease lock (renewed by a
+        shared background thread, so a long distributed write job is
+        never fenced just for being slow), and the doc write itself is
+        version-conditional (a fenced-out expired holder fails its
+        publish instead of clobbering — no lost commits either way).
+        Since r9 the HOT append holds this lock only for its two short
+        phases — offset-range reservation and the publish/manifest flip
+        — with the payload write in between running unlocked, which is
+        what lets concurrent writers on one stream overlap (see
+        _hot_commit); the distributed tier still holds it across its
+        write job.
         """
         return fsio.locked(self._lock_path(scope, stream))
 

@@ -113,7 +113,7 @@ def compare_frames(name: str, spark_pdf, duck_pdf) -> list[str]:
 def main() -> int:
     import duckdb
 
-    from pravega_spark.queries import oracle_sql, queries
+    from pravega_spark.queries import oracle_sql, python_oracles, queries
     from pravega_spark.session import get_spark
     from pravega_spark.sources.tables import TABLES
 
@@ -133,7 +133,7 @@ def main() -> int:
 
     from pravega_spark.caching import release_result_caches
 
-    qs, oracles = queries(), oracle_sql()
+    qs, oracles, py_oracles = queries(), oracle_sql(), python_oracles()
     unknown = only - set(qs)
     if unknown:
         # a typo'd name must be a loud failure, not a silent 0-query
@@ -156,6 +156,25 @@ def main() -> int:
             n_fail += 1
             continue
         sql = oracles.get(name)
+        if sql is None and name in py_oracles:
+            # non-SQL-expressible op: deterministic pure-Python oracle,
+            # compared through the SAME canonical-frame pipeline
+            try:
+                dpdf = py_oracles[name](sf_dir)
+            except Exception as e:
+                print(f"FAIL {name}: python-oracle error: {e!r}")
+                failed.append(name)
+                n_fail += 1
+                continue
+            problems = compare_frames(name, spdf, dpdf)
+            if problems:
+                print(f"FAIL {name}: " + " | ".join(problems))
+                failed.append(name)
+                n_fail += 1
+            else:
+                print(f"PASS {name}: rows={len(spdf)} (python oracle) [{time.time()-t0:.1f}s]")
+                n_pass += 1
+            continue
         if sql is None:
             print(f"ok   {name}: rows={len(spdf)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             n_pass += 1

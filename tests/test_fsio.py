@@ -108,9 +108,11 @@ def test_torn_claim_blocks_fresh_then_reaps_stale(tmp_path):
     assert len(live) == 1
     assert live[0][1]["token"] == ""  # blocking placeholder, not absent
     assert live[0][1]["expiry_ms"] > time.time() * 1000  # never auto-stale
-    # age past the torn grace: now an orphan — absent and reaped
-    old = time.time() - 10 * fsio._CLAIM_TORN_GRACE_S
-    os.utime(torn, (old, old))
+    # age past the torn grace: now an orphan — absent and reaped. Aging
+    # is by LOCAL first-seen time, never store mtime (r8 ADVICE: NFS/
+    # HDFS clock skew could misage a live holder's fresh rewrite into
+    # the reap path) — backdate this process's first-seen record
+    fsio._TORN_FIRST_SEEN[torn] = time.time() - 10 * fsio._CLAIM_TORN_GRACE_S
     assert fsio._live_claims(f, claims) == []
     assert not os.path.exists(torn)
     # and the lock is acquirable afterwards

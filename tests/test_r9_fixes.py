@@ -262,3 +262,80 @@ def test_maintained_neardup_corpus_side_shuffle_free(spark):
     assert "Bucketed: true" in plan
     assert "pvs_mhmaint_" in plan
     _assert_band_join_shuffle_free(plan, 16)
+
+
+# ---------------- BPE at vocabulary scale (VERDICT r8 item 5) ----------
+
+
+def _bpe2_train_naive(units, n_target):
+    """Reference full-recount trainer: rebuilds every pair count each
+    step. Same selection rule — used to prove the incremental trainer
+    equivalent and to measure the speedup (NOTES_r9)."""
+    from collections import Counter
+
+    from pravega_spark.queries.text import _bpe2_merge_seq
+
+    syms = {i: list(t) for i, (t, _) in enumerate(units)}
+    freqs = {i: f for i, (_, f) in enumerate(units)}
+    merges = []
+    for _ in range(n_target):
+        counts = Counter()
+        for ui, s in syms.items():
+            f = freqs[ui]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        best = min(((-c, p) for p, c in counts.items() if c >= 2), default=None)
+        if best is None:
+            break
+        pair = best[1]
+        merges.append(pair)
+        for ui, s in syms.items():
+            if any(s[i] == pair[0] and s[i + 1] == pair[1] for i in range(len(s) - 1)):
+                syms[ui] = _bpe2_merge_seq(s, *pair)
+    return merges
+
+
+def test_bpe_vocab_scale_incremental_trainer_matches_naive_and_is_faster():
+    """The incrementally-maintained pair counts produce EXACTLY the
+    merge sequence of the full-recount loop, at a fraction of the
+    time — the property that makes >=256-merge training tractable."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from pravega_spark.queries.py_oracles import _units
+    from pravega_spark.queries.text import _bpe2_train
+
+    texts = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+    )["text"].to_pylist()
+    from collections import Counter
+
+    freq = Counter(u for t in texts for u in _units(t))
+    units = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:4096]
+    t0 = time.perf_counter()
+    inc = _bpe2_train(list(units), 512)
+    t_inc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    naive = _bpe2_train_naive(list(units), 512)
+    t_naive = time.perf_counter() - t0
+    assert inc == naive
+    assert len(inc) >= 256, f"only {len(inc)} merges trainable on this corpus"
+    # generous bound: the point is the asymptotic class, not the ratio
+    assert t_inc < t_naive, (t_inc, t_naive)
+    print(f"# bpe train 512 merges: incremental {t_inc:.2f}s vs naive {t_naive:.2f}s")
+
+
+def test_bpe_vocab_scale_learned_table_and_compression(spark):
+    """merges_used >= 256, every lang row pins the same learned table
+    (merges_md5), and the encoding genuinely compresses: tokens per
+    unit land strictly between 1 and the unit's character count."""
+    from pravega_spark.queries.text import text_bpe_vocab_scale
+
+    rows = text_bpe_vocab_scale(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert len({r["merges_md5"] for r in rows}) == 1
+    for r in rows:
+        assert r["merges_used"] >= 256
+        assert r["n_units"] <= r["n_tokens"], r  # >= one token per unit
+        assert r["n_tokens"] < r["n_units"] * 12, r  # far below char count
