@@ -417,15 +417,280 @@ ORDER BY q_id, rk
 """
 
 
+# --------------------------------------- maintained ANN index loop (r9)
+_DAY1_VID_OFFSET = 10_000_000
+_ANN_THRESHOLD = 0.9
+_ANN_IDENT = "transform(embedding, x -> cast(x AS DOUBLE))"
+_ANN_NEG = "transform(embedding, x -> -cast(x AS DOUBLE))"
+# perturb element index 1 — NOT an LSH plane dimension (_LSH_DIMS), so
+# the perturbed copy keeps its original's bucket and the candidate join
+# finds it (a plane-dimension perturbation could flip the bucket, which
+# is legitimate LSH recall loss but would weaken the fixture)
+_ANN_PERT = "transform(embedding, (x, i) -> cast(x AS DOUBLE) + IF(i = 1, 0.125D, 0D))"
+_ANN_NEG_PERT = "transform(prev_emb, (x, i) -> -cast(x AS DOUBLE) + IF(i = 1, 0.125D, 0D))"
+
+
+def _ann_bucket(col: str):
+    """Sign-pattern bucket of a DERIVED double vector (same axis-aligned
+    planes as similarity_lsh_bucketed, reproducible in SQL)."""
+    return sum(
+        (
+            F.when(F.element_at(F.col(col), d + 1) >= 0, F.lit(1 << i)).otherwise(0)
+            for i, d in enumerate(_LSH_DIMS)
+        ),
+        F.lit(0),
+    )
+
+
+def _ann_day1(emb: DataFrame) -> DataFrame:
+    """Day-1 vector increment (two-day ANN maintenance fixture): vec_id
+    % 4 == 1 in three classes by vec_id % 3 — NEGATED vector (% 3 == 0:
+    cosine -1 vs its original, ≤0.52 vs everything else at sf0.01 →
+    genuinely new, the survivor class), exact copy (% 3 == 1: dup at
+    1.0), perturbed copy (% 3 == 2: +0.125 on a non-plane element →
+    near-dup ~0.99). All arithmetic is exact-float-in-double, identical
+    in DuckDB. Ids offset 10M to disambiguate from corpus ids."""
+    e = emb.filter(F.col("vec_id") % 4 == 1)
+    vec = (
+        F.when(F.col("vec_id") % 3 == 0, F.expr(_ANN_NEG))
+        .when(F.col("vec_id") % 3 == 1, F.expr(_ANN_IDENT))
+        .otherwise(F.expr(_ANN_PERT))
+    )
+    return e.select((F.col("vec_id") + _DAY1_VID_OFFSET).alias("vec_id"), vec.alias("vec"))
+
+
+def _ann_day2(emb: DataFrame) -> DataFrame:
+    """Day-2 increment: vec_id % 4 == 2 — exact corpus copy (% 3 == 0),
+    RE-CRAWL of day-1 survivor (vec_id-1)'s negated vector, perturbed
+    (% 3 == 1: near-dup ONLY against the maintained increment — its
+    cosine vs the corpus original is ≈ -0.99), and its own negation
+    (% 3 == 2: new)."""
+    prev = emb.select((F.col("vec_id") + 1).alias("vec_id"), F.col("embedding").alias("prev_emb"))
+    e = emb.filter(F.col("vec_id") % 4 == 2).join(prev, "vec_id")
+    vec = (
+        F.when(F.col("vec_id") % 3 == 0, F.expr(_ANN_IDENT))
+        .when(F.col("vec_id") % 3 == 1, F.expr(_ANN_NEG_PERT))
+        .otherwise(F.expr(_ANN_NEG))
+    )
+    return e.select("vec_id", vec.alias("vec"))
+
+
+def _ann_index_rows(vectors: DataFrame, id_col: str = "vec_id", vec_expr: str | None = None) -> DataFrame:
+    v = F.expr(vec_expr) if vec_expr else F.col("vec")
+    out = vectors.select(F.col(id_col).alias("c_id"), v.alias("c_vec"))
+    return out.withColumn("bucket", _ann_bucket("c_vec")).select("bucket", "c_id", "c_vec")
+
+
+def _ann_classify(inc: DataFrame, index_df: DataFrame) -> DataFrame:
+    """Best match per increment vector against the standing bucket
+    index: bucket-join candidates → vectorized cosine ≥ threshold →
+    max cosine, ties to the smallest index id."""
+    from pravega_spark.functions.vectors import cosine as v_cosine
+
+    i = inc.withColumn("bucket", _ann_bucket("vec"))
+    sims = (
+        i.join(index_df, "bucket")
+        .withColumn("cosine", F.round(v_cosine("vec", "c_vec"), 6))
+        .filter(F.col("cosine") >= _ANN_THRESHOLD)
+        .select("vec_id", "c_id", "cosine")
+    )
+    best = sims.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.col("c_id"))),
+    ).filter(F.col("rn") == 1)
+    return inc.select("vec_id").join(best, "vec_id", "left").select(
+        "vec_id",
+        F.col("c_id").isNotNull().alias("is_near_dup"),
+        F.col("c_id").alias("matched_vec"),
+        "cosine",
+    )
+
+
+def similarity_incremental_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-day incremental ANN near-dup with the index-maintenance loop
+    closed — the VECTOR twin of dedup_minhash_incremental_maintained:
+    the standing corpus persists as a bucketed LSH-bucket catalog table
+    (sign-pattern planes, same construction as similarity_lsh_bucketed);
+    day 1 classifies its increment against it and APPENDS the surviving
+    vectors' postings bucket-aligned (append_bucketed_index, exactly-
+    once increment marker, no rebuild); day 2 classifies against the
+    MAINTAINED index, so a re-crawl of a day-1 vector flags with
+    matched_tier='increment' — the signal that only exists because the
+    maintenance step ran.
+
+    100 TB shape: both passes are O(increment) — the index side is a
+    bucketed scan co-located on the bucket key (candidates never
+    reshuffle the corpus), cosine runs vectorized on whole arrays, and
+    the append writes O(survivors) rows. Both sides EXACT-COLLAPSE to
+    one representative per distinct vector first (min id — r9 sweep
+    lesson, same as the MinHash family: the 16-cell bucket space makes
+    the candidate join quadratic in per-bucket mass, and the synthetic
+    sf10 corpus is ~100 copies per distinct vector; collapse is
+    output-identical because identical vectors have identical cosines
+    everywhere and the best-match tie-break IS min id — which the
+    uncollapsed oracle reproduces with its min-id row_number). Reruns
+    are output-stable: on a rerun the appended day-1 postings make
+    day-1 vectors match themselves at 1.0, so survivors are empty and
+    the marker no-ops — the maintained table and day-2's
+    classification are unchanged.
+
+    Reference parity: no vector plane in the reference; extends the
+    engine's similarity layer (SURVEY §6) with the daily-ingest ANN
+    shape the r8 verdict's dedup loop established for text."""
+    from pravega_spark.sources.bucketed import _source_fingerprint
+    from pravega_spark.sources.bucketing import append_bucketed_index, ensure_bucketed_index
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    # exact-collapse the corpus (group on the raw float array — binary
+    # equality, the embedding_near_dup precedent)
+    corpus_reps = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    # v2: the name versions the FIXTURE semantics too — the appended
+    # day-1 survivor rows are derived by this module's code, so a
+    # semantic change must mint a new table or a persisted index keeps
+    # serving survivors computed by the old derivation (same-prefix +
+    # same-source siblings GC on rebuild)
+    tbl = f"pvs_annmaint_v2_{_source_fingerprint(sf_dir, 'embeddings')}"
+    indexed = ensure_bucketed_index(
+        spark, "pvs_annmaint_", tbl,
+        lambda: _ann_index_rows(corpus_reps, vec_expr=_ANN_IDENT), ["bucket"], 16,
+        source_path=src,
+    )
+    base = spark.table(tbl) if indexed else _ann_index_rows(corpus_reps, vec_expr=_ANN_IDENT)
+
+    day1 = _ann_day1(emb)
+    day1_reps = day1.groupBy("vec").agg(F.min("vec_id").alias("vec_id")).persist()
+    day1_cls = _ann_classify(day1_reps, base)
+    survivors = day1_reps.join(
+        day1_cls.filter(~F.col("is_near_dup")).select("vec_id"), "vec_id"
+    )
+    surv_rows = _ann_index_rows(survivors)
+    if indexed:
+        append_bucketed_index(spark, tbl, surv_rows, ["bucket"], 16, increment_id="day1")
+        maintained = spark.table(tbl)
+    else:
+        maintained = base.unionByName(surv_rows)
+
+    day2 = _ann_day2(emb)
+    day2_reps = day2.groupBy("vec").agg(F.min("vec_id").alias("vec_id")).persist()
+    rep_out = _ann_classify(day2_reps, maintained)
+    # expand representative results back over the vector-content key:
+    # every day-2 row sharing a vector gets its representative's match
+    # (content key = md5 of the serialized vector, the gkey precedent)
+    rep_tk = rep_out.join(day2_reps, "vec_id").select(
+        F.md5(F.to_json(F.struct("vec"))).alias("_tk"),
+        "is_near_dup", "matched_vec", "cosine",
+    )
+    out = (
+        day2.select("vec_id", F.md5(F.to_json(F.struct("vec"))).alias("_tk"))
+        .join(rep_tk, "_tk")
+        .select(
+            "vec_id",
+            "is_near_dup",
+            "matched_vec",
+            F.when(F.col("matched_vec") >= _DAY1_VID_OFFSET, F.lit("increment"))
+            .when(F.col("matched_vec").isNotNull(), F.lit("corpus"))
+            .alias("matched_tier"),
+            "cosine",
+        )
+        .orderBy("vec_id")
+    )
+    out = register_result_cache(out.persist())
+    out.count()
+    day1_reps.unpersist()
+    day2_reps.unpersist()
+    return out
+
+
+_ANN_SQL_IDENT = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_ANN_SQL_NEG = "list_transform(embedding, x -> -CAST(x AS DOUBLE))"
+_ANN_SQL_PERT = (
+    "list_transform(range(1, len(embedding) + 1), "
+    "i -> CAST(embedding[i] AS DOUBLE) + CASE WHEN i = 2 THEN 0.125 ELSE 0 END)"
+)
+_ANN_SQL_NEG_PERT = (
+    "list_transform(range(1, len(prev_emb) + 1), "
+    "i -> -CAST(prev_emb[i] AS DOUBLE) + CASE WHEN i = 2 THEN 0.125 ELSE 0 END)"
+)
+_ANN_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN vec[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(_LSH_DIMS)
+)
+
+ANN_MAINTAINED_SQL = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id AS c_id, {_ANN_SQL_IDENT} AS vec FROM embeddings
+),
+day1 AS MATERIALIZED (
+  SELECT orig_id + {_DAY1_VID_OFFSET} AS vec_id,
+         CASE WHEN orig_id % 3 = 0 THEN {_ANN_SQL_NEG}
+              WHEN orig_id % 3 = 1 THEN {_ANN_SQL_IDENT}
+              ELSE {_ANN_SQL_PERT} END AS vec
+  FROM (SELECT vec_id AS orig_id, embedding FROM embeddings WHERE vec_id % 4 = 1)
+),
+day2 AS MATERIALIZED (
+  SELECT orig_id AS vec_id,
+         CASE WHEN orig_id % 3 = 0 THEN {_ANN_SQL_IDENT}
+              WHEN orig_id % 3 = 1 THEN {_ANN_SQL_NEG_PERT}
+              ELSE {_ANN_SQL_NEG} END AS vec
+  FROM (SELECT e.vec_id AS orig_id, e.embedding, p.embedding AS prev_emb
+        FROM embeddings e JOIN embeddings p ON p.vec_id = e.vec_id - 1
+        WHERE e.vec_id % 4 = 2)
+),
+-- day-1 classification vs the CORPUS index (bucket join + cosine)
+d1_matched AS MATERIALIZED (
+  SELECT DISTINCT s.vec_id FROM (
+    SELECT i.vec_id, round(
+      list_sum(list_transform(range(1, len(i.vec) + 1), k -> i.vec[k] * c.vec[k])) /
+      sqrt(list_sum(list_transform(i.vec, x -> x * x)) *
+           list_sum(list_transform(c.vec, x -> x * x))), 6) AS cosine
+    FROM (SELECT vec_id, vec, {_ANN_SQL_BUCKET} AS bucket FROM day1) i
+    JOIN (SELECT c_id, vec, {_ANN_SQL_BUCKET} AS bucket FROM corpus) c
+      ON i.bucket = c.bucket
+  ) s WHERE s.cosine >= {_ANN_THRESHOLD}
+),
+index_rows AS MATERIALIZED (
+  SELECT c_id, vec FROM corpus
+  UNION ALL
+  SELECT vec_id AS c_id, vec FROM day1
+  WHERE vec_id NOT IN (SELECT vec_id FROM d1_matched)
+),
+d2_sims AS (
+  SELECT i.vec_id, c.c_id, round(
+    list_sum(list_transform(range(1, len(i.vec) + 1), k -> i.vec[k] * c.vec[k])) /
+    sqrt(list_sum(list_transform(i.vec, x -> x * x)) *
+         list_sum(list_transform(c.vec, x -> x * x))), 6) AS cosine
+  FROM (SELECT vec_id, vec, {_ANN_SQL_BUCKET} AS bucket FROM day2) i
+  JOIN (SELECT c_id, vec, {_ANN_SQL_BUCKET} AS bucket FROM index_rows) c
+    ON i.bucket = c.bucket
+),
+d2_best AS (
+  SELECT vec_id, c_id, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn
+  FROM d2_sims WHERE cosine >= {_ANN_THRESHOLD}
+)
+SELECT d.vec_id,
+       b.c_id IS NOT NULL AS is_near_dup,
+       b.c_id AS matched_vec,
+       CASE WHEN b.c_id >= {_DAY1_VID_OFFSET} THEN 'increment'
+            WHEN b.c_id IS NOT NULL THEN 'corpus' END AS matched_tier,
+       b.cosine
+FROM day2 d LEFT JOIN (SELECT * FROM d2_best WHERE rn = 1) b ON b.vec_id = d.vec_id
+ORDER BY d.vec_id
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_lsh_bucketed": similarity_lsh_bucketed,
     "similarity_label_centroids": similarity_label_centroids,
     "similarity_ivf_search": similarity_ivf_search,
+    "similarity_incremental_maintained": similarity_incremental_maintained,
     "embedding_near_dup": embedding_near_dup,
 }
 
 ORACLES = {
+    "similarity_incremental_maintained": ANN_MAINTAINED_SQL,
     "similarity_topk_bruteforce": TOPK_SQL,
     "similarity_lsh_bucketed": LSH_TOPK_SQL,
     "similarity_label_centroids": CENTROIDS_SQL,

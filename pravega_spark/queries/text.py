@@ -1923,7 +1923,10 @@ def dedup_minhash_incremental_maintained(spark: SparkSession, sf_dir: str) -> Da
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    tbl = f"pvs_mhmaint_{_source_fingerprint(sf_dir, 'documents')}"
+    # v1: the name versions the FIXTURE semantics too — appended day-1
+    # survivor postings derive from _day1_docs, so a semantic change
+    # must mint a new table (same-prefix + same-source siblings GC)
+    tbl = f"pvs_mhmaint_v1_{_source_fingerprint(sf_dir, 'documents')}"
     indexed = _ensure_bucketed_index(
         spark, "pvs_mhmaint_", tbl, lambda: _corpus_band_index(docs), ["band"], 16,
         source_path=src,
@@ -2272,6 +2275,11 @@ def text_bpe_vocab_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.select(F.explode("units").alias("u"))
         .groupBy("u")
         .agg(F.count("*").cast("long").alias("cnt"))
+        # persisted: the O(corpus) explode+aggregate feeds BOTH the
+        # training sample and the distinct-unit encode — without the
+        # cache Spark re-scans the corpus for each (measured ~1/3 of
+        # the sf10 wall)
+        .persist()
     )
     sample = (
         unit_freq.orderBy(F.desc("cnt"), F.md5("u"))
@@ -2313,7 +2321,10 @@ def text_bpe_vocab_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("merges_md5", F.lit(md5))
         .orderBy("lang")
     )
-    return register_result_cache(out)
+    out = register_result_cache(out.persist())
+    out.count()
+    unit_freq.unpersist()
+    return out
 
 
 QUERIES = {

@@ -339,3 +339,84 @@ def test_bpe_vocab_scale_learned_table_and_compression(spark):
         assert r["merges_used"] >= 256
         assert r["n_units"] <= r["n_tokens"], r  # >= one token per unit
         assert r["n_tokens"] < r["n_units"] * 12, r  # far below char count
+
+
+# ---------------- maintained ANN index (r9, vector twin) ----------
+
+
+def test_ann_maintained_fixture_classes(spark):
+    """Day-2 vector classes resolve three ways; the re-crawl class
+    matches its day-1 upload through the maintained index."""
+    from pravega_spark.queries.similarity import (
+        _DAY1_VID_OFFSET,
+        similarity_incremental_maintained,
+    )
+
+    rows = similarity_incremental_maintained(spark, SF_DIR).collect()
+    assert rows
+    by_class = {0: [], 1: [], 2: []}
+    for r in rows:
+        by_class[r["vec_id"] % 3].append(r)
+    for r in by_class[0]:  # exact corpus copies
+        assert r["is_near_dup"] and r["matched_tier"] == "corpus"
+        assert r["cosine"] == 1.0 and r["matched_vec"] == r["vec_id"]
+    assert by_class[1], "no re-crawl class rows"
+    for r in by_class[1]:  # re-crawls of day-1 survivors
+        assert r["is_near_dup"] and r["matched_tier"] == "increment", r
+        assert r["matched_vec"] == r["vec_id"] - 1 + _DAY1_VID_OFFSET
+        assert 0.9 <= r["cosine"] < 1.0
+    for r in by_class[2]:  # negations: genuinely new
+        assert not r["is_near_dup"] and r["matched_tier"] is None
+
+
+def test_ann_maintained_no_rebuild_or_reappend_on_rerun(spark):
+    from pravega_spark.queries.similarity import similarity_incremental_maintained
+    from pravega_spark.sources.bucketing import applied_increments
+
+    first = [tuple(r) for r in similarity_incremental_maintained(spark, SF_DIR).collect()]
+    tbl = next(
+        t.name for t in spark.catalog.listTables() if t.name.startswith("pvs_annmaint_")
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, tbl)
+    listing1 = sorted(
+        (f, os.path.getmtime(os.path.join(loc, f)))
+        for f in os.listdir(loc)
+        if f.endswith(".parquet")
+    )
+    assert applied_increments(spark, tbl) == ["day1"]
+    second = [tuple(r) for r in similarity_incremental_maintained(spark, SF_DIR).collect()]
+    listing2 = sorted(
+        (f, os.path.getmtime(os.path.join(loc, f)))
+        for f in os.listdir(loc)
+        if f.endswith(".parquet")
+    )
+    assert listing1 == listing2, "rerun rebuilt or re-appended the ANN index"
+    assert first == second
+
+
+def test_ann_maintained_index_side_shuffle_free(spark):
+    """At-scale plan (broadcast off): the maintained bucket index —
+    base + appended survivor files — reaches the day-2 join as a
+    bucketed scan; any Exchange on the bucket key is increment-side
+    bucket alignment."""
+    import re
+
+    from pravega_spark.queries.similarity import similarity_incremental_maintained
+
+    similarity_incremental_maintained(spark, SF_DIR)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            similarity_incremental_maintained(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    assert "pvs_annmaint_" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(bucket#\d+[^,]*, (\d+)\)", plan):
+        assert m.group(1) == "16", f"bucket-key shuffle not bucket-aligned: {m.group(0)}"
