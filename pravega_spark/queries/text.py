@@ -2268,19 +2268,21 @@ def text_bpe_vocab_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    norm = docs.withColumn("w", F.split(F.lower(F.trim("text")), " +")).withColumn(
-        "units", F.expr(_BPE2_UNIT_EXPR)
-    )
-    unit_freq = (
-        norm.select(F.explode("units").alias("u"))
-        .groupBy("u")
+    # exact-collapse to distinct texts FIRST (r9 sweep lesson, same as
+    # every dedup path): the corpus is scanned ONCE for a map-side-
+    # combined (lang, text) count — tiny after combine — and all unit
+    # explosion/aggregation runs over the ~10^3-10^4 DISTINCT texts
+    # weighted by their counts, not over O(corpus) exploded rows
+    lt = (
+        docs.groupBy("lang", F.lower(F.trim("text")).alias("t"))
         .agg(F.count("*").cast("long").alias("cnt"))
-        # persisted: the O(corpus) explode+aggregate feeds BOTH the
-        # training sample and the distinct-unit encode — without the
-        # cache Spark re-scans the corpus for each (measured ~1/3 of
-        # the sf10 wall)
         .persist()
     )
+    texts = lt.groupBy("t").agg(F.sum("cnt").cast("long").alias("tot"))
+    text_units = texts.withColumn("w", F.split(F.col("t"), " +")).select(
+        "t", "tot", F.explode(F.expr(_BPE2_UNIT_EXPR)).alias("u")
+    ).persist()
+    unit_freq = text_units.groupBy("u").agg(F.sum("tot").cast("long").alias("cnt"))
     sample = (
         unit_freq.orderBy(F.desc("cnt"), F.md5("u"))
         .limit(_BPE2_SAMPLE_CAP)
@@ -2303,15 +2305,28 @@ def text_bpe_vocab_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append(n)
             yield pd.DataFrame({"u": pdf["u"], "n_tok": out})
 
-    unit_tok = unit_freq.select("u").mapInPandas(_encode, "u string, n_tok long")
-    per_doc_units = norm.select("doc_id", "lang", F.explode("units").alias("u"))
+    # the distinct-unit table is O(vocabulary^2) tiny (~10^3 rows):
+    # one Arrow batch on one python worker beats spawning a worker per
+    # shuffle partition for a handful of rows each; at a genuinely
+    # large unit space, drop the coalesce and let it fan out
+    unit_tok = unit_freq.select("u").coalesce(1).mapInPandas(_encode, "u string, n_tok long")
+    # per-TEXT totals (units + tokens), then the per-lang rollup weights
+    # them by each text's (lang, count) — document order never explodes
+    per_text = (
+        text_units.join(F.broadcast(unit_tok), "u")
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("text_units"),
+            F.sum("n_tok").cast("long").alias("text_tokens"),
+        )
+    )
     out = (
-        per_doc_units.join(F.broadcast(unit_tok), "u")
+        lt.join(per_text, "t")
         .groupBy("lang")
         .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_units"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum(F.col("cnt") * F.col("text_units")).cast("long").alias("n_units"),
+            F.sum(F.col("cnt") * F.col("text_tokens")).cast("long").alias("n_tokens"),
         )
         # unrounded on purpose: both engines divide the same exact
         # integers in IEEE double, so the bit-exact parity hash holds
@@ -2323,7 +2338,8 @@ def text_bpe_vocab_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = register_result_cache(out.persist())
     out.count()
-    unit_freq.unpersist()
+    lt.unpersist()
+    text_units.unpersist()
     return out
 
 

@@ -420,3 +420,67 @@ def test_ann_maintained_index_side_shuffle_free(spark):
     assert "pvs_annmaint_" in plan
     for m in re.finditer(r"Exchange hashpartitioning\(bucket#\d+[^,]*, (\d+)\)", plan):
         assert m.group(1) == "16", f"bucket-key shuffle not bucket-aligned: {m.group(0)}"
+
+
+def test_distributed_commit_pends_behind_open_hot_reservation(store, events):
+    """The distributed tier bases its offsets at the RESERVED tail: a
+    commit that runs while a hot writer holds an open reservation lands
+    as a pending entry and becomes visible only when the hot writer
+    publishes — offsets stay contiguous across the two tiers."""
+    import pravega_spark.store as store_mod
+
+    _mk(store, n_segments=2)
+    entered, hold = threading.Event(), threading.Event()
+    cls = type(store)
+    store_a = cls(store.spark, store.root)
+    orig = cls._write_hot_batch
+
+    def slow_wb(self, tbl, seg_arr, bases, path, tag):
+        out = orig(self, tbl, seg_arr, bases, path, tag)
+        entered.set()
+        assert hold.wait(60)
+        return out
+
+    store_a._write_hot_batch = types.MethodType(slow_wb, store_a)
+    t = threading.Thread(
+        target=lambda: store_a.append_events("s", "ev", _rows("hot", 6), writer_id="H", batch_seq=0)
+    )
+    t.start()
+    assert entered.wait(30)
+    # distributed write_events while H's reservation is open (force the
+    # distributed tier so the batch takes the lock-held path)
+    env = events.limit(40).select(
+        F.col("user_id").cast("string").alias("routing_key"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id").cast("string").alias("v"),
+    )
+    old = store_mod.HOT_MAX_EST_BYTES
+    store_mod.HOT_MAX_EST_BYTES = 0
+    try:
+        store.write_events("s", "ev", env, writer_id="D", batch_seq=0)
+    finally:
+        store_mod.HOT_MAX_EST_BYTES = old
+    # per-segment gating: rows landing in the segment H reserved wait
+    # as pending; rows in the other segment absorb immediately
+    visible = store.read("s", "ev").count()
+    assert visible < 40, "no distributed rows were gated by the reservation"
+    doc = store.meta.segments_doc("s", "ev")
+    assert doc.get("pending") and doc["writer_seqs"].get("D") == 0
+    pend_n = sum(e["n"] for lst in doc["pending"].values() for e in lst)
+    assert visible + pend_n == 40  # durable split across visible+pending
+    hold.set()
+    t.join(60)
+    assert store.read("s", "ev").count() == 46
+    offs = {
+        sid: sorted(r["offset"] for r in rows)
+        for sid, rows in __import__("itertools").groupby(
+            sorted(
+                store.read("s", "ev").select("segment_id", "offset").collect(),
+                key=lambda r: (r["segment_id"], r["offset"]),
+            ),
+            key=lambda r: r["segment_id"],
+        )
+    }
+    for sid, o in offs.items():
+        assert o == list(range(len(o))), f"segment {sid} not contiguous"
+    assert store.fsck_stream("s", "ev") == []
