@@ -849,6 +849,13 @@ class StreamStore:
                         for rel in obsolete:
                             fsio.remove(fsio.join(path, rel))
                 else:
+                    # re-check the stream seal UNDER the lock: seal_stream
+                    # drains reservations, but an append whose entry check
+                    # passed BEFORE the seal completed would otherwise
+                    # reserve into the sealed stream (raise, don't retry —
+                    # this is the caller's StreamSealedException contract)
+                    if self.meta.get_stream(scope, stream)["sealed"]:
+                        raise StreamSealedException(f"{scope}/{stream} is sealed")
                     # Stale routing (a scale landed since we read the
                     # epoch) is detected HERE without re-reading the
                     # epochs doc: scale only repartitions the SEALED

@@ -484,3 +484,23 @@ def test_distributed_commit_pends_behind_open_hot_reservation(store, events):
     for sid, o in offs.items():
         assert o == list(range(len(o))), f"segment {sid} not contiguous"
     assert store.fsck_stream("s", "ev") == []
+
+
+def test_seal_racing_append_is_rejected_at_reserve(store):
+    """An append whose entry-time seal check passed BEFORE seal_stream
+    completed must be rejected at reserve time, not appended into the
+    sealed stream (the under-lock re-check)."""
+    from pravega_spark.errors import StreamSealedException
+
+    _mk(store)
+    store.append_events("s", "ev", _rows("a", 3), writer_id="w", batch_seq=0)
+    # simulate the race: seal completes after the entry check would have
+    # passed, then drive the commit path directly
+    store.seal_stream("s", "ev")
+    import pyarrow as pa
+
+    tbl = pa.table({"routing_key": ["a", "a"], "v": ["x", "y"]})
+    with pytest.raises(StreamSealedException):
+        store._hot_commit("s", "ev", tbl, [], ("w", 1))
+    assert store.read("s", "ev").count() == 3  # nothing landed
+    assert store.fsck_stream("s", "ev") == []
