@@ -398,3 +398,54 @@ def test_lock_reap_survives_torn_move(object_store):
     # and the lock is reusable afterwards
     tok2 = fsio.acquire_lock(lock, lease_ms=500, timeout_ms=5000)
     fsio.release_lock(lock, tok2)
+
+
+def test_reservation_gap_repair_on_object_store(object_store, monkeypatch):
+    """The r9 crash-repair path — expired-reservation reap with pending
+    offset renumbering — on the S3-semantics backend: renumbered files
+    are REWRITTEN under new names (object stores cannot edit in place),
+    the doc flips, and the old names become reapable orphans."""
+    import pravega_spark.store as store_mod
+
+    handler, root = object_store
+    store = StreamStore(None, root)
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    store.append_events("s", "ev", [{"routing_key": "k", "v": i} for i in range(4)],
+                        writer_id="W0", batch_seq=0)
+
+    armed = {"on": True}
+    orig = StreamStore._write_hot_batch
+
+    def crashing(self, tbl, seg_arr, bases, path, tag):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("died mid-payload")
+        return orig(self, tbl, seg_arr, bases, path, tag)
+
+    monkeypatch.setattr(StreamStore, "_write_hot_batch", crashing)
+    with pytest.raises(RuntimeError):
+        store.append_events("s", "ev", [{"routing_key": "k", "v": 100 + i} for i in range(5)],
+                            writer_id="A", batch_seq=0)
+    # B pends above the dead reservation's gap
+    store.append_events("s", "ev", [{"routing_key": "k", "v": 200 + i} for i in range(3)],
+                        writer_id="B", batch_seq=0)
+    assert dict(store.meta.tail_offsets("s", "ev")) == {0: 4}
+    monkeypatch.setattr(store_mod, "RESERVATION_GRACE_MS", -1)
+    store.append_events("s", "ev", [{"routing_key": "k", "v": 300 + i} for i in range(2)],
+                        writer_id="C", batch_seq=0)
+    assert dict(store.meta.tail_offsets("s", "ev")) == {0: 9}
+    # readback through the manifest: contiguous offsets, B renumbered
+    doc = store.meta.segments_doc("s", "ev")
+    assert not doc.get("reservations") and not doc.get("pending")
+    path = fsio.join(root, "streams", "s", "ev")
+    rows = {}
+    for rel in store.meta.segment_files("s", "ev", "0", doc["segments"]["0"]):
+        t = fsio.parquet_read_table(fsio.join(path, rel))
+        for v, off in zip(t["v"].to_pylist(), t["offset"].to_pylist()):
+            rows[off] = v
+    assert sorted(rows) == list(range(9))
+    assert [rows[o] for o in range(4, 7)] == [200, 201, 202]  # B shifted down
+    assert [rows[o] for o in range(7, 9)] == [300, 301]
+    store.fsck_stream("s", "ev")
+    assert store.fsck_stream("s", "ev") == []
