@@ -263,28 +263,36 @@ def append_bucketed_index(
     buckets: Spark keeps the bucket co-location (no Exchange on the
     key), adding only a local per-bucket Sort where sortedness matters.
     """
+    from pravega_spark import fsio
+
     with _INDEX_BUILD_LOCK:
         loc = _table_location(spark, tbl)
         if loc is None:
             raise ValueError(f"append_bucketed_index: no such table {tbl}")
-        marker = os.path.join(loc, APPLIED_MARKER)
-        try:
-            with open(marker) as fh:
-                applied = list(json.load(fh).get("applied", []))
-        except (OSError, ValueError):
-            applied = []
-        if increment_id in applied:
-            return False
-        (
-            df.write.format("parquet")
-            .bucketBy(n_buckets, *keys)
-            .sortBy(*keys)
-            .mode("append")
-            .saveAsTable(tbl)
-        )
-        with open(marker, "w") as fh:
-            json.dump({"applied": applied + [increment_id]}, fh)
-        # the catalog caches file listings per table; a same-session
-        # reader planned BEFORE this append must not miss the new files
-        spark.catalog.refreshTable(tbl)
+        # cross-process exactly-once: the marker check-then-append must
+        # serialize across daily-job PROCESSES sharing one warehouse,
+        # not just threads of this session (a lost race double-appends —
+        # result-safe for the dedup queries, but physical duplication
+        # the next rebuild would have to carry)
+        with fsio.locked(os.path.join(loc, "_PVS_APPEND.lock")):
+            marker = os.path.join(loc, APPLIED_MARKER)
+            try:
+                with open(marker) as fh:
+                    applied = list(json.load(fh).get("applied", []))
+            except (OSError, ValueError):
+                applied = []
+            if increment_id in applied:
+                return False
+            (
+                df.write.format("parquet")
+                .bucketBy(n_buckets, *keys)
+                .sortBy(*keys)
+                .mode("append")
+                .saveAsTable(tbl)
+            )
+            with open(marker, "w") as fh:
+                json.dump({"applied": applied + [increment_id]}, fh)
+            # the catalog caches file listings per table; a same-session
+            # reader planned BEFORE this append must not miss the files
+            spark.catalog.refreshTable(tbl)
     return True
