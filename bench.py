@@ -53,6 +53,10 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "text_bpe_learned_tokenize",
     "streaming_scale_epoch_read",
+    # r9 additions (same append-only rule)
+    "dedup_minhash_incremental_maintained",
+    "text_bpe_vocab_scale",
+    "similarity_incremental_maintained",
 ]
 
 
