@@ -39,6 +39,7 @@ _GATE_ORDER = [
     "dedup_minhash_incremental_maintained",
     "text_bpe_vocab_scale",
     "similarity_incremental_maintained",
+    "corpus_dedup_incremental_maintained",
     # -- r9 rotation (VERDICT r8 item 3): the 38 queries past the r8
     # -- 50-entry cap (latest driver rows r7) — fronted so driver
     # -- evidence never goes two rounds stale ---------------------------
@@ -94,10 +95,10 @@ _GATE_ORDER = [
     "corpus_dedup_incremental_indexed",
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_minhash_signatures",
     # -- tail (past the 50-entry cap this round): every entry below has
     # -- a fresh r8 driver row, so nothing goes two rounds stale. r10
     # -- rotation note: front this block next round ---------------------
+    "dedup_minhash_signatures",
     "embedding_near_dup",
     "text_langid",
     "similarity_ivf_search",

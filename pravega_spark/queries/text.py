@@ -1539,6 +1539,164 @@ def corpus_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFr
     return _dedup_increment_vs(spark.table(tbl), docs)
 
 
+# ---------------------------------- maintained EXACT-dup fingerprints (r9)
+# shared by both two-day maintenance fixtures (exact + near-dup): day-1
+# increment ids offset so index postings from appended survivors are
+# distinguishable from corpus ids (both draw from the documents space)
+_DAY1_ID_OFFSET = 10_000_000
+
+
+def _fp_day1_docs(docs: DataFrame) -> DataFrame:
+    """Day-1 increment of the EXACT-dedup two-day fixture: doc_id % 4
+    == 1 — novel 'xnv1' text keyed by the ORIGINAL doc_id (% 3 == 0,
+    the survivor class day-2 re-crawls byte-identically) or an exact
+    corpus copy (otherwise, flagged against the base index). Ids offset
+    10M like the near-dup fixture."""
+    return docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + _DAY1_ID_OFFSET).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 10), "
+                "i -> concat('xnv1', cast(doc_id AS STRING), 'x', cast(i AS STRING))))"
+            ),
+        )
+        .otherwise(F.trim(F.col("text")))
+        .alias("text"),
+    )
+
+
+def _fp_day2_docs(docs: DataFrame) -> DataFrame:
+    """Day-2 increment: doc_id % 4 == 2 — exact corpus copy (% 3 == 0),
+    byte-identical RE-CRAWL of day-1 doc (doc_id-1)'s novel text
+    (% 3 == 1: an exact dup ONLY against the maintained index), or
+    fresh 'xnv2' text (% 3 == 2: new)."""
+    return docs.filter(F.col("doc_id") % 4 == 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.trim(F.col("text")))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 10), "
+                "i -> concat('xnv1', cast(doc_id - 1 AS STRING), 'x', cast(i AS STRING))))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 10), "
+                "i -> concat('xnv2', cast(doc_id AS STRING), 'x', cast(i AS STRING))))"
+            )
+        )
+        .alias("text"),
+    )
+
+
+def corpus_dedup_incremental_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-day incremental EXACT dedup with the index-maintenance loop
+    closed — the fingerprint twin of dedup_minhash_incremental_maintained
+    (VERDICT r8 item 4 asked for BOTH maintained dedup indexes): day 1
+    classifies its increment against the standing fingerprint table and
+    APPENDS the surviving documents' fingerprints bucket-aligned
+    (append_bucketed_index, exactly-once 'day1' marker, no rebuild);
+    day 2 classifies against the MAINTAINED table, so a byte-identical
+    re-crawl of a day-1 document flags matched_tier='increment' — the
+    signal that only exists because maintenance ran.
+
+    100 TB shape: fingerprints are a linear map; each day's pass is one
+    equi-join of the increment against the bucketed index (no corpus
+    shuffle — plan pinned like corpus_dedup_incremental_indexed), and
+    the append writes O(survivors) rows into the existing bucket
+    layout. The maintained table is its own versioned name
+    (pvs_fpmaint_v1_*): the shared corpus_dedup_incremental_indexed
+    index stays append-free so that query's results cannot drift."""
+    from pravega_spark.sources.bucketed import _source_fingerprint
+    from pravega_spark.sources.bucketing import append_bucketed_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    tbl = f"pvs_fpmaint_v1_{_source_fingerprint(sf_dir, 'documents')}"
+    indexed = _ensure_bucketed_index(
+        spark, "pvs_fpmaint_", tbl, lambda: _corpus_fingerprints(docs), ["fp"], 16,
+        source_path=src,
+    )
+    base = spark.table(tbl) if indexed else _corpus_fingerprints(docs)
+
+    day1 = _fp_day1_docs(docs)
+    day1_fp = day1.select("doc_id", F.md5("text").alias("fp"))
+    d1_matched = (
+        day1_fp.join(base, "fp", "left")
+        .groupBy("doc_id")
+        .agg(F.min("corpus_doc").alias("matched_doc"))
+    )
+    survivors_fp = day1_fp.join(
+        d1_matched.filter(F.col("matched_doc").isNull()).select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("corpus_doc"), "fp")
+    if indexed:
+        append_bucketed_index(spark, tbl, survivors_fp, ["fp"], 16, increment_id="day1")
+        maintained = spark.table(tbl)
+    else:
+        maintained = base.unionByName(survivors_fp)
+
+    day2_fp = _fp_day2_docs(docs).select("doc_id", F.md5("text").alias("fp"))
+    out = (
+        day2_fp.join(maintained, "fp", "left")
+        .groupBy("doc_id")
+        .agg(F.min("corpus_doc").alias("matched_doc"))
+        .select(
+            "doc_id",
+            F.col("matched_doc").isNotNull().alias("is_dup"),
+            "matched_doc",
+            F.when(F.col("matched_doc") >= _DAY1_ID_OFFSET, F.lit("increment"))
+            .when(F.col("matched_doc").isNotNull(), F.lit("corpus"))
+            .alias("matched_tier"),
+        )
+        .orderBy("doc_id")
+    )
+    return register_result_cache(out)
+
+
+_XNV1 = ("array_to_string(list_transform(range(1, 11), "
+         "i -> 'xnv1' || orig_id || 'x' || i), ' ')")
+_XNV1_PREV = ("array_to_string(list_transform(range(1, 11), "
+              "i -> 'xnv1' || (orig_id - 1) || 'x' || i), ' ')")
+_XNV2 = ("array_to_string(list_transform(range(1, 11), "
+         "i -> 'xnv2' || orig_id || 'x' || i), ' ')")
+
+FP_MAINTAINED_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS corpus_doc, md5(trim(text)) AS fp FROM documents
+),
+day1 AS (
+  SELECT orig_id + {_DAY1_ID_OFFSET} AS doc_id,
+         md5(CASE WHEN orig_id % 3 = 0 THEN {_XNV1} ELSE trim(text) END) AS fp
+  FROM (SELECT doc_id AS orig_id, text FROM documents WHERE doc_id % 4 = 1)
+),
+survivors AS (
+  SELECT d.doc_id AS corpus_doc, d.fp FROM day1 d
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = d.fp)
+),
+maintained AS (
+  SELECT corpus_doc, fp FROM corpus UNION ALL SELECT corpus_doc, fp FROM survivors
+),
+day2 AS (
+  SELECT orig_id AS doc_id,
+         md5(CASE WHEN orig_id % 3 = 0 THEN trim(text)
+                  WHEN orig_id % 3 = 1 THEN {_XNV1_PREV}
+                  ELSE {_XNV2} END) AS fp
+  FROM (SELECT doc_id AS orig_id, text FROM documents WHERE doc_id % 4 = 2)
+),
+matched AS (
+  SELECT d.doc_id, min(m.corpus_doc) AS matched_doc
+  FROM day2 d LEFT JOIN maintained m ON m.fp = d.fp
+  GROUP BY d.doc_id
+)
+SELECT doc_id, matched_doc IS NOT NULL AS is_dup, matched_doc,
+       CASE WHEN matched_doc >= {_DAY1_ID_OFFSET} THEN 'increment'
+            WHEN matched_doc IS NOT NULL THEN 'corpus' END AS matched_tier
+FROM matched ORDER BY doc_id
+"""
+
+
 # ------------------------------------------- incremental NEAR-dup (indexed)
 def _inc_near_docs(docs: DataFrame) -> DataFrame:
     """The near-dup re-crawl increment, derived deterministically in
@@ -1830,9 +1988,6 @@ ORDER BY i.doc_id
 
 
 # ------------------------------------------- maintained-index near-dup (r9)
-_DAY1_ID_OFFSET = 10_000_000
-
-
 def _day1_docs(docs: DataFrame) -> DataFrame:
     """Day-1 increment of the two-day index-maintenance fixture,
     deterministic in both engines: docs with doc_id % 4 == 1 in three
@@ -2349,6 +2504,7 @@ QUERIES = {
     "corpus_mixture_weights": corpus_mixture_weights,
     "corpus_dedup_incremental": corpus_dedup_incremental,
     "corpus_dedup_incremental_indexed": corpus_dedup_incremental_indexed,
+    "corpus_dedup_incremental_maintained": corpus_dedup_incremental_maintained,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_minhash_incremental_maintained": dedup_minhash_incremental_maintained,
     "text_bpe_token_stats": text_bpe_token_stats,
@@ -2377,6 +2533,7 @@ ORACLES = {
     "corpus_mixture_weights": MIXTURE_WEIGHTS_SQL,
     "corpus_dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "corpus_dedup_incremental_indexed": DEDUP_INCREMENTAL_SQL,
+    "corpus_dedup_incremental_maintained": FP_MAINTAINED_SQL,
     "dedup_minhash_incremental": MINHASH_INCREMENTAL_SQL,
     "dedup_minhash_incremental_maintained": MINHASH_MAINTAINED_SQL,
     "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,

@@ -504,3 +504,75 @@ def test_seal_racing_append_is_rejected_at_reserve(store):
         store._hot_commit("s", "ev", tbl, [], ("w", 1))
     assert store.read("s", "ev").count() == 3  # nothing landed
     assert store.fsck_stream("s", "ev") == []
+
+
+# ------------- maintained EXACT-dup fingerprint index (r9) -------------
+
+
+def test_fp_maintained_fixture_classes(spark):
+    """The exact-fingerprint twin of the maintenance loop: day-2's
+    byte-identical re-crawl of a day-1 survivor flags as a dup with
+    matched_tier='increment'."""
+    from pravega_spark.queries.text import (
+        _DAY1_ID_OFFSET,
+        corpus_dedup_incremental_maintained,
+    )
+
+    rows = corpus_dedup_incremental_maintained(spark, SF_DIR).collect()
+    assert rows
+    by_class = {0: [], 1: [], 2: []}
+    for r in rows:
+        by_class[r["doc_id"] % 3].append(r)
+    for r in by_class[0]:  # exact corpus copies
+        assert r["is_dup"] and r["matched_tier"] == "corpus"
+    assert by_class[1], "no re-crawl rows"
+    for r in by_class[1]:  # re-crawls of day-1 survivors
+        assert r["is_dup"] and r["matched_tier"] == "increment", r
+        assert r["matched_doc"] == r["doc_id"] - 1 + _DAY1_ID_OFFSET
+    for r in by_class[2]:  # fresh
+        assert not r["is_dup"] and r["matched_tier"] is None
+
+
+def test_fp_maintained_no_rebuild_or_reappend_on_rerun(spark):
+    from pravega_spark.queries.text import corpus_dedup_incremental_maintained
+    from pravega_spark.sources.bucketing import applied_increments
+
+    first = [tuple(r) for r in corpus_dedup_incremental_maintained(spark, SF_DIR).collect()]
+    tbl = next(
+        t.name for t in spark.catalog.listTables() if t.name.startswith("pvs_fpmaint_")
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, tbl)
+    listing1 = sorted(f for f in os.listdir(loc) if f.endswith(".parquet"))
+    assert applied_increments(spark, tbl) == ["day1"]
+    second = [tuple(r) for r in corpus_dedup_incremental_maintained(spark, SF_DIR).collect()]
+    listing2 = sorted(f for f in os.listdir(loc) if f.endswith(".parquet"))
+    assert listing1 == listing2
+    assert applied_increments(spark, tbl) == ["day1"]
+    assert first == second
+
+
+def test_fp_maintained_index_side_shuffle_free(spark):
+    """At-scale plan (broadcast off): the maintained fingerprint table
+    reaches both classification joins as a bucketed scan; any Exchange
+    on fp is increment-side bucket alignment."""
+    import re
+
+    from pravega_spark.queries.text import corpus_dedup_incremental_maintained
+
+    corpus_dedup_incremental_maintained(spark, SF_DIR)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            corpus_dedup_incremental_maintained(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    assert "pvs_fpmaint_" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(fp#\d+[^,]*, (\d+)\)", plan):
+        assert m.group(1) == "16", f"fp shuffle not bucket-aligned: {m.group(0)}"
