@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_minhash_incremental_maintained",
     "text_bpe_vocab_scale",
     "similarity_incremental_maintained",
+    "corpus_dedup_incremental_maintained",
 ]
 
 
