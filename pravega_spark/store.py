@@ -377,10 +377,7 @@ class StreamStore:
                 doc = self.meta.segments_doc(scope, stream)
                 obsolete = self._reap_reservations_locked(doc, path)
                 if not doc.get("reservations") and not doc.get("pending"):
-                    if obsolete is not None:
-                        self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
-                        for rel in obsolete:
-                            fsio.remove(fsio.join(path, rel))
+                    self._flush_reap(scope, stream, doc, obsolete, path)
                     return fn()
                 absorbable = any(
                     entries and min(e["base"] for e in entries)
@@ -736,10 +733,7 @@ class StreamStore:
             doc = self.meta.segments_doc(scope, stream)
             obsolete = self._reap_reservations_locked(doc, path)
             if self._already_applied(doc, writer_marker, txn_marker):
-                if obsolete is not None:
-                    self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
-                    for rel in obsolete:
-                        fsio.remove(fsio.join(path, rel))
+                self._flush_reap(scope, stream, doc, obsolete, path)
                 return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
             ranges = self.meta.active_ranges(scope, stream)
             bases = {sid: self._reserved_tail(doc, str(sid)) for sid, _, _ in ranges}
@@ -826,10 +820,7 @@ class StreamStore:
                 doc = self.meta.segments_doc(scope, stream)
                 obsolete = self._reap_reservations_locked(doc, path)
                 if self._already_applied(doc, writer_marker, txn_marker):
-                    if obsolete is not None:
-                        self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
-                        for rel in obsolete:
-                            fsio.remove(fsio.join(path, rel))
+                    self._flush_reap(scope, stream, doc, obsolete, path)
                     return {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
                 # same-writer / same-txn in-flight guard: a concurrent
                 # retry of a batch whose FIRST attempt holds an open
@@ -844,10 +835,7 @@ class StreamStore:
                 )
                 if inflight:
                     retry = True
-                    if obsolete is not None:
-                        self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
-                        for rel in obsolete:
-                            fsio.remove(fsio.join(path, rel))
+                    self._flush_reap(scope, stream, doc, obsolete, path)
                 else:
                     # re-check the stream seal UNDER the lock: seal_stream
                     # drains reservations, but an append whose entry check
@@ -1067,6 +1055,18 @@ class StreamStore:
     #     visible tail because an earlier reservation is still open.
     # Readers see ONLY the manifest, so both structures are invisible to
     # the data plane until absorption flips them in.
+
+    def _flush_reap(self, scope: str, stream: str, doc: dict, obsolete, path: str) -> None:
+        """Persist a reap's doc mutations (conditional write) and delete
+        the renamed-away old pending files — no-op when the reap changed
+        nothing. Callers hold the commit lock; deletion strictly AFTER
+        the doc write keeps the crash ordering (old names must stay
+        resolvable until the doc references the new ones)."""
+        if obsolete is None:
+            return
+        self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+        for rel in obsolete:
+            fsio.remove(fsio.join(path, rel))
 
     @staticmethod
     def _reserved_tail(doc: dict, sid_str: str) -> int:
@@ -1354,10 +1354,7 @@ class StreamStore:
                 for e in entries:
                     referenced.update(e["files"])
             if doc.get("reservations"):
-                if reap_obsolete is not None:
-                    self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
-                    for rel in reap_obsolete:
-                        fsio.remove(fsio.join(path, rel))
+                self._flush_reap(scope, stream, doc, reap_obsolete, path)
                 return []
             # reap-renumbered old names are deletable only AFTER the doc
             # flips to the new names — exclude them from the scan pass
