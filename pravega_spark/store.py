@@ -357,7 +357,20 @@ class StreamStore:
         self.meta.update_stream(scope, stream, config)
 
     def seal_stream(self, scope: str, stream: str) -> None:
-        self._with_quiescent_lock(scope, stream, lambda: self.meta.seal_stream(scope, stream))
+        def _seal():
+            self.meta.seal_stream(scope, stream)
+            # denormalized copy of the seal flag in the segments doc:
+            # the hot append's under-lock seal re-check then costs zero
+            # extra reads (it already holds the doc). Written AFTER the
+            # stream doc so a crash between the two leaves the stream
+            # sealed-but-flagless — the entry check still rejects, and
+            # only the narrow entry-vs-reserve race window reopens until
+            # a repeated seal call completes the flag.
+            doc = self.meta.segments_doc(scope, stream)
+            doc["sealed"] = True
+            self.meta.put_segments_doc(scope, stream, doc, expected_version=doc["version"])
+
+        self._with_quiescent_lock(scope, stream, _seal)
 
     def _with_quiescent_lock(self, scope: str, stream: str, fn, timeout_s: float | None = None):
         """Run ``fn`` under the commit lock with NO open reservations or
@@ -841,8 +854,10 @@ class StreamStore:
                     # drains reservations, but an append whose entry check
                     # passed BEFORE the seal completed would otherwise
                     # reserve into the sealed stream (raise, don't retry —
-                    # this is the caller's StreamSealedException contract)
-                    if self.meta.get_stream(scope, stream)["sealed"]:
+                    # this is the caller's StreamSealedException contract).
+                    # The flag is the denormalized copy seal_stream writes
+                    # into THIS doc, so the check is free of extra I/O.
+                    if doc.get("sealed"):
                         raise StreamSealedException(f"{scope}/{stream} is sealed")
                     # Stale routing (a scale landed since we read the
                     # epoch) is detected HERE without re-reading the
