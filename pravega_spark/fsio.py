@@ -563,7 +563,79 @@ def release_lock(path: str, token: str) -> None:
 
 _HELD_LOCKS: dict[str, list] = {}  # token -> [path, lease_ms, last_renew_monotonic]
 _HELD_GUARD = None
+_RENEW_WAKE = None
 _RENEWER_STARTED = False
+_HELD_INIT = None
+
+
+def _held_guard():
+    # module import may race across threads; build the guard pair once
+    # under an import-time lock created at first call via setdefault on
+    # the GIL-atomic module dict
+    global _HELD_GUARD, _RENEW_WAKE, _HELD_INIT
+    import threading
+
+    if _HELD_INIT is None:
+        _HELD_INIT = threading.Lock()  # GIL-atomic single assignment
+    with _HELD_INIT:
+        if _HELD_GUARD is None:
+            _HELD_GUARD = threading.Lock()
+            _RENEW_WAKE = threading.Event()
+    return _HELD_GUARD
+
+
+def _renew_loop():
+    """Shared renewer: renew every held lease past lease/3.
+
+    I/O happens OUTSIDE the registry guard (r10 ADVICE): on claim-based
+    object-store roots a renew is a listing plus a PUT, and holding the
+    guard across it would block every locked() acquisition and release
+    in the process for the duration. The renew-vs-release race is
+    resolved by re-checking registration AFTER the renew: if the entry
+    vanished (released while we renewed), the renew may have
+    resurrected a freed lock file — undo it with a release_lock, which
+    is token-conditional and therefore cannot touch a lock a NEW holder
+    has since acquired.
+    """
+    import time as _time
+
+    guard = _held_guard()
+    while True:
+        with guard:
+            snapshot = list(_HELD_LOCKS.items())
+        now = _time.monotonic()
+        for tok, ent in snapshot:
+            p, lease, last = ent[0], ent[1], ent[2]
+            if now - last < lease / 3000.0:
+                continue
+            try:
+                ok = renew_lock(p, tok, lease)
+            except Exception:
+                ok = False
+            with guard:
+                still = _HELD_LOCKS.get(tok)
+                if still is not ent:
+                    if still is None:
+                        try:
+                            release_lock(p, tok)  # undo a resurrection
+                        except Exception:
+                            pass
+                elif ok:
+                    ent[2] = _time.monotonic()
+                else:
+                    del _HELD_LOCKS[tok]  # fenced out: stop renewing
+        # sleep until the soonest renewal deadline, but wake IMMEDIATELY
+        # when a new (possibly sub-second) lease registers — a fixed
+        # sleep could outlive a short lease entirely (r10 ADVICE).
+        # clear-before-compute: a registration landing after the clear
+        # sets the event and the wait returns at once, so no deadline
+        # computed here can be missed.
+        _RENEW_WAKE.clear()
+        with guard:
+            deadlines = [ent[2] + ent[1] / 3000.0 for ent in _HELD_LOCKS.values()]
+        now = _time.monotonic()
+        timeout = min([0.5] + [max(0.0, d - now) for d in deadlines])
+        _RENEW_WAKE.wait(timeout)
 
 
 def _register_held(token: str, path: str, lease_ms: int) -> None:
@@ -573,45 +645,20 @@ def _register_held(token: str, path: str, lease_ms: int) -> None:
     lease/3 — replacing the per-acquisition heartbeat thread, whose
     create + join cost ~65 ms per hot append under 4-writer GIL
     contention (r9 profile: thread wake latency dominated the commit,
-    not the lock work itself). Renewals happen UNDER the registry guard
-    so a concurrent release blocks until an in-flight renew of its
-    entry finishes — a renew racing past release would resurrect a
-    freed lock file and stall the next acquirer for a full lease.
+    not the lock work itself).
     """
-    global _HELD_GUARD, _RENEWER_STARTED
+    global _RENEWER_STARTED
     import threading
     import time as _time
 
-    if _HELD_GUARD is None:
-        _HELD_GUARD = threading.Lock()
-    with _HELD_GUARD:
+    guard = _held_guard()
+    with guard:
         _HELD_LOCKS[token] = [path, lease_ms, _time.monotonic()]
-        if not _RENEWER_STARTED:
-            _RENEWER_STARTED = True
-
-            def _renew_loop():
-                while True:
-                    with _HELD_GUARD:
-                        leases = [ent[1] for ent in _HELD_LOCKS.values()]
-                    # wake often enough to renew the SHORTEST held lease
-                    # well inside its lease/3 budget (tests use sub-second
-                    # leases; production commit locks are 30 s)
-                    _time.sleep(min(1.0, min(leases) / 9000.0) if leases else 0.5)
-                    with _HELD_GUARD:
-                        now = _time.monotonic()
-                        for tok, ent in list(_HELD_LOCKS.items()):
-                            p, lease, last = ent
-                            if now - last < lease / 3000.0:
-                                continue
-                            try:
-                                if renew_lock(p, tok, lease):
-                                    ent[2] = now
-                                else:
-                                    del _HELD_LOCKS[tok]  # fenced out
-                            except Exception:
-                                del _HELD_LOCKS[tok]
-
-            threading.Thread(target=_renew_loop, daemon=True, name="fsio-lock-renewer").start()
+        start = not _RENEWER_STARTED
+        _RENEWER_STARTED = True
+    _RENEW_WAKE.set()  # reset the renewer's sleep for this lease's budget
+    if start:
+        threading.Thread(target=_renew_loop, daemon=True, name="fsio-lock-renewer").start()
 
 
 def _unregister_held(token: str) -> None:
@@ -619,6 +666,9 @@ def _unregister_held(token: str) -> None:
         return
     with _HELD_GUARD:
         _HELD_LOCKS.pop(token, None)
+    # the caller's release_lock follows; if an in-flight renew (outside
+    # the guard) resurrects the lock file after that, the renewer's own
+    # post-renew re-check undoes it (see _renew_loop)
 
 
 def locked(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000):

@@ -303,7 +303,11 @@ class MetadataStore:
         return list(doc["files"]) + chain
 
     def resolve_files(self, scope: str, stream: str) -> tuple[dict, dict[str, list[str]]]:
-        """Lockless snapshot (segments, {sid: files}) for readers.
+        """Lockless snapshot (full segments DOC, {sid: files}) for
+        readers — the doc (not just ``segments``) so the reader can
+        precheck ``pending``/``reservations`` for visibility gaps a
+        crashed writer left behind (store._maybe_read_repair) without a
+        second metadata read.
 
         Two-step resolution (doc → shards) can race a concurrent commit
         that deletes the old shard right after its doc flip; on a
@@ -316,7 +320,7 @@ class MetadataStore:
             doc = self.segments_doc(scope, stream)
             segs = doc["segments"]
             try:
-                return segs, {
+                return doc, {
                     sid: self.segment_files(scope, stream, sid, s)
                     for sid, s in segs.items()
                 }

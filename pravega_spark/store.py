@@ -38,6 +38,7 @@ Spark-first architecture:
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -105,7 +106,27 @@ RESERVATION_GRACE_MS = int(os.environ.get("PRAVEGA_SPARK_RESERVATION_GRACE_MS", 
 # append while fold cost amortizes across CHAIN_MAX commits).
 CHAIN_MAX = int(os.environ.get("PRAVEGA_SPARK_CHAIN_MAX", "32"))
 
+# Reader-triggered visibility repair deadline (r10): a published commit
+# stuck behind a DEAD writer's reserved-but-never-published gap becomes
+# visible within this bound — a reader that observes the gap past the
+# deadline force-expires the blocking reservation and absorbs the
+# stranded commit inline, instead of waiting the full reservation grace
+# (30 s) for the next WRITER to arrive and repair. 2 s is ~1000x the
+# hot payload write it could falsely fence; a live writer fenced this
+# way re-reserves and retries (exactly-once holds — see _hot_commit
+# phase 3's fence check), so the deadline trades a rare wasted payload
+# write for a hard tail-visibility bound. Reference semantics: ack
+# implies all earlier appends applied (AppendProcessor.java:302) —
+# this bound is the split-commit design's substitute for that.
+READ_REPAIR_DEADLINE_MS = int(os.environ.get("PRAVEGA_SPARK_READ_REPAIR_DEADLINE_MS", "2000"))
+
+# Age past which hot appenders ignore a seal/scale drain's ``draining``
+# flag — bounds the stall a CRASHED drainer can impose (the live
+# drainer refreshes the timestamp every STALE/4 while it waits).
+DRAINING_STALE_MS = int(os.environ.get("PRAVEGA_SPARK_DRAINING_STALE_MS", "15000"))
+
 _IO_POOL = None
+_IO_POOL_LOCK = threading.Lock()
 
 
 def _io_pool():
@@ -122,7 +143,9 @@ def _io_pool():
     if _IO_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
-        _IO_POOL = ThreadPoolExecutor(max_workers=16, thread_name_prefix="pvs-io")
+        with _IO_POOL_LOCK:  # two racing threads must not each build a pool
+            if _IO_POOL is None:
+                _IO_POOL = ThreadPoolExecutor(max_workers=16, thread_name_prefix="pvs-io")
     return _IO_POOL
 
 
@@ -380,35 +403,74 @@ class StreamStore:
         seals. Hot publishes land in milliseconds, so the drain loop is
         normally 0-1 iterations; a crashed writer bounds it at the
         reservation grace (its gap is reaped, stranded pendings absorb).
+
+        Starvation (r10 ADVICE): sustained concurrent appenders could
+        otherwise keep reserving and the drain would never observe a
+        quiescent instant. The first non-quiescent iteration therefore
+        writes a ``draining`` timestamp into the doc; the hot append's
+        under-lock entry check treats a FRESH timestamp as "back off
+        and retry", so no new reservations are admitted while in-flight
+        ones publish — appends pause ~one drain instead of starving the
+        control plane. The timestamp (refreshed while the drain loop
+        runs) is what makes a crashed drainer harmless: appenders
+        ignore a flag older than DRAINING_STALE_MS.
         """
         if timeout_s is None:
             timeout_s = RESERVATION_GRACE_MS / 1000.0 + 30.0
         path = self._stream_path(scope, stream)
         deadline = time.time() + timeout_s
-        while True:
-            with self._commit_lock(scope, stream):
-                doc = self.meta.segments_doc(scope, stream)
-                obsolete = self._reap_reservations_locked(doc, path)
-                if not doc.get("reservations") and not doc.get("pending"):
-                    self._flush_reap(scope, stream, doc, obsolete, path)
-                    return fn()
-                absorbable = any(
-                    entries and min(e["base"] for e in entries)
-                    == doc["segments"].get(sid_str, {}).get("tail_offset", 0)
-                    for sid_str, entries in doc.get("pending", {}).items()
-                )
-                if obsolete is not None or absorbable:
-                    # absorb whatever became contiguous (a reaped gap can
-                    # strand pendings nobody else will ever flip in)
-                    self._publish_locked(
-                        scope, stream, doc, {}, None, None, obsolete=obsolete or ()
+        flagged = False
+        try:
+            while True:
+                with self._commit_lock(scope, stream):
+                    doc = self.meta.segments_doc(scope, stream)
+                    obsolete = self._reap_reservations_locked(doc, path)
+                    if not doc.get("reservations") and not doc.get("pending"):
+                        if "draining" in doc:
+                            doc.pop("draining")
+                            flagged = False
+                            self.meta.put_segments_doc(
+                                scope, stream, doc, expected_version=doc["version"]
+                            )
+                            for rel in obsolete or ():
+                                fsio.remove(fsio.join(path, rel))
+                        else:
+                            self._flush_reap(scope, stream, doc, obsolete, path)
+                        return fn()
+                    now_ms = int(time.time() * 1000)
+                    # (re)assert the draining flag well inside its
+                    # staleness window; each write also absorbs whatever
+                    # became contiguous (a reaped gap can strand
+                    # pendings nobody else will ever flip in)
+                    refresh = now_ms - doc.get("draining", 0) > DRAINING_STALE_MS // 4
+                    absorbable = self._stranded_pending(doc)
+                    if obsolete is not None or absorbable or refresh:
+                        if refresh:
+                            doc["draining"] = now_ms
+                            flagged = True
+                        self._publish_locked(
+                            scope, stream, doc, {}, None, None, obsolete=obsolete or ()
+                        )
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"{scope}/{stream}: open reservations/pending commits did not "
+                        f"drain within {timeout_s:.0f}s"
                     )
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"{scope}/{stream}: open reservations/pending commits did not "
-                    f"drain within {timeout_s:.0f}s"
-                )
-            time.sleep(0.002)
+                time.sleep(0.002)
+        finally:
+            if flagged:
+                # drain abandoned (timeout / error): unblock appenders
+                # now rather than after the staleness window
+                try:
+                    with self._commit_lock(scope, stream):
+                        doc = self.meta.segments_doc(scope, stream)
+                        if "draining" in doc:
+                            doc.pop("draining")
+                            self.meta.put_segments_doc(
+                                scope, stream, doc, expected_version=doc["version"]
+                            )
+                except Exception:
+                    pass
 
     def delete_stream(self, scope: str, stream: str) -> None:
         self.meta.delete_stream(scope, stream)
@@ -846,7 +908,16 @@ class StreamStore:
                     or (txn_marker is not None and r.get("txn") == txn_marker)
                     for r in doc.get("reservations", {}).values()
                 )
+                drain_ts = doc.get("draining", 0)
                 if inflight:
+                    retry = True
+                    self._flush_reap(scope, stream, doc, obsolete, path)
+                elif drain_ts and int(time.time() * 1000) - drain_ts < DRAINING_STALE_MS:
+                    # a seal/scale drain is waiting for quiescence: admit
+                    # no NEW reservation (in-flight ones publish through)
+                    # so sustained appenders can't starve the control
+                    # plane; a crashed drainer's flag goes stale and is
+                    # ignored (the drainer refreshes it while alive)
                     retry = True
                     self._flush_reap(scope, stream, doc, obsolete, path)
                 else:
@@ -1354,6 +1425,16 @@ class StreamStore:
             # fsck is the repair tool: clear expired reservations first so
             # their gaps don't stall absorption forever
             reap_obsolete = self._reap_reservations_locked(doc, path)
+            # ... and ABSORB any pending commit the reap made (or left)
+            # contiguous at a visible tail: it is durable and acked, and
+            # on a quiescent stream no later publish will ever flip it
+            # in — without this, fsck "repairs" the stream but leaves a
+            # stranded commit invisible indefinitely (r10 ADVICE).
+            if self._stranded_pending(doc):
+                self._publish_locked(
+                    scope, stream, doc, {}, None, None, obsolete=reap_obsolete or ()
+                )
+                reap_obsolete = None  # consumed by the publish above
             referenced = {
                 f
                 for sid, s in segs.items()
@@ -1442,11 +1523,88 @@ class StreamStore:
         return swept
 
     # ================= read path (R4-R8) =================
+    # ---- reader-triggered visibility repair (r10, G1) ----
+    @staticmethod
+    def _stranded_pending(doc: dict) -> bool:
+        """A pending entry sits AT a segment's visible tail: contiguous
+        and absorbable, but nobody is coming to absorb it (publish does
+        this atomically, so at rest it only exists after a crash mid-
+        protocol — e.g. a reserve-path reap shifted it down and the
+        reserving writer then died)."""
+        segs = doc.get("segments", {})
+        return any(
+            entries
+            and min(e["base"] for e in entries) <= segs.get(sid_str, {}).get("tail_offset", 0)
+            for sid_str, entries in doc.get("pending", {}).items()
+        )
+
+    @staticmethod
+    def _stale_gap_blockers(doc: dict, deadline_ms: int | None = None) -> set[str]:
+        """Reservations that (a) sit below a published-but-invisible
+        pending commit in some segment and (b) are older than the
+        read-repair deadline — i.e. the writer that claimed the range
+        has had ~1000x a hot payload's time to publish and hasn't. A
+        YOUNG reservation below a pending entry is a live writer about
+        to publish; readers leave it alone (no lock taken)."""
+        pend = doc.get("pending")
+        res = doc.get("reservations")
+        if not pend or not res:
+            return set()
+        now = int(time.time() * 1000)
+        dl = READ_REPAIR_DEADLINE_MS if deadline_ms is None else deadline_ms
+        out: set[str] = set()
+        for sid_str, entries in pend.items():
+            if not entries:
+                continue
+            tail = doc["segments"].get(sid_str, {}).get("tail_offset", 0)
+            emin = min(e["base"] for e in entries)
+            if emin <= tail:
+                continue  # contiguous — _stranded_pending handles it
+            for rid, r in res.items():
+                seg = r["segs"].get(sid_str)
+                if seg is not None and seg[0] < emin and now - r["ts"] > dl:
+                    out.add(rid)
+        return out
+
+    def _maybe_read_repair(self, scope: str, stream: str, doc: dict) -> bool:
+        """Lockless precheck on an already-in-hand segments doc; only a
+        stranded or deadline-stale gap takes the commit lock. Bounds
+        ack-to-visibility after a writer crash to the read-repair
+        deadline instead of the reservation grace: the reference acks
+        an append only after every earlier append is applied
+        (AppendProcessor.java:302 order guarantee), so a reader there
+        never waits on a dead writer; under the split commit this
+        repair is what restores that bound (SCALING.md, ack
+        semantics)."""
+        if not self._stranded_pending(doc) and not self._stale_gap_blockers(doc):
+            return False
+        path = self._stream_path(scope, stream)
+        with self._commit_lock(scope, stream):
+            doc = self.meta.segments_doc(scope, stream)  # re-read under lock
+            blockers = self._stale_gap_blockers(doc)
+            if not blockers and not self._stranded_pending(doc):
+                return False  # a concurrent lock holder repaired first
+            for rid in blockers:
+                # force-expire: ancient ts makes every future reap (any
+                # grace) treat it as dead; persists with the doc write
+                # below, so even a reap blocked by a LIVE reservation
+                # above leaves the marker for the next repair pass
+                doc["reservations"][rid]["ts"] = -(1 << 50)
+            obsolete = self._reap_reservations_locked(doc, path)
+            # absorb whatever became (or already was) contiguous; writes
+            # the doc (including force-expiry markers) and deletes the
+            # renumbered-away old pending files
+            self._publish_locked(scope, stream, doc, {}, None, None, obsolete=obsolete or ())
+        return True
+
     def _raw_read(self, scope: str, stream: str) -> DataFrame:
         path = self._stream_path(scope, stream)
         # lockless reader: resolve_files retries the doc→shard race so a
         # concurrent commit's shard GC can't make a segment look empty
-        segs, files_by_sid = self.meta.resolve_files(scope, stream)
+        doc, files_by_sid = self.meta.resolve_files(scope, stream)
+        if self._maybe_read_repair(scope, stream, doc):
+            doc, files_by_sid = self.meta.resolve_files(scope, stream)
+        segs = doc["segments"]
         manifest = [f for files in files_by_sid.values() for f in files]
         if manifest:
             # manifest-based visibility: ONLY committed files are read, so
@@ -1478,8 +1636,14 @@ class StreamStore:
         """
         if not self.meta.stream_exists(scope, stream):
             raise StreamNotFoundException(f"{scope}/{stream}")
-        heads = self.meta.head_offsets(scope, stream)
-        tails = self.meta.tail_offsets(scope, stream)
+        # repair BEFORE snapshotting the tail bound: the offset-range
+        # filter below would otherwise exclude rows a mid-read repair
+        # just made visible (the tail would be the pre-repair one)
+        doc = self.meta.segments_doc(scope, stream)
+        if self._maybe_read_repair(scope, stream, doc):
+            doc = self.meta.segments_doc(scope, stream)
+        heads = {int(k): v["head_offset"] for k, v in doc["segments"].items()}
+        tails = {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
         starts = dict(heads)
         if from_cut is not None and not from_cut.unbounded:
             for sid, off in from_cut.positions.items():
@@ -1517,7 +1681,16 @@ class StreamStore:
         return StreamCut.of(self.meta.head_offsets(scope, stream))
 
     def tail_stream_cut(self, scope: str, stream: str) -> StreamCut:
-        return StreamCut.of(self.meta.tail_offsets(scope, stream))
+        # tail polls are how idle-stream readers (and the streaming
+        # source's pump) discover new data — run the same visibility
+        # repair precheck as _raw_read so a dead writer's gap can't
+        # pin the observable tail for the full reservation grace
+        doc = self.meta.segments_doc(scope, stream)
+        if self._maybe_read_repair(scope, stream, doc):
+            doc = self.meta.segments_doc(scope, stream)
+        return StreamCut.of(
+            {int(k): v["tail_offset"] for k, v in doc["segments"].items()}
+        )
 
     def get_stream_info(self, scope: str, stream: str) -> StreamInfo:
         info = self.meta.get_stream(scope, stream)
