@@ -259,9 +259,16 @@ def append_bucketed_index(
     RESULT-SAFE for the dedup queries by construction — band postings
     feed a DISTINCT candidate stage, so duplicate postings change no
     output — and the next full rebuild (source regeneration) clears the
-    physical duplication. Readers of the appended table see multi-file
-    buckets: Spark keeps the bucket co-location (no Exchange on the
-    key), adding only a local per-bucket Sort where sortedness matters.
+    physical duplication. The marker itself lands via write-temp +
+    atomic rename (r10): a crash mid-marker-write can therefore never
+    leave a TORN marker that loses the whole applied history — the
+    rerun either sees the previous complete marker (appends once more,
+    result-safe as above) or the new complete one (no-op); a future
+    consumer that AGGREGATES postings (df counts) can rely on at most
+    one duplicated increment, never a corrupted ledger. Readers of the
+    appended table see multi-file buckets: Spark keeps the bucket
+    co-location (no Exchange on the key), adding only a local
+    per-bucket Sort where sortedness matters.
     """
     from pravega_spark import fsio
 
@@ -290,8 +297,7 @@ def append_bucketed_index(
                 .mode("append")
                 .saveAsTable(tbl)
             )
-            with open(marker, "w") as fh:
-                json.dump({"applied": applied + [increment_id]}, fh)
+            fsio.write_json_atomic(marker, {"applied": applied + [increment_id]})
             # the catalog caches file listings per table; a same-session
             # reader planned BEFORE this append must not miss the files
             spark.catalog.refreshTable(tbl)

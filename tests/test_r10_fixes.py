@@ -279,3 +279,143 @@ def test_io_pool_single_instance_under_thread_race(monkeypatch):
     for t in threads:
         t.join()
     assert len({id(p) for p in pools}) == 1
+
+
+# ---------------------------------------------------------------------------
+# Maintained-index durability + GC (r10 VERDICT items 5 and 7)
+# ---------------------------------------------------------------------------
+
+
+def _postings(n):
+    return [(f"fp{i:04d}", f"doc{i}") for i in range(n)]
+
+
+def test_applied_marker_survives_crash_mid_write(spark, monkeypatch, tmp_path):
+    """r10 VERDICT 'what's wrong #2': the _PVS_APPLIED marker used to
+    land via a plain open().write — a crash mid-write left a TORN
+    marker, losing the whole applied-increment ledger (every past
+    increment would re-append on its next rerun). Now it lands via
+    write-temp + atomic rename: a crash between the parquet append and
+    the marker flip leaves the PREVIOUS complete ledger, so the rerun
+    re-appends exactly its own increment once (result-safe) and older
+    increments stay no-ops."""
+    from pravega_spark import fsio
+    from pravega_spark.sources.bucketing import (
+        append_bucketed_index,
+        applied_increments,
+        bucketize,
+    )
+
+    tbl = "pvs_r10marker_test"
+    spark.createDataFrame(_postings(16), "fp string, doc string").createOrReplaceTempView("_m0")
+    bucketize(spark, spark.table("_m0"), tbl, ["fp"], 4, source_path=str(tmp_path))
+    try:
+        assert append_bucketed_index(
+            spark, tbl, spark.createDataFrame(_postings(4), "fp string, doc string"),
+            ["fp"], 4, "inc1",
+        )
+        assert applied_increments(spark, tbl) == ["inc1"]
+        base = spark.table(tbl).count()
+
+        real = fsio.write_json_atomic
+
+        def crash_before_rename(path, doc):
+            # simulate a kill between the parquet append and the marker
+            # rename: the temp file may exist, the marker is untouched
+            with open(path + ".tmp.dead", "w") as fh:
+                fh.write('{"applied": ["inc1", "in')  # the torn bytes land in TEMP only
+            raise _Boom("killed before marker rename")
+
+        monkeypatch.setattr(fsio, "write_json_atomic", crash_before_rename)
+        with pytest.raises(_Boom):
+            append_bucketed_index(
+                spark, tbl, spark.createDataFrame(_postings(3), "fp string, doc string"),
+                ["fp"], 4, "inc2",
+            )
+        monkeypatch.setattr(fsio, "write_json_atomic", real)
+
+        # the ledger is the PREVIOUS complete one — never torn
+        assert applied_increments(spark, tbl) == ["inc1"]
+        after_crash = spark.table(tbl).count()
+        assert after_crash == base + 3  # crashed attempt's parquet landed
+
+        # rerun: applies inc2 once more (physical dup, result-safe) and
+        # records it; inc1 and inc2 reruns are then no-ops — a postings
+        # consumer can rely on "at most one duplicated increment"
+        assert append_bucketed_index(
+            spark, tbl, spark.createDataFrame(_postings(3), "fp string, doc string"),
+            ["fp"], 4, "inc2",
+        )
+        assert applied_increments(spark, tbl) == ["inc1", "inc2"]
+        assert spark.table(tbl).count() == after_crash + 3
+        assert not append_bucketed_index(
+            spark, tbl, spark.createDataFrame(_postings(3), "fp string, doc string"),
+            ["fp"], 4, "inc2",
+        )
+        assert not append_bucketed_index(
+            spark, tbl, spark.createDataFrame(_postings(4), "fp string, doc string"),
+            ["fp"], 4, "inc1",
+        )
+        assert spark.table(tbl).count() == after_crash + 3
+        # distinct-consumer result safety across the duplicated increment
+        assert spark.table(tbl).select("fp", "doc").distinct().count() == 16
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_maintained_index_gc_reaps_same_source_siblings_only(spark, tmp_path):
+    """r10 VERDICT item 7: the versioned-name scheme (pvs_xxmaint_v2_*)
+    mints a new table when fixture semantics change; the old vN table
+    must be reaped by the next build — but ONLY when it provably
+    derives from the same source (regenerated/superseded), NEVER a
+    sibling recording a different dataset (its readers may be live —
+    the r8 ADVICE scoping). Spec-less debris (crashed mid-build) is
+    always reaped."""
+    import os
+
+    from pravega_spark.sources.bucketing import ensure_bucketed_index, read_bucket_spec
+
+    src_a = str(tmp_path / "dsA")
+    src_b = str(tmp_path / "dsB")
+    os.makedirs(src_a), os.makedirs(src_b)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+
+    def build():
+        return spark.createDataFrame(_postings(12), "fp string, doc string")
+
+    names = ["pvs_gct_v1_aaa", "pvs_gct_v1_bbb", "pvs_gct_v2_ccc", "pvs_gct_v3_ddd"]
+    try:
+        # v1 over source A (the "old semantics" table)
+        assert ensure_bucketed_index(
+            spark, "pvs_gct_", "pvs_gct_v1_aaa", build, ["fp"], 4, source_path=src_a
+        )
+        # spec-less debris dir under the same prefix (crashed mid-build)
+        os.makedirs(os.path.join(wh, "pvs_gct_v1_debris"), exist_ok=True)
+
+        # v2 over the SAME source: v1 is superseded -> reaped, debris too
+        assert ensure_bucketed_index(
+            spark, "pvs_gct_", "pvs_gct_v2_ccc", build, ["fp"], 4, source_path=src_a
+        )
+        assert not spark.catalog.tableExists("pvs_gct_v1_aaa")
+        assert not os.path.isdir(os.path.join(wh, "pvs_gct_v1_aaa"))
+        assert not os.path.isdir(os.path.join(wh, "pvs_gct_v1_debris"))
+        assert spark.catalog.tableExists("pvs_gct_v2_ccc")
+
+        # a sibling of a DIFFERENT dataset survives the next build and
+        # stays readable throughout (a live reader is never yanked)
+        assert ensure_bucketed_index(
+            spark, "pvs_gct_", "pvs_gct_v1_bbb", build, ["fp"], 4, source_path=src_b
+        )
+        reader = spark.table("pvs_gct_v1_bbb")
+        assert ensure_bucketed_index(
+            spark, "pvs_gct_", "pvs_gct_v3_ddd", build, ["fp"], 4, source_path=src_a
+        )
+        assert spark.catalog.tableExists("pvs_gct_v1_bbb")
+        assert reader.count() == 12  # the held reader still scans fine
+        spec = read_bucket_spec(os.path.join(wh, "pvs_gct_v1_bbb"))
+        assert spec is not None and spec["source"] == src_b
+        # ... and the same-source v2 WAS superseded by v3's build
+        assert not spark.catalog.tableExists("pvs_gct_v2_ccc")
+    finally:
+        for t in names:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
