@@ -112,9 +112,13 @@ def _pcts(lats: list[float], extra: dict) -> dict:
             "avg_ms": round(sum(lats) / len(lats), 1), **extra}
 
 
-def _x4_writer_proc(idx: int, root: str, barrier, q, dur: float) -> None:
+def _x4_writer_proc(idx: int, root: str, barrier, q, dur: float,
+                    stream: str = "bigx") -> None:
     """One concurrent-writer client for the x4 aggregate bench (module
-    level so the multiprocessing ``spawn`` context can pickle it)."""
+    level so the multiprocessing ``spawn`` context can pickle it).
+    ``stream`` varies per repetition: reusing one stream would replay
+    the same (writer_id, batch_seq) markers and the exactly-once dedup
+    would silently skip every rep after the first."""
     import os as _os
     import time as _time
 
@@ -127,7 +131,7 @@ def _x4_writer_proc(idx: int, root: str, barrier, q, dur: float) -> None:
     t0 = _time.perf_counter()
     while _time.perf_counter() - t0 < dur:
         rows = [{"routing_key": f"k{i % 10}", "payload": pl} for i in range(50)]
-        st.append_events("bench", "bigx", rows, writer_id=f"w{idx}", batch_seq=n)
+        st.append_events("bench", stream, rows, writer_id=f"w{idx}", batch_seq=n)
         n += 1
     q.put(n * 50)
 
@@ -183,24 +187,42 @@ def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
         # random payloads so compression can't flatter the number)
         import os as _os
 
-        store.create_stream("bench", "big", StreamConfiguration(scaling=ScalingPolicy.fixed(10)))
         payload = _os.urandom(100 * 1024)
+        # 5 repetitions, median reported as the QUIET number (r10
+        # VERDICT item 8): single-shot windows drift ±20% with host
+        # load; the median across reps is what round-over-round
+        # comparisons should use. The first rep's latency distribution
+        # is kept for the percentile fields (unchanged semantics).
+        single_reps = []
         big_lats = []
-        t_big = time.perf_counter()
-        n_big = 0
-        while time.perf_counter() - t_big < 2.5:
-            rows = [{"routing_key": f"k{i % 10}", "payload": payload} for i in range(50)]
-            t1 = time.perf_counter()
-            store.append_events("bench", "big", rows, writer_id="big", batch_seq=n_big)
-            big_lats.append((time.perf_counter() - t1) * 1000)
-            n_big += 1
-        dt_big = time.perf_counter() - t_big
+        for rep in range(5):
+            stream = f"big{rep}"
+            store.create_stream(
+                "bench", stream, StreamConfiguration(scaling=ScalingPolicy.fixed(10))
+            )
+            t_big = time.perf_counter()
+            n_big = 0
+            lats = []
+            while time.perf_counter() - t_big < 2.0:
+                rows = [{"routing_key": f"k{i % 10}", "payload": payload} for i in range(50)]
+                t1 = time.perf_counter()
+                store.append_events("bench", stream, rows, writer_id="big", batch_seq=n_big)
+                lats.append((time.perf_counter() - t1) * 1000)
+                n_big += 1
+            dt_big = time.perf_counter() - t_big
+            single_reps.append(n_big * 50 * 100 / 1024 / dt_big)
+            if rep == 0:
+                big_lats = lats
+                first = (n_big, dt_big)
+        n_big, dt_big = first
         big = _pcts(big_lats, {
             "events_per_s": round(n_big * 50 / dt_big, 1),
             "mib_per_s": round(n_big * 50 * 100 / 1024 / dt_big, 1),
+            "quiet_single_mib_per_s": round(sorted(single_reps)[len(single_reps) // 2], 1),
             "event_bytes": 100 * 1024,
         })
-        print(f"# write_100kb_events: {big}", file=sys.stderr)
+        print(f"# write_100kb_events: {big} (reps: "
+              f"{[round(r, 1) for r in single_reps]})", file=sys.stderr)
 
         # --- concurrent writers, one stream (the reference benchmark's
         # multi-writer shape: its 494.5 MiB/s is an aggregate across
@@ -217,31 +239,42 @@ def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
         # forked workers open their own StreamStore handles on root. ---
         import multiprocessing as mp
 
-        store.create_stream("bench", "bigx", StreamConfiguration(scaling=ScalingPolicy.fixed(10)))
         n_writers = 4
         # spawn, not fork: forking a JVM-attached CPython (Spark driver)
         # hands the child copies of arbitrarily-held internal locks —
         # measured as a hard child deadlock. Spawned workers import
-        # fresh; the barrier keeps their 2.5 s write windows aligned so
-        # the aggregate-over-wall-clock division is honest.
+        # fresh; the barrier keeps the write windows aligned so the
+        # aggregate-over-wall-clock division is honest. 5 reps, fresh
+        # stream each (exactly-once markers would dedup a reused one);
+        # median is the quiet number, first rep stays the in-run field.
         ctx = mp.get_context("spawn")
-        q = ctx.Queue()
-        barrier = ctx.Barrier(n_writers + 1)
-        procs = [
-            ctx.Process(target=_x4_writer_proc, args=(i, root, barrier, q, 2.5))
-            for i in range(n_writers)
-        ]
-        for p in procs:
-            p.start()
-        barrier.wait()  # all workers imported + ready
-        t_x = time.perf_counter()
-        for p in procs:
-            p.join()
-        dt_x = time.perf_counter() - t_x
-        n_x = sum(q.get() for _ in procs)
-        big["x4_writers_mib_per_s"] = round(n_x * 100 / 1024 / dt_x, 1)
-        print(f"# write_100kb_x4_writers: {big['x4_writers_mib_per_s']} MiB/s "
-              f"({n_x} events, {n_writers} writer processes, one stream)", file=sys.stderr)
+        x4_reps = []
+        for rep in range(5):
+            stream = f"bigx{rep}"
+            store.create_stream(
+                "bench", stream, StreamConfiguration(scaling=ScalingPolicy.fixed(10))
+            )
+            q = ctx.Queue()
+            barrier = ctx.Barrier(n_writers + 1)
+            procs = [
+                ctx.Process(target=_x4_writer_proc, args=(i, root, barrier, q, 2.0, stream))
+                for i in range(n_writers)
+            ]
+            for p in procs:
+                p.start()
+            barrier.wait()  # all workers imported + ready
+            t_x = time.perf_counter()
+            for p in procs:
+                p.join()
+            dt_x = time.perf_counter() - t_x
+            n_x = sum(q.get() for _ in procs)
+            x4_reps.append(n_x * 100 / 1024 / dt_x)
+        big["x4_writers_mib_per_s"] = round(x4_reps[0], 1)
+        big["quiet_x4_mib_per_s"] = round(sorted(x4_reps)[len(x4_reps) // 2], 1)
+        print(f"# write_100kb_x4_writers: first {big['x4_writers_mib_per_s']} / "
+              f"median {big['quiet_x4_mib_per_s']} MiB/s "
+              f"(reps: {[round(r, 1) for r in x4_reps]}, {n_writers} writer "
+              f"processes, one stream per rep)", file=sys.stderr)
 
         # --- micro-batch commit (streaming-sink tier) ---
         lats = []
@@ -703,6 +736,17 @@ def main() -> None:
         ),
         "x4_writers_mib_per_s": (
             latency.get("write_100kb", {}).get("x4_writers_mib_per_s")
+            if isinstance(latency, dict)
+            else None
+        ),
+        # 5-rep medians (r10): the drift-robust round-over-round numbers
+        "write_quiet_single_mib_per_s": (
+            latency.get("write_100kb", {}).get("quiet_single_mib_per_s")
+            if isinstance(latency, dict)
+            else None
+        ),
+        "write_quiet_x4_mib_per_s": (
+            latency.get("write_100kb", {}).get("quiet_x4_mib_per_s")
             if isinstance(latency, dict)
             else None
         ),
