@@ -561,26 +561,17 @@ def release_lock(path: str, token: str) -> None:
         remove(path)
 
 
+import threading as _threading
+
 _HELD_LOCKS: dict[str, list] = {}  # token -> [path, lease_ms, last_renew_monotonic]
-_HELD_GUARD = None
-_RENEW_WAKE = None
+# built at import (the module import lock serializes it): a lazy
+# check-then-create here would itself race the first two lock holders
+_HELD_GUARD = _threading.Lock()
+_RENEW_WAKE = _threading.Event()
 _RENEWER_STARTED = False
-_HELD_INIT = None
 
 
 def _held_guard():
-    # module import may race across threads; build the guard pair once
-    # under an import-time lock created at first call via setdefault on
-    # the GIL-atomic module dict
-    global _HELD_GUARD, _RENEW_WAKE, _HELD_INIT
-    import threading
-
-    if _HELD_INIT is None:
-        _HELD_INIT = threading.Lock()  # GIL-atomic single assignment
-    with _HELD_INIT:
-        if _HELD_GUARD is None:
-            _HELD_GUARD = threading.Lock()
-            _RENEW_WAKE = threading.Event()
     return _HELD_GUARD
 
 
@@ -662,8 +653,6 @@ def _register_held(token: str, path: str, lease_ms: int) -> None:
 
 
 def _unregister_held(token: str) -> None:
-    if _HELD_GUARD is None:
-        return
     with _HELD_GUARD:
         _HELD_LOCKS.pop(token, None)
     # the caller's release_lock follows; if an in-flight renew (outside

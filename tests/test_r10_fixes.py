@@ -81,6 +81,10 @@ def test_reader_repairs_dead_writer_gap_within_deadline(store, events, monkeypat
     monkeypatch.undo()
     assert len(_reservations(store, "s", "ev")) == 1  # A's gap persisted
 
+    # hold repair off while B writes (a loaded host can stretch the
+    # Spark write past the default deadline): the not-yet-expired
+    # behavior below must be observed deterministically
+    monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 600_000)
     store.write_events("s", "ev", _env(events, 40, 59))  # B: acked + durable
     # B is pending-invisible behind A's gap, and an IMMEDIATE read must
     # NOT fence the young reservation (A could be a live writer mid-payload)
@@ -112,6 +116,10 @@ def test_tail_poll_repairs_dead_writer_gap(store, events, monkeypatch):
     with pytest.raises(_Boom):
         store.write_events("s", "ev", _env(events, 0, 9))
     monkeypatch.undo()
+    # hold repair off while B writes: a loaded host can stretch the
+    # Spark write past the default 2 s deadline, and the pin below
+    # needs to observe the blocked-then-repaired transition itself
+    monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 600_000)
     store.write_events("s", "ev", _env(events, 10, 29))
     assert sum(store.tail_stream_cut("s", "ev").positions.values()) == 0
 
