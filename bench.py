@@ -58,6 +58,8 @@ HEADLINE = [
     "text_bpe_vocab_scale",
     "similarity_incremental_maintained",
     "corpus_dedup_incremental_maintained",
+    # r10 addition: the composed daily pipeline
+    "pipeline_daily_corpus",
 ]
 
 
