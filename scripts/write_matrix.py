@@ -50,6 +50,13 @@ def _hot_writer(idx: int, n_streams: int, root: str, barrier, q, dur: float) -> 
     st = StreamStore(None, root)
     stream = f"s{idx % n_streams}"
     pl = _os.urandom(EVENT_BYTES)
+    # warm BEFORE the barrier: a spawned process's first appends pay
+    # import/pool/metadata warmup (~0.3 s) — inside a 2 s window that
+    # skews the corner ~2x below a warmed writer's rate (bench.py's
+    # single-writer figure), making corners incomparable to it
+    for w in range(5):
+        rows = [{"routing_key": f"k{i % 10}", "payload": pl} for i in range(BATCH)]
+        st.append_events("bench", stream, rows, writer_id=f"warm{idx}", batch_seq=w)
     barrier.wait()
     n = 0
     t0 = _time.perf_counter()
