@@ -518,3 +518,104 @@ def test_pipeline_daily_no_stage_recompute(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Seeded chaos: the READER is the only repair driver (grace never expires)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [13, 101])
+def test_chaos_reader_repair_total_order_and_bounded_visibility(
+    spark, tmp_path, monkeypatch, seed
+):
+    """Random mix of appends, mid-payload crashes, reads and tail polls
+    on one segment, with RESERVATION_GRACE untouched (30 s) and the
+    read-repair deadline at 0 — so ONLY readers can clear dead-writer
+    gaps. Oracles: (a) after every read, every acked row is visible
+    (bounded ack-to-visibility, the r10 semantic); (b) final total
+    order equals the ack order of successful appends; (c) exactly-once
+    across crash/repair/retry (clients retry after a poll, the
+    realistic sequence that hands the repair to the reader)."""
+    import random
+
+    import pravega_spark.store as sm
+    from pravega_spark.store import StreamStore
+
+    rng = random.Random(seed)
+    store = StreamStore(spark, str(tmp_path / f"rchaos{seed}"))
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    monkeypatch.setattr(sm, "READ_REPAIR_DEADLINE_MS", 0)
+
+    crash_next = {"on": False}
+    orig = StreamStore._write_hot_batch
+
+    def maybe_crash(self, tbl, seg_arr, bases, path, tag):
+        if crash_next["on"]:
+            crash_next["on"] = False
+            raise _Boom("chaos crash")
+        return orig(self, tbl, seg_arr, bases, path, tag)
+
+    monkeypatch.setattr(StreamStore, "_write_hot_batch", maybe_crash)
+
+    expected: list[str] = []  # ack-order oracle
+    seqs: dict[str, int] = {}
+    retries: dict[str, tuple[int, list[dict]]] = {}  # writer -> (seq, rows)
+    vid = 0
+
+    def writers_free():
+        return [w for w in ("w0", "w1", "w2") if w not in retries]
+
+    for _ in range(50):
+        op = rng.random()
+        free = writers_free()
+        if op < 0.40 and free:
+            w = rng.choice(free)
+            n = rng.randrange(1, 5)
+            rows = [{"routing_key": "k", "v": f"{vid + i}"} for i in range(n)]
+            vid += n
+            seq = seqs.get(w, -1) + 1
+            store.append_events("s", "ev", rows, writer_id=w, batch_seq=seq)
+            seqs[w] = seq
+            expected.extend(r["v"] for r in rows)
+        elif op < 0.60 and free:
+            w = rng.choice(free)
+            n = rng.randrange(1, 5)
+            rows = [{"routing_key": "k", "v": f"{vid + i}"} for i in range(n)]
+            vid += n
+            seq = seqs.get(w, -1) + 1
+            crash_next["on"] = True
+            with pytest.raises(_Boom):
+                store.append_events("s", "ev", rows, writer_id=w, batch_seq=seq)
+            retries[w] = (seq, rows)  # client will retry after a poll
+        elif op < 0.85:
+            # reader: the repair driver. After it returns, EVERY acked
+            # row must be visible — no 30 s wait, no second writer.
+            got = store.read("s", "ev").count()
+            assert got == len(expected), (got, len(expected))
+        else:
+            store.tail_stream_cut("s", "ev")  # poll path repairs too
+            if retries:
+                w = rng.choice(sorted(retries))
+                seq, rows = retries.pop(w)
+                store.append_events("s", "ev", rows, writer_id=w, batch_seq=seq)
+                seqs[w] = seq
+                expected.extend(r["v"] for r in rows)
+
+    # drain remaining client retries (each polls first, as clients do)
+    for w in sorted(retries):
+        seq, rows = retries.pop(w)
+        store.tail_stream_cut("s", "ev")
+        store.append_events("s", "ev", rows, writer_id=w, batch_seq=seq)
+        seqs[w] = seq
+        expected.extend(r["v"] for r in rows)
+
+    rows = sorted(
+        (r["offset"], r["v"])
+        for r in store.read("s", "ev").select("offset", "v").collect()
+    )
+    assert [o for o, _ in rows] == list(range(len(expected)))
+    assert [v for _, v in rows] == expected
+    doc = store.meta.segments_doc("s", "ev")
+    assert not doc.get("reservations") and not doc.get("pending")
