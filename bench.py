@@ -58,8 +58,11 @@ HEADLINE = [
     "text_bpe_vocab_scale",
     "similarity_incremental_maintained",
     "corpus_dedup_incremental_maintained",
-    # r10 addition: the composed daily pipeline
+    # r10 additions: the composed daily pipeline + the ANN recall
+    # harness + the n-gram novelty audit
     "pipeline_daily_corpus",
+    "similarity_ann_recall",
+    "corpus_ngram_novelty",
 ]
 
 

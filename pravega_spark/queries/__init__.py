@@ -143,6 +143,10 @@ _GATE_ORDER = [
     "corpus_dedup_incremental_indexed",
     "dedup_exact",
     "dedup_minhash_pairs",
+    # -- new in r10 AFTER the gate was frozen at 50 (parity-verified via
+    # -- check_parity at sf0.01 this round): front these in r11 ---------
+    "similarity_ann_recall",
+    "corpus_ngram_novelty",
 ]
 
 

@@ -321,6 +321,22 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_quantizer(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """The persisted coarse quantizer (content-keyed maintained table,
+    stale-sibling GC) — shared by the IVF search and the recall
+    evaluation so both probe the SAME cells a production index would."""
+    from pravega_spark.sources.bucketed import _source_fingerprint
+    from pravega_spark.sources.bucketing import ensure_bucketed_index
+
+    tbl = f"pvs_ivf_cent_{_source_fingerprint(sf_dir, 'embeddings')}"
+    if ensure_bucketed_index(
+        spark, "pvs_ivf_cent_", tbl, lambda: _ivf_centroids(emb), ["label"], 2,
+        source_path=os.path.join(os.path.abspath(sf_dir), "embeddings.parquet"),
+    ):
+        return spark.table(tbl)
+    return _ivf_centroids(emb)  # unwritable warehouse: in-flight twin
+
+
 def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search (the ANN scale path): label cells are the coarse
     quantizer; each query ranks cells by centroid cosine and searches
@@ -338,18 +354,9 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast lineage). Values are identical either way (one Spark
     aggregation, materialized), so the oracle is unchanged."""
     from pravega_spark.functions.vectors import cosine as v_cosine
-    from pravega_spark.sources.bucketed import _source_fingerprint
-    from pravega_spark.sources.bucketing import ensure_bucketed_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tbl = f"pvs_ivf_cent_{_source_fingerprint(sf_dir, 'embeddings')}"
-    if ensure_bucketed_index(
-        spark, "pvs_ivf_cent_", tbl, lambda: _ivf_centroids(emb), ["label"], 2,
-        source_path=os.path.join(os.path.abspath(sf_dir), "embeddings.parquet"),
-    ):
-        cent = spark.table(tbl)
-    else:
-        cent = _ivf_centroids(emb)  # unwritable warehouse: in-flight twin
+    cent = _ivf_quantizer(spark, sf_dir, emb)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -414,6 +421,187 @@ SELECT q_id, label, c_id, cosine, rk FROM (
 )
 WHERE rk <= {_TOP_K}
 ORDER BY q_id, rk
+"""
+
+
+# ------------------------------------------- ANN recall evaluation (r10)
+_EVAL_K = 10  # recall@10: wide enough that bucket/cell truncation shows
+
+
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both approximate indexes (sign-plane LSH buckets and
+    IVF probe search) against the exact brute-force ranking — the
+    evaluation harness that decides whether an ANN configuration is
+    deployable. A 100 TB corpus cannot be brute-forced, so the recall
+    measurement runs on a bounded query sample (here the standard 5
+    query vectors) while the INDEX sides scan exactly what production
+    would scan: the query's LSH bucket, or its ``nprobe`` nearest IVF
+    cells from the SAME persisted quantizer ``similarity_ivf_search``
+    maintains. Output per (q_id, method): candidates scanned (the cost
+    axis), top-k hits against exact, and recall (the quality axis) —
+    the two numbers a tuning loop trades against each other.
+
+    Scale shape: three broadcast-query passes over the corpus, zero
+    corpus shuffle (same kernel family as the underlying searches);
+    the only shuffles are the per-query top-k windows over ≤ |queries|
+    × |bucket| rows. Reference parity: the reference ships no ANN —
+    this evaluates the repo's own scale-path indexes the way FAISS-
+    style recall sweeps do (a published, standard methodology)."""
+    from pravega_spark.functions.vectors import cosine as v_cosine, cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = (
+        cosine_topk(emb, queries_df, k=_EVAL_K, exclude_self=True, round_to=6)
+        .select("q_id", "c_id")
+    )
+
+    # ---- LSH candidates: the query's sign-plane bucket
+    bucket = sum(
+        (
+            F.when(F.col("embedding").getItem(d) >= 0, F.lit(1 << i)).otherwise(0)
+            for i, d in enumerate(_LSH_DIMS)
+        ),
+        F.lit(0),
+    ).alias("bucket")
+    with_b = emb.select("vec_id", "embedding", bucket)
+    q_b = with_b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "bucket", F.col("embedding").alias("q_vec")
+    )
+    lsh_cand = (
+        with_b.select(F.col("vec_id").alias("c_id"), "bucket", F.col("embedding").alias("c_vec"))
+        .join(F.broadcast(q_b), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(v_cosine("q_vec", "c_vec"), 6).alias("cosine"))
+    )
+
+    # ---- IVF candidates: the nprobe nearest cells by centroid cosine
+    cent = _ivf_quantizer(spark, sf_dir, emb)
+    q_v = queries_df.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cell_rank = Window.partitionBy("q_id").orderBy(F.desc("cell_cos"), F.asc("label"))
+    probes = (
+        q_v.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_vec", "label", F.round(v_cosine("q_vec", "centroid"), 6).alias("cell_cos"))
+        .withColumn("cell_rk", F.row_number().over(cell_rank))
+        .filter(F.col("cell_rk") <= _N_PROBE)
+    )
+    ivf_cand = (
+        emb.select(F.col("vec_id").alias("c_id"), "label", F.col("embedding").alias("c_vec"))
+        .join(F.broadcast(probes), "label")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(v_cosine("q_vec", "c_vec"), 6).alias("cosine"))
+    )
+
+    def _stats(cand: DataFrame, method: str) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+        top = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _EVAL_K)
+        hits = (
+            top.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(F.count("*").alias("n_hits"))
+        )
+        scanned = cand.groupBy("q_id").agg(F.count("*").alias("n_scanned"))
+        return (
+            q_v.select("q_id")
+            .join(scanned, "q_id", "left")
+            .join(hits, "q_id", "left")
+            .select(
+                "q_id",
+                F.lit(method).alias("method"),
+                F.coalesce("n_scanned", F.lit(0).cast("bigint")).alias("n_scanned"),
+                F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            )
+        )
+
+    out = (
+        _stats(lsh_cand, "lsh")
+        .unionByName(_stats(ivf_cand, "ivf"))
+        .withColumn("recall", F.round(F.col("n_hits") / F.lit(float(_EVAL_K)), 6))
+        .orderBy("q_id", "method")
+    )
+    return out
+
+
+ANN_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS c_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+allsims AS (
+  SELECT q_id, c_id,
+         round(sum(q.v * c.v) / sqrt(sum(q.v * q.v) * sum(c.v * c.v)), 6) AS cosine
+  FROM q JOIN c USING (pos) WHERE q_id != c_id GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+    FROM allsims
+  ) WHERE rk <= {_EVAL_K}
+),
+b AS (SELECT vec_id, {_LSH_BUCKET_SQL} AS bucket FROM embeddings),
+lshcand AS (
+  SELECT s.q_id, s.c_id, s.cosine
+  FROM allsims s
+  JOIN b bq ON bq.vec_id = s.q_id
+  JOIN b bc ON bc.vec_id = s.c_id AND bc.bucket = bq.bucket
+),
+vals AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (SELECT label, pos, avg(v) AS c FROM vals GROUP BY label, pos),
+cellcos AS (
+  SELECT q.q_id, cent.label,
+         round(sum(q.v * cent.c) / sqrt(sum(q.v * q.v) * sum(cent.c * cent.c)), 6) AS cell_cos
+  FROM q JOIN cent ON q.pos = cent.pos GROUP BY 1, 2
+),
+probes AS (
+  SELECT q_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cell_cos DESC, label ASC) AS cell_rk
+    FROM cellcos
+  ) WHERE cell_rk <= {_N_PROBE}
+),
+ivfcand AS (
+  SELECT s.q_id, s.c_id, s.cosine
+  FROM allsims s
+  JOIN (SELECT DISTINCT vec_id, label FROM vals) cl ON cl.vec_id = s.c_id
+  JOIN probes p ON p.q_id = s.q_id AND p.label = cl.label
+),
+methods AS (
+  SELECT 'lsh' AS method, * FROM lshcand
+  UNION ALL
+  SELECT 'ivf' AS method, * FROM ivfcand
+),
+tops AS (
+  SELECT method, q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY method, q_id ORDER BY cosine DESC, c_id ASC) AS rk
+    FROM methods
+  ) WHERE rk <= {_EVAL_K}
+),
+hits AS (
+  SELECT t.method, t.q_id, count(*) AS n_hits
+  FROM tops t JOIN exact e ON e.q_id = t.q_id AND e.c_id = t.c_id
+  GROUP BY 1, 2
+),
+scans AS (SELECT method, q_id, count(*) AS n_scanned FROM methods GROUP BY 1, 2),
+scaffold AS (
+  SELECT vec_id AS q_id, m.method
+  FROM embeddings, (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
+  WHERE vec_id < {_N_QUERIES}
+)
+SELECT sc.q_id, sc.method,
+       coalesce(s.n_scanned, 0) AS n_scanned,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(_EVAL_K)}, 6) AS recall
+FROM scaffold sc
+LEFT JOIN scans s ON s.method = sc.method AND s.q_id = sc.q_id
+LEFT JOIN hits h ON h.method = sc.method AND h.q_id = sc.q_id
+ORDER BY sc.q_id, sc.method
 """
 
 
@@ -685,11 +873,13 @@ QUERIES = {
     "similarity_lsh_bucketed": similarity_lsh_bucketed,
     "similarity_label_centroids": similarity_label_centroids,
     "similarity_ivf_search": similarity_ivf_search,
+    "similarity_ann_recall": similarity_ann_recall,
     "similarity_incremental_maintained": similarity_incremental_maintained,
     "embedding_near_dup": embedding_near_dup,
 }
 
 ORACLES = {
+    "similarity_ann_recall": ANN_RECALL_SQL,
     "similarity_incremental_maintained": ANN_MAINTAINED_SQL,
     "similarity_topk_bruteforce": TOPK_SQL,
     "similarity_lsh_bucketed": LSH_TOPK_SQL,

@@ -2887,8 +2887,129 @@ ORDER BY day, lang
 """
 
 
+# ------------------------------------------- n-gram novelty audit (r10)
+_NOV_N = 8  # Lee et al. "Deduplicating Training Data" use 50-token
+#   windows at web scale; 8 keeps the fixture informative at 25-token
+#   synthetic docs while exercising the identical plan shape
+_NOV_SHINGLE = (
+    f"transform(sequence(1, size(w) - {_NOV_N - 1}), "
+    f"i -> substring(md5(concat_ws(' ', slice(w, i, {_NOV_N}))), 1, 16))"
+)
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document n-gram novelty: per language, how much of each
+    document's 8-gram content appears NOWHERE else in the corpus — the
+    memorization/duplication pressure metric a pretraining mix is tuned
+    against (complements dedup: dedup REMOVES near-copies, this AUDITS
+    how much sub-document duplication survives).
+
+    Per doc: distinct 8-token shingles; novelty = fraction with global
+    document frequency 1. Per lang: doc count, fully-novel docs, mean
+    novelty, distinct shingles and how many are cross-document shared.
+
+    Scale shape: one linear explode (corpus tokens); every shuffle is
+    on the shingle key — the semantic minimum — and AGGREGATES BEFORE
+    IT JOINS: document frequency comes from the compact (shingle, lang)
+    count frame (map-side combined), never a self-join of the exploded
+    frame against itself, and the per-lang shingle stats read that
+    compact frame, not the explode. The key is a TRUNCATED 64-bit MD5
+    (16 hex chars) so the shuffle carries 16-byte keys instead of
+    ~60-byte raw 8-grams; collisions at 100 TB (~2^47 shingles vs 2^64
+    space) shift counts by ~1e-5 and both engines hash identically so
+    parity is exact. Docs under 8 tokens have no 8-gram content and
+    are excluded (documented contract).
+
+    Reference parity: no analogue in pravega (stream store); this is
+    pipeline tooling per the build brief, methodology from Lee et al.
+    2022 (arXiv:2107.06499)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens(F.col("text")).alias("w")
+    )
+    sh = docs.filter(F.size("w") >= _NOV_N).select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.expr(_NOV_SHINGLE))).alias("sh"),
+    )
+    # (sh, lang) rows are unique per contributing doc (array_distinct
+    # above), so count(*) at this grain IS the per-lang document
+    # frequency, and summing it per shingle IS the global df — both
+    # aggregates combine map-side; the exploded frame never self-joins
+    pairs = sh.groupBy("sh", "lang").agg(F.count("*").alias("n_in_lang"))
+    dfreq = pairs.groupBy("sh").agg(F.sum("n_in_lang").alias("df"))
+    per_doc = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    lang_docs = per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_unique") == F.col("n_sh"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fully_novel"),
+        F.round(F.avg(F.col("n_unique") / F.col("n_sh")), 6).alias("avg_novelty"),
+    )
+    lang_shingles = (
+        pairs.join(dfreq, "sh")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_shingles"),
+        )
+    )
+    return (
+        lang_docs.join(lang_shingles, "lang")
+        .select(
+            "lang", "n_docs", "n_fully_novel", "avg_novelty",
+            "n_shingles", "n_shared_shingles",
+        )
+        .orderBy("lang")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, lang, unnest(list_transform(
+    range(1, len(w) - {_NOV_N - 2}),
+    i -> substr(md5(array_to_string(w[i:i + {_NOV_N - 1}], ' ')), 1, 16))) AS sh
+  FROM tokd WHERE len(w) >= {_NOV_N}
+),
+dfreq AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh),
+joined AS (SELECT s.doc_id, s.lang, s.sh, d.df FROM sh s JOIN dfreq d USING (sh)),
+per_doc AS (
+  SELECT doc_id, lang, count(*) AS n_sh,
+         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM joined GROUP BY doc_id, lang
+),
+lang_docs AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_unique = n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_novel,
+         round(avg(CAST(n_unique AS DOUBLE) / n_sh), 6) AS avg_novelty
+  FROM per_doc GROUP BY lang
+),
+lang_shingles AS (
+  SELECT lang, count(DISTINCT sh) AS n_shingles,
+         count(DISTINCT CASE WHEN df > 1 THEN sh END) AS n_shared_shingles
+  FROM joined GROUP BY lang
+)
+SELECT d.lang, d.n_docs, d.n_fully_novel, d.avg_novelty,
+       s.n_shingles, s.n_shared_shingles
+FROM lang_docs d JOIN lang_shingles s USING (lang)
+ORDER BY d.lang
+"""
+
+
 QUERIES = {
     "pipeline_daily_corpus": pipeline_daily_corpus,
+    "corpus_ngram_novelty": corpus_ngram_novelty,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_topgram": text_repetition_topgram,
     "corpus_mixture_weights": corpus_mixture_weights,
@@ -2919,6 +3040,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_daily_corpus": PIPELINE_DAILY_SQL,
+    "corpus_ngram_novelty": NGRAM_NOVELTY_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
     "text_repetition_topgram": REPETITION_SQL,
     "corpus_mixture_weights": MIXTURE_WEIGHTS_SQL,

@@ -619,3 +619,47 @@ def test_chaos_reader_repair_total_order_and_bounded_visibility(
     assert [v for _, v in rows] == expected
     doc = store.meta.segments_doc("s", "ev")
     assert not doc.get("reservations") and not doc.get("pending")
+
+
+# ---------------------------------------------------------------------------
+# r10 late additions: ANN recall harness + n-gram novelty audit
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_structure_and_bounds(spark):
+    """Structural invariants of the recall harness (values are pinned by
+    the DuckDB oracle in check_parity): one row per (query, method);
+    hits never exceed what was retrieved OR what exact holds; recall is
+    hits/k; IVF with nprobe=2 cells scans a superset-sized candidate
+    pool vs a single LSH bucket on this fixture."""
+    from pravega_spark.queries.similarity import _EVAL_K, similarity_ann_recall
+
+    rows = similarity_ann_recall(spark, SF_DIR).collect()
+    assert len(rows) == 10  # 5 queries x 2 methods
+    assert {(r["q_id"], r["method"]) for r in rows} == {
+        (q, m) for q in range(5) for m in ("lsh", "ivf")
+    }
+    for r in rows:
+        assert 0 <= r["n_hits"] <= min(_EVAL_K, r["n_scanned"])
+        assert r["recall"] == round(r["n_hits"] / _EVAL_K, 6)
+    # the harness must expose the cost/quality trade non-vacuously:
+    # somebody misses (recall < 1) and somebody hits (recall > 0)
+    assert any(r["n_hits"] > 0 for r in rows)
+    assert any(r["n_hits"] < _EVAL_K for r in rows)
+
+
+def test_ngram_novelty_bounds_and_duplication_signal(spark):
+    """Novelty is a fraction; fully-novel docs never exceed doc counts;
+    the corpus' injected exact duplicates must surface as SHARED
+    shingles (a fixture where nothing is shared would make the audit
+    vacuous)."""
+    from pravega_spark.queries.text import corpus_ngram_novelty
+
+    rows = corpus_ngram_novelty(spark, SF_DIR).collect()
+    assert rows, "no languages produced"
+    for r in rows:
+        assert 0.0 <= r["avg_novelty"] <= 1.0
+        assert 0 <= r["n_fully_novel"] <= r["n_docs"]
+        assert 0 <= r["n_shared_shingles"] <= r["n_shingles"]
+    assert sum(r["n_shared_shingles"] for r in rows) > 0, "vacuous fixture"
+    assert any(r["n_fully_novel"] < r["n_docs"] for r in rows)
