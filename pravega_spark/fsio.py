@@ -602,7 +602,16 @@ def _renew_loop():
             try:
                 ok = renew_lock(p, tok, lease)
             except Exception:
-                ok = False
+                # transient I/O (object-store listing hiccup), NOT a
+                # fence: renew_lock reports a lost lease by returning
+                # False, never by raising. Leave the entry registered —
+                # it stays past-due and retries on the next wake;
+                # deregistering here would silently stop renewal of a
+                # LIVE critical section and reopen the double-holder
+                # window once the lease expired. If the lease really
+                # was lost meanwhile, the next successful call returns
+                # False and deregisters below.
+                ok = None
             with guard:
                 still = _HELD_LOCKS.get(tok)
                 if still is not ent:
@@ -613,7 +622,7 @@ def _renew_loop():
                             pass
                 elif ok:
                     ent[2] = _time.monotonic()
-                else:
+                elif ok is False:
                     del _HELD_LOCKS[tok]  # fenced out: stop renewing
         # sleep until the soonest renewal deadline, but wake IMMEDIATELY
         # when a new (possibly sub-second) lease registers — a fixed

@@ -663,3 +663,41 @@ def test_ngram_novelty_bounds_and_duplication_signal(spark):
         assert 0 <= r["n_shared_shingles"] <= r["n_shingles"]
     assert sum(r["n_shared_shingles"] for r in rows) > 0, "vacuous fixture"
     assert any(r["n_fully_novel"] < r["n_docs"] for r in rows)
+
+
+def test_renewer_retries_transient_renew_error(tmp_path, monkeypatch):
+    """A transient renew I/O error must NOT deregister a live lease
+    (renew_lock signals a real fence by returning False, never by
+    raising): the entry stays registered, the next wake retries and
+    succeeds, and the lock stays held past several lease windows —
+    deregistering on the first hiccup would silently stop renewal of a
+    live critical section and let a contender steal the lock."""
+    from pravega_spark import fsio
+
+    lock = str(tmp_path / "l.lock")
+    calls = {"n": 0}
+    orig = fsio.renew_lock
+
+    def flaky(path, tok, lease):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient object-store hiccup")
+        return orig(path, tok, lease)
+
+    monkeypatch.setattr(fsio, "renew_lock", flaky)
+    with fsio.locked(lock, lease_ms=400, timeout_ms=5000) as token:
+        deadline = time.time() + 5.0
+        while calls["n"] < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert calls["n"] >= 2, "renewer never retried after the error"
+        # still registered (not deregistered by the exception) ...
+        with fsio._HELD_GUARD:
+            assert token in fsio._HELD_LOCKS
+        # ... and still exclusively held well past the original lease:
+        # a contender's bounded acquire must time out, not steal
+        time.sleep(0.5)
+        with pytest.raises(TimeoutError):
+            t2 = fsio.acquire_lock(lock, lease_ms=400, timeout_ms=250)
+            fsio.release_lock(lock, t2)  # unreachable; hygiene on failure
+    with fsio._HELD_GUARD:
+        assert token not in fsio._HELD_LOCKS  # clean unregister on exit
