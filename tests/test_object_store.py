@@ -449,3 +449,60 @@ def test_reservation_gap_repair_on_object_store(object_store, monkeypatch):
     assert [rows[o] for o in range(7, 9)] == [300, 301]
     store.fsck_stream("s", "ev")
     assert store.fsck_stream("s", "ev") == []
+
+
+def test_reader_gap_repair_on_object_store(object_store, monkeypatch):
+    """The r10 READER-triggered repair on the S3-semantics backend,
+    with the reservation grace UNTOUCHED (30 s): a tail poll — the
+    call idle-stream readers and the streaming pump issue — observes a
+    pending commit stuck behind a dead writer's stale reservation,
+    takes the claim-based commit lock, force-expires the blocker and
+    absorbs the stranded commit. Everything the repair writes
+    (renumbered payload objects, doc flips, expiry markers) goes
+    through the object-store contract — no in-place edits."""
+    import pravega_spark.store as store_mod
+
+    handler, root = object_store
+    store = StreamStore(None, root)
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    store.append_events("s", "ev", [{"routing_key": "k", "v": i} for i in range(4)],
+                        writer_id="W0", batch_seq=0)
+
+    armed = {"on": True}
+    orig = StreamStore._write_hot_batch
+
+    def crashing(self, tbl, seg_arr, bases, path, tag):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("died mid-payload")
+        return orig(self, tbl, seg_arr, bases, path, tag)
+
+    monkeypatch.setattr(StreamStore, "_write_hot_batch", crashing)
+    with pytest.raises(RuntimeError):
+        store.append_events("s", "ev", [{"routing_key": "k", "v": 100 + i} for i in range(5)],
+                            writer_id="A", batch_seq=0)
+    store.append_events("s", "ev", [{"routing_key": "k", "v": 200 + i} for i in range(3)],
+                        writer_id="B", batch_seq=0)
+    # B is acked + durable but invisible behind A's gap
+    assert dict(store.meta.tail_offsets("s", "ev")) == {0: 4}
+
+    # reader-triggered: deadline 0, grace NOT shortened — only the
+    # poll below can clear the gap (no second writer ever arrives)
+    monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 0)
+    cut = store.tail_stream_cut("s", "ev")
+    assert cut.positions == {0: 7}, cut.positions
+    doc = store.meta.segments_doc("s", "ev")
+    assert not doc.get("reservations") and not doc.get("pending")
+
+    # readback: contiguous offsets, B renumbered into A's range
+    path = fsio.join(root, "streams", "s", "ev")
+    rows = {}
+    for rel in store.meta.segment_files("s", "ev", "0", doc["segments"]["0"]):
+        t = fsio.parquet_read_table(fsio.join(path, rel))
+        for v, off in zip(t["v"].to_pylist(), t["offset"].to_pylist()):
+            rows[off] = v
+    assert sorted(rows) == list(range(7))
+    assert [rows[o] for o in range(4, 7)] == [200, 201, 202]
+    store.fsck_stream("s", "ev")
+    assert store.fsck_stream("s", "ev") == []
