@@ -1568,7 +1568,10 @@ class StreamStore:
 
     def _maybe_read_repair(self, scope: str, stream: str, doc: dict) -> bool:
         """Lockless precheck on an already-in-hand segments doc; only a
-        stranded or deadline-stale gap takes the commit lock. Bounds
+        stranded or deadline-stale gap takes the commit lock. Returns
+        True when the visible state changed (or may have changed) since
+        the caller's snapshot — whether THIS call repaired or a
+        concurrent lock holder did — so callers re-read on True. Bounds
         ack-to-visibility after a writer crash to the read-repair
         deadline instead of the reservation grace: the reference acks
         an append only after every earlier append is applied
@@ -1583,7 +1586,12 @@ class StreamStore:
             doc = self.meta.segments_doc(scope, stream)  # re-read under lock
             blockers = self._stale_gap_blockers(doc)
             if not blockers and not self._stranded_pending(doc):
-                return False  # a concurrent lock holder repaired first
+                # a concurrent lock holder repaired first: the caller's
+                # in-hand doc predates that repair, so it MUST re-read —
+                # True means "state changed since your snapshot", not
+                # "this call wrote". Returning False here made 7 of 8
+                # racing tail polls report the pre-repair tail.
+                return True
             for rid in blockers:
                 # force-expire: ancient ts makes every future reap (any
                 # grace) treat it as dead; persists with the doc write

@@ -701,3 +701,58 @@ def test_renewer_retries_transient_renew_error(tmp_path, monkeypatch):
             fsio.release_lock(lock, t2)  # unreachable; hygiene on failure
     with fsio._HELD_GUARD:
         assert token not in fsio._HELD_LOCKS  # clean unregister on exit
+
+
+def test_concurrent_readers_race_the_repair_once(store, monkeypatch):
+    """Many readers observing the same dead-writer gap simultaneously:
+    exactly one wins the commit lock and repairs; the others re-check
+    under the lock and no-op (the `_maybe_read_repair` re-read path).
+    All of them — and the post-race doc — must agree on the repaired
+    tail, with no duplicate renumbering artifacts in the manifest."""
+    import pravega_spark.store as sm
+
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    rows = [{"routing_key": "k", "v": i} for i in range(4)]
+    store.append_events("s", "ev", rows, writer_id="w0", batch_seq=0)
+
+    crash = {"on": True}
+    orig = StreamStore._write_hot_batch
+
+    def once(self, tbl, seg_arr, bases, path, tag):
+        if crash["on"]:
+            crash["on"] = False
+            raise _Boom("died mid-payload")
+        return orig(self, tbl, seg_arr, bases, path, tag)
+
+    monkeypatch.setattr(StreamStore, "_write_hot_batch", once)
+    with pytest.raises(_Boom):
+        store.append_events("s", "ev", [{"routing_key": "k", "v": 9}],
+                            writer_id="dead", batch_seq=0)
+    store.append_events("s", "ev", [{"routing_key": "k", "v": 100 + i} for i in range(3)],
+                        writer_id="w1", batch_seq=0)
+    assert dict(store.meta.tail_offsets("s", "ev")) == {0: 4}  # blocked
+
+    monkeypatch.setattr(sm, "READ_REPAIR_DEADLINE_MS", 0)
+    tails, errs = [], []
+    barrier = threading.Barrier(8)
+
+    def poll():
+        try:
+            barrier.wait()
+            tails.append(store.tail_stream_cut("s", "ev").positions[0])
+        except Exception as e:  # pragma: no cover - fail loudly below
+            errs.append(e)
+
+    threads = [threading.Thread(target=poll) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert tails == [7] * 8, tails  # every racer sees the repaired tail
+    doc = store.meta.segments_doc("s", "ev")
+    assert not doc.get("reservations") and not doc.get("pending")
+    # manifest holds each offset exactly once (no duplicate renumbering)
+    offs = [r["offset"] for r in store.read("s", "ev").select("offset").collect()]
+    assert sorted(offs) == list(range(7))
