@@ -84,15 +84,18 @@ def main() -> None:
         print(f"{name}: copied", file=sys.stderr)
     for name, shifts in SHIFTS.items():
         base_df = load_table(spark, SRC, name)
-        copies = []
-        for k in range(n_copies):
-            c = base_df
-            for col, base_name in shifts.items():
-                c = c.withColumn(col, (F.col(col) + F.lit(k * BASES[base_name])).cast("long"))
-            copies.append(c)
-        out = copies[0]
-        for c in copies[1:]:
-            out = out.unionByName(c)
+        # one crossJoin against a broadcast copy-index range instead of
+        # an n-way unionByName: identical row multiset, but the plan is
+        # ONE node at any n — a 1000-copy union (sf100) explodes
+        # Catalyst planning, the range join doesn't
+        out = base_df.crossJoin(
+            F.broadcast(spark.range(n_copies).withColumnRenamed("id", "_copy"))
+        )
+        for col, base_name in shifts.items():
+            out = out.withColumn(
+                col, (F.col(col) + F.col("_copy") * F.lit(BASES[base_name])).cast("long")
+            )
+        out = out.drop("_copy")
         dst = os.path.join(out_dir, f"{name}.parquet")
         shutil.rmtree(dst, ignore_errors=True)
         # ~32 files per table: realistic multi-split scan parallelism
