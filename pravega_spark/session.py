@@ -24,7 +24,15 @@ def get_spark(app_name: str = "pravega_spark", shuffle_partitions: int | None = 
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # default = cpus; override when the DATA outgrows the box (the
+        # sf100 spot-check: 600M-row joins at 32 reduce partitions hold
+        # ~19M rows each and spill — 256 took q18 from 198 s to 110 s
+        # and corpus_ngram_novelty from 514 s to 320 s ≈ linear). On a
+        # real cluster this is sized to keep post-shuffle partitions
+        # ~100-200 MB; AQE coalesces the excess back down.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+        )
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .appName(app_name)

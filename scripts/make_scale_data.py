@@ -82,13 +82,19 @@ def main() -> None:
             os.unlink(dst)
         load_table(spark, SRC, name).write.mode("overwrite").parquet(dst)
         print(f"{name}: copied", file=sys.stderr)
+    # enough output files for realistic multi-split parallelism, more
+    # when the expansion is large so single write tasks stay bounded
+    parts = 32 if n_copies <= 100 else 128
     for name, shifts in SHIFTS.items():
         base_df = load_table(spark, SRC, name)
         # one crossJoin against a broadcast copy-index range instead of
         # an n-way unionByName: identical row multiset, but the plan is
         # ONE node at any n — a 1000-copy union (sf100) explodes
-        # Catalyst planning, the range join doesn't
-        out = base_df.crossJoin(
+        # Catalyst planning, the range join doesn't. Repartition the
+        # SMALL base BEFORE the expansion: shuffling after it moves
+        # n_copies× the bytes (a 1000-copy lineitem post-expand shuffle
+        # is ~60 GB of scratch; the pre-expand one is ~17 MB).
+        out = base_df.repartition(parts).crossJoin(
             F.broadcast(spark.range(n_copies).withColumnRenamed("id", "_copy"))
         )
         for col, base_name in shifts.items():
@@ -98,8 +104,7 @@ def main() -> None:
         out = out.drop("_copy")
         dst = os.path.join(out_dir, f"{name}.parquet")
         shutil.rmtree(dst, ignore_errors=True)
-        # ~32 files per table: realistic multi-split scan parallelism
-        out.repartition(32).write.mode("overwrite").parquet(dst)
+        out.write.mode("overwrite").parquet(dst)
         n = spark.read.parquet(dst).count()
         print(f"{name}: {n} rows ({n_copies} copies)", file=sys.stderr)
     print(f"done -> {out_dir}", file=sys.stderr)
