@@ -2908,12 +2908,12 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency 1. Per lang: doc count, fully-novel docs, mean
     novelty, distinct shingles and how many are cross-document shared.
 
-    Scale shape: one linear explode (corpus tokens); every shuffle is
-    on the shingle key — the semantic minimum — and AGGREGATES BEFORE
-    IT JOINS: document frequency comes from the compact (shingle, lang)
-    count frame (map-side combined), never a self-join of the exploded
-    frame against itself, and the per-lang shingle stats read that
-    compact frame, not the explode. The key is a TRUNCATED 64-bit MD5
+    Scale shape: one linear explode (corpus tokens) and ONE full-width
+    shuffle of it (on the shingle key — the semantic minimum); the
+    exploded frame is never joined back. Per-shingle df, the df=1
+    owner doc, and the language set come from a single aggregation;
+    per-doc novelty joins only doc-grain frames; per-lang shingle
+    stats read the shingle-grain frame. The key is a TRUNCATED 64-bit MD5
     (16 hex chars) so the shuffle carries 16-byte keys instead of
     ~60-byte raw 8-grams; collisions at 100 TB (~2^47 shingles vs 2^64
     space) shift counts by ~1e-5 and both engines hash identically so
@@ -2931,19 +2931,38 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.array_distinct(F.expr(_NOV_SHINGLE))).alias("sh"),
     )
-    # (sh, lang) rows are unique per contributing doc (array_distinct
-    # above), so count(*) at this grain IS the per-lang document
-    # frequency, and summing it per shingle IS the global df — both
-    # aggregates combine map-side; the exploded frame never self-joins
-    pairs = sh.groupBy("sh", "lang").agg(F.count("*").alias("n_in_lang"))
-    dfreq = pairs.groupBy("sh").agg(F.sum("n_in_lang").alias("df"))
+    # ONE full shuffle of the exploded frame (on the shingle key), and
+    # the exploded frame is never joined back: (doc, sh) rows are
+    # unique (array_distinct above), so count(*) per shingle IS the
+    # global document frequency; min(doc_id) identifies the sole owner
+    # whenever df = 1 — which is exactly the set per-doc novelty
+    # counts — and collect_set(lang) (tiny: docs sharing a shingle
+    # overwhelmingly share a language) carries what the per-lang
+    # shingle stats need. The only other exploded pass, the per-doc
+    # shingle count, collapses map-side to doc grain before its
+    # shuffle. (First formulation joined the exploded frame against
+    # per-shingle df — a second full-width shuffle; at sf100 this
+    # version cut the wall clock, see SCALING.md.)
+    # owner rides the pairs aggregation so BOTH shingle-grain frames
+    # derive from the one full-width shuffle; min(min_doc) at sh grain
+    # is only read when df = 1, where it IS the sole owning doc
+    pairs = sh.groupBy("sh", "lang").agg(
+        F.count("*").alias("n_in_lang"), F.min("doc_id").alias("min_doc")
+    )
+    shstats = pairs.groupBy("sh").agg(
+        F.sum("n_in_lang").alias("df"), F.min("min_doc").alias("owner")
+    )
+    uniq = (
+        shstats.filter(F.col("df") == 1)
+        .groupBy("owner")
+        .agg(F.count("*").alias("n_unique"))
+        .withColumnRenamed("owner", "doc_id")
+    )
     per_doc = (
-        sh.join(dfreq, "sh")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_sh"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
-        )
+        sh.groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_sh"))
+        .join(uniq, "doc_id", "left")
+        .withColumn("n_unique", F.coalesce("n_unique", F.lit(0)))
     )
     lang_docs = per_doc.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -2953,7 +2972,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_unique") / F.col("n_sh")), 6).alias("avg_novelty"),
     )
     lang_shingles = (
-        pairs.join(dfreq, "sh")
+        pairs.join(shstats.select("sh", "df"), "sh")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_shingles"),
