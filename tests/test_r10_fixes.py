@@ -756,3 +756,24 @@ def test_concurrent_readers_race_the_repair_once(store, monkeypatch):
     # manifest holds each offset exactly once (no duplicate renumbering)
     offs = [r["offset"] for r in store.read("s", "ev").select("offset").collect()]
     assert sorted(offs) == list(range(7))
+
+
+def test_ann_recall_plan_corpus_never_shuffles(spark):
+    """Plan pin for the recall harness's scale claim: every corpus-side
+    cosine join (LSH bucket, IVF label cells, exact brute force) is a
+    broadcast of the tiny query/probe side — the embeddings scan is
+    never hash-partitioned on a join key (bucket / label / c_id). The
+    only Exchanges allowed are the per-query top-k windows and the
+    5-row stats aggregations (q_id keys)."""
+    import re
+
+    from pravega_spark.queries.similarity import similarity_ann_recall
+
+    df = similarity_ann_recall(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for key in ("bucket", "label", "c_vec", "q_vec"):
+        assert not re.search(rf"Exchange hashpartitioning\({key}#", plan), (
+            f"corpus-side shuffle on {key}:\n" + plan[:3000]
+        )
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
