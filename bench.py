@@ -63,6 +63,7 @@ HEADLINE = [
     "pipeline_daily_corpus",
     "similarity_ann_recall",
     "corpus_ngram_novelty",
+    "similarity_knn_graph",
 ]
 
 

@@ -147,6 +147,7 @@ _GATE_ORDER = [
     # -- check_parity at sf0.01 this round): front these in r11 ---------
     "similarity_ann_recall",
     "corpus_ngram_novelty",
+    "similarity_knn_graph",
 ]
 
 

@@ -605,6 +605,99 @@ ORDER BY sc.q_id, sc.method
 """
 
 
+# --------------------------------------------- bucketed k-NN graph (r10)
+_KNN_K = 3
+
+
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed k-NN graph over DISTINCT embeddings: each distinct
+    vector's top-3 cosine neighbors within its sign-plane bucket — the
+    edge list graph-based near-dup clustering consumes (pair with
+    ``dedup_clusters``' union-find: edges in, components out).
+
+    Defined on distinct vectors (grouped by the embedding array
+    itself, exact float equality in both engines; ``rep_id`` = min
+    vec_id, ``n_members`` = multiplicity) because exact duplicates add
+    no graph structure — only degenerate cosine-1.0 self-cluster
+    edges — and because the collapse is what bounds the per-bucket
+    quadratic: at any corpus duplication factor the pair stage runs on
+    distinct vectors only (the same exact-collapse law the LSH dedup
+    paths follow, SCALING.md). Buckets cap it further: n_distinct²/16
+    per box of the hash space, and each bucket's pairs stay
+    co-partitioned at any scale. Approximate by construction —
+    cross-bucket edges are unseen, the documented LSH trade
+    (similarity_ann_recall measures exactly that loss)."""
+    from pravega_spark.functions.vectors import cosine as v_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep_id"), F.count("*").alias("n_members")
+    )
+    bucket = sum(
+        (
+            F.when(F.col("embedding").getItem(d) >= 0, F.lit(1 << i)).otherwise(0)
+            for i, d in enumerate(_LSH_DIMS)
+        ),
+        F.lit(0),
+    ).alias("bucket")
+    with_b = reps.select("rep_id", "n_members", "embedding", bucket)
+    a = with_b.select(
+        F.col("rep_id").alias("src"), "n_members", "bucket",
+        F.col("embedding").alias("a_vec"),
+    )
+    c = with_b.select(
+        F.col("rep_id").alias("dst"), "bucket", F.col("embedding").alias("c_vec")
+    )
+    sims = (
+        a.join(c, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "n_members", "dst",
+            F.round(v_cosine("a_vec", "c_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("src", "dst", "cosine", "rk", "n_members")
+        .orderBy("src", "rk")
+    )
+
+
+KNN_GRAPH_SQL = f"""
+WITH reps AS (
+  SELECT min(vec_id) AS rep_id, count(*) AS n_members, embedding
+  FROM embeddings GROUP BY embedding
+),
+b AS (
+  SELECT rep_id, n_members, embedding, {_LSH_BUCKET_SQL} AS bucket FROM reps
+),
+a AS (
+  SELECT rep_id AS src, n_members, bucket, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM b
+),
+c AS (
+  SELECT rep_id AS dst, bucket, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM b
+),
+sims AS (
+  SELECT a.src, a.n_members, c.dst,
+         round(sum(a.v * c.v) / sqrt(sum(a.v * a.v) * sum(c.v * c.v)), 6) AS cosine
+  FROM a JOIN c ON a.bucket = c.bucket AND a.pos = c.pos AND a.src != c.dst
+  GROUP BY 1, 2, 3
+)
+SELECT src, dst, cosine, rk, n_members FROM (
+  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rk
+  FROM sims
+)
+WHERE rk <= {_KNN_K}
+ORDER BY src, rk
+"""
+
+
 # --------------------------------------- maintained ANN index loop (r9)
 _DAY1_VID_OFFSET = 10_000_000
 _ANN_THRESHOLD = 0.9
@@ -874,12 +967,14 @@ QUERIES = {
     "similarity_label_centroids": similarity_label_centroids,
     "similarity_ivf_search": similarity_ivf_search,
     "similarity_ann_recall": similarity_ann_recall,
+    "similarity_knn_graph": similarity_knn_graph,
     "similarity_incremental_maintained": similarity_incremental_maintained,
     "embedding_near_dup": embedding_near_dup,
 }
 
 ORACLES = {
     "similarity_ann_recall": ANN_RECALL_SQL,
+    "similarity_knn_graph": KNN_GRAPH_SQL,
     "similarity_incremental_maintained": ANN_MAINTAINED_SQL,
     "similarity_topk_bruteforce": TOPK_SQL,
     "similarity_lsh_bucketed": LSH_TOPK_SQL,

@@ -777,3 +777,25 @@ def test_ann_recall_plan_corpus_never_shuffles(spark):
             f"corpus-side shuffle on {key}:\n" + plan[:3000]
         )
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_knn_graph_structure(spark):
+    """Edge-list invariants of the bucketed k-NN graph (values are
+    oracle-pinned): ranks are 1..k dense per source, no self-edges, a
+    source's edges are non-increasing in cosine, and multiplicities
+    are positive."""
+    from pravega_spark.queries.similarity import _KNN_K, similarity_knn_graph
+
+    rows = similarity_knn_graph(spark, SF_DIR).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert r["src"] != r["dst"]
+        assert r["n_members"] >= 1
+        by_src.setdefault(r["src"], []).append((r["rk"], r["cosine"]))
+    for src, edges in by_src.items():
+        edges.sort()
+        assert [rk for rk, _ in edges] == list(range(1, len(edges) + 1))
+        assert len(edges) <= _KNN_K
+        cosines = [c for _, c in edges]
+        assert cosines == sorted(cosines, reverse=True), (src, edges)
