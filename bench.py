@@ -64,6 +64,7 @@ HEADLINE = [
     "similarity_ann_recall",
     "corpus_ngram_novelty",
     "similarity_knn_graph",
+    "streaming_windowed_late_drop",
 ]
 
 

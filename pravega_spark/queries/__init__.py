@@ -148,6 +148,7 @@ _GATE_ORDER = [
     "similarity_ann_recall",
     "corpus_ngram_novelty",
     "similarity_knn_graph",
+    "streaming_windowed_late_drop",
 ]
 
 

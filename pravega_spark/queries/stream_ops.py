@@ -611,7 +611,125 @@ ORDER BY user_id
 """
 
 
+
+
+def streaming_windowed_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 watermark semantics END-TO-END in append mode (SURVEY §2.5;
+    reference io.pravega.client.stream.TimeWindow / PeriodicWatermarking
+    consumption contract): a REAL three-trigger structured-streaming run
+    where the watermark actually drops late data — not the complete-mode
+    shortcut where nothing is ever late.
+
+    Three deterministic micro-batches (named files, maxFilesPerTrigger=1,
+    mtime-ordered): (1) even event_ids — the bulk, opens every hourly
+    window and establishes max event time; (2) the id%4==1 rows of the
+    last two hours — a completed batch whose END advances the watermark,
+    which is what EVICTS finalized windows (Spark only drops late rows
+    for windows already evicted — verified empirically: a two-batch run
+    drops nothing because eviction needs a watermark advance in a
+    PRIOR completed batch); (3) every remaining odd row — rows whose
+    hourly window closed under the batch-2 watermark are DROPPED
+    (numRowsDroppedByWatermark > 0), rows landing in still-open recent
+    windows are KEPT (both sides non-vacuous on this fixture: hundreds
+    dropped, a handful kept). Append mode emits exactly the finalized
+    windows; the DuckDB oracle replays the same watermark algebra
+    (drop: window_end <= max(batch-1 U batch-2 data) - 1h; emit:
+    window_end <= max(all) - 1h) and value-hashes every window.
+
+    Scale shape: the aggregation state is O(open windows), the shuffle
+    is the single window/key exchange, and late-row filtering happens
+    BEFORE state (a dropped row never touches the store) — the property
+    that bounds state at 100 TB event rates."""
+    import datetime as _dt
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    scratch = tempfile.mkdtemp(prefix="pvs_late_drop_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", F.floor(F.col("value") * 100).cast("long").alias("cents")
+        )
+        mx = ev.agg(F.max("ts")).collect()[0][0]  # control-plane 1-row pick
+        cut = mx - _dt.timedelta(hours=2)
+        advance = (F.col("event_id") % 4 == 1) & (F.col("ts") >= F.lit(cut))
+        batches = (
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(advance),
+            ev.filter((F.col("event_id") % 2 == 1) & ~advance),
+        )
+        in_dir = f"{scratch}/input"
+        _os.makedirs(in_dir)
+        for i, df in enumerate(batches):
+            tmp = f"{scratch}/tmp{i}"
+            df.coalesce(1).write.parquet(tmp)
+            part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(_os.path.join(tmp, part), dst)
+            # FileStreamSource orders by (mtime, path): pin BOTH
+            _os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        name = f"late_drop_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"), F.sum("cents").alias("cents"))
+            .select(F.col("w.start").alias("hour"), "n_events", "cents")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .select("hour", "n_events", "cents")
+            .orderBy("hour")
+            .localCheckpoint()  # materialize before scratch vanishes
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+WINDOWED_LATE_DROP_SQL = """
+WITH ev AS (
+  SELECT event_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+),
+m AS (SELECT max(ts) AS max_all FROM ev),
+lead AS (  -- batches 1+2: evens + the id%4==1 advance rows of the last 2h
+  SELECT ev.* FROM ev, m
+  WHERE event_id % 2 = 0
+     OR (event_id % 4 = 1 AND ts >= m.max_all - INTERVAL 2 HOUR)
+),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w2 FROM lead),
+kept AS (
+  SELECT date_trunc('hour', ts) AS hour, cents FROM lead
+  UNION ALL  -- batch 3: late rows survive only if their window is open
+  SELECT date_trunc('hour', e.ts) AS hour, e.cents
+  FROM ev e, m, wm
+  WHERE e.event_id % 2 = 1
+    AND NOT (e.event_id % 4 = 1 AND e.ts >= m.max_all - INTERVAL 2 HOUR)
+    AND NOT (date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= wm.w2)
+)
+SELECT hour, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+FROM kept, m
+WHERE hour + INTERVAL 1 HOUR <= m.max_all - INTERVAL 1 HOUR
+GROUP BY hour
+ORDER BY hour
+"""
+
+
 QUERIES = {
+    "streaming_windowed_late_drop": streaming_windowed_late_drop,
     "streaming_session_fold": streaming_session_fold,
     "streaming_scale_epoch_read": streaming_scale_epoch_read,
     "stream_segment_assignment": stream_segment_assignment,
@@ -630,6 +748,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_windowed_late_drop": WINDOWED_LATE_DROP_SQL,
     "streaming_session_fold": SESSION_FOLD_SQL,
     "streaming_scale_epoch_read": SCALE_EPOCH_READ_SQL,
     "stream_segment_assignment": SEGMENT_ASSIGNMENT_SQL,

@@ -799,3 +799,46 @@ def test_knn_graph_structure(spark):
         assert len(edges) <= _KNN_K
         cosines = [c for _, c in edges]
         assert cosines == sorted(cosines, reverse=True), (src, edges)
+
+
+def test_windowed_late_drop_semantics(spark):
+    """Append-mode watermark pins (values are oracle-gated): only
+    FINALIZED windows are emitted (every hour strictly below
+    max_ts - 1h), hours are unique, and the emitted total is strictly
+    between the lead batches' contribution (late-kept rows exist) and
+    the full event count (late-dropped + withheld-tail rows exist)."""
+    import datetime as dt
+
+    from pravega_spark.queries.stream_ops import streaming_windowed_late_drop
+    from pravega_spark.sources import load_table
+
+    # sf0.01, not the usual sf0.001: at 1000 events (~1.4/hour) the
+    # late-but-kept class is empty and the strict lower bound below
+    # would be vacuous; at sf0.01 both classes are populated
+    sf = "/root/testdata/sf0.01"
+    rows = streaming_windowed_late_drop(spark, sf).collect()
+    assert rows
+    hours = [r["hour"] for r in rows]
+    assert len(hours) == len(set(hours))
+    ev = load_table(spark, sf, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    assert max(hours) + dt.timedelta(hours=1) <= mx - dt.timedelta(hours=1)
+    total = ev.count()
+    cut = mx - dt.timedelta(hours=2)
+    lead = (F.col("event_id") % 2 == 0) | (
+        (F.col("event_id") % 4 == 1) & (F.col("ts") >= F.lit(cut))
+    )
+    finalized = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") <= F.lit(
+        mx
+    ) - F.expr("INTERVAL 1 HOUR")
+    wm2 = ev.filter(lead).agg(F.max("ts")).collect()[0][0] - dt.timedelta(hours=1)
+    open_window = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") > F.lit(wm2)
+    lead_fin = ev.filter(lead & finalized).count()
+    late_kept_fin = ev.filter(~lead & open_window & finalized).count()
+    late_dropped = ev.filter(~lead & ~open_window).count()
+    emitted = sum(r["n_events"] for r in rows)
+    # exact accounting: output = finalized lead rows + finalized
+    # late-but-kept rows; the dropped class must be non-empty (that IS
+    # the watermark semantic this query exists to exercise)
+    assert emitted == lead_fin + late_kept_fin, (emitted, lead_fin, late_kept_fin)
+    assert late_dropped > 0 and emitted < total, (late_dropped, emitted, total)
