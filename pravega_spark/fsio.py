@@ -624,6 +624,13 @@ def _renew_loop():
                     ent[2] = _time.monotonic()
                 elif ok is False:
                     del _HELD_LOCKS[tok]  # fenced out: stop renewing
+                else:
+                    # transient failure: schedule the retry lease/10
+                    # from now instead of leaving the entry past-due —
+                    # a past-due entry makes the sleep computation
+                    # below zero and a PERSISTENT store outage would
+                    # busy-spin this thread against the ailing backend
+                    ent[2] = _time.monotonic() - lease / 3000.0 + lease / 10000.0
         # sleep until the soonest renewal deadline, but wake IMMEDIATELY
         # when a new (possibly sub-second) lease registers — a fixed
         # sleep could outlive a short lease entirely (r10 ADVICE).

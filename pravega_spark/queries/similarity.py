@@ -226,6 +226,21 @@ SELECT label, a_id, b_id, cosine FROM sims WHERE cosine >= 0.35 ORDER BY a_id, b
 _LSH_DIMS = (0, 8, 16, 24)  # sign-bit hyperplanes (axis-aligned projections)
 
 
+def _lsh_bucket(vec_col: str = "embedding"):
+    """The sign-plane bucket id as a Column — ONE definition shared by
+    the bucketed search, the recall evaluator and the k-NN graph, so a
+    plane change can never desynchronize an index from its evaluator
+    (keep in lockstep with _LSH_BUCKET_SQL below and the maintained
+    family's string-expr twin _ann_bucket)."""
+    return sum(
+        (
+            F.when(F.col(vec_col).getItem(d) >= 0, F.lit(1 << i)).otherwise(0)
+            for i, d in enumerate(_LSH_DIMS)
+        ),
+        F.lit(0),
+    ).alias("bucket")
+
+
 def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the 100 TB scale path): vectors hash to a
     16-cell bucket by the sign pattern of 4 fixed dimensions (random-
@@ -236,13 +251,7 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates outside the bucket are unseen (recall < 1), which is the
     documented LSH trade."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = sum(
-        (
-            F.when(F.col("embedding").getItem(d) >= 0, F.lit(1 << i)).otherwise(0)
-            for i, d in enumerate(_LSH_DIMS)
-        ),
-        F.lit(0),
-    ).alias("bucket")
+    bucket = _lsh_bucket()
     from pravega_spark.functions.vectors import cosine as v_cosine
 
     with_b = emb.select("vec_id", "embedding", bucket)
@@ -457,13 +466,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- LSH candidates: the query's sign-plane bucket
-    bucket = sum(
-        (
-            F.when(F.col("embedding").getItem(d) >= 0, F.lit(1 << i)).otherwise(0)
-            for i, d in enumerate(_LSH_DIMS)
-        ),
-        F.lit(0),
-    ).alias("bucket")
+    bucket = _lsh_bucket()
     with_b = emb.select("vec_id", "embedding", bucket)
     q_b = with_b.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "bucket", F.col("embedding").alias("q_vec")
@@ -633,13 +636,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = emb.groupBy("embedding").agg(
         F.min("vec_id").alias("rep_id"), F.count("*").alias("n_members")
     )
-    bucket = sum(
-        (
-            F.when(F.col("embedding").getItem(d) >= 0, F.lit(1 << i)).otherwise(0)
-            for i, d in enumerate(_LSH_DIMS)
-        ),
-        F.lit(0),
-    ).alias("bucket")
+    bucket = _lsh_bucket()
     with_b = reps.select("rep_id", "n_members", "embedding", bucket)
     a = with_b.select(
         F.col("rep_id").alias("src"), "n_members", "bucket",

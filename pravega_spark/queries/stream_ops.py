@@ -633,8 +633,10 @@ def streaming_windowed_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows are KEPT (both sides non-vacuous on this fixture: hundreds
     dropped, a handful kept). Append mode emits exactly the finalized
     windows; the DuckDB oracle replays the same watermark algebra
-    (drop: window_end <= max(batch-1 U batch-2 data) - 1h; emit:
-    window_end <= max(all) - 1h) and value-hashes every window.
+    (drop: window_end <= max(batch-1 data) - 1h — the late filter LAGS
+    one batch behind eviction, SPARK-40925, verified with a fixture
+    whose advance batch outruns the bulk batch; emit: window_end <=
+    max(all) - 1h) and value-hashes every window.
 
     Scale shape: the aggregation state is O(open windows), the shuffle
     is the single window/key exchange, and late-row filtering happens
@@ -648,8 +650,13 @@ def streaming_windowed_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scratch = tempfile.mkdtemp(prefix="pvs_late_drop_")
     try:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "ts", F.floor(F.col("value") * 100).cast("long").alias("cents")
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id", "ts",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .persist()  # three batch writes + max(): one source scan, not four
         )
         mx = ev.agg(F.max("ts")).collect()[0][0]  # control-plane 1-row pick
         cut = mx - _dt.timedelta(hours=2)
@@ -697,6 +704,10 @@ def streaming_windowed_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
         return out
     finally:
+        try:
+            ev.unpersist()  # defined unless load_table itself raised
+        except NameError:
+            pass
         shutil.rmtree(scratch, ignore_errors=True)
 
 
@@ -710,7 +721,12 @@ lead AS (  -- batches 1+2: evens + the id%4==1 advance rows of the last 2h
   WHERE event_id % 2 = 0
      OR (event_id % 4 = 1 AND ts >= m.max_all - INTERVAL 2 HOUR)
 ),
-wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w2 FROM lead),
+-- Spark's late-event filter LAGS one batch (SPARK-40925 two-watermark
+-- semantics, pinned empirically: a late row whose window end sat
+-- between max(b0)-1h and max(b0 U b1)-1h was KEPT): the filter for
+-- batch 3 is the watermark in effect DURING batch 2, computed from
+-- batch 1's data only — max(evens) - 1h, NOT max(lead) - 1h.
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w2 FROM ev WHERE event_id % 2 = 0),
 kept AS (
   SELECT date_trunc('hour', ts) AS hour, cents FROM lead
   UNION ALL  -- batch 3: late rows survive only if their window is open

@@ -58,15 +58,17 @@ def _reader_proc(idx: int, n_streams: int, root: str, barrier, q) -> None:
     # warm untimed: JVM/codegen/manifest cache — the matrix measures the
     # scan, not session startup
     st.read("bench", stream).agg(F.sum(F.length("payload"))).collect()
-    times = []
-    for _ in range(REPS):
+    for i in range(REPS):
         barrier.wait()
         t0 = _time.perf_counter()
         n = st.read("bench", stream).agg(
             F.sum(F.length("payload")).alias("b")
         ).collect()[0]["b"]
-        times.append((_time.perf_counter() - t0, n))
-    q.put((idx, times))
+        # signal completion PER REP, before any teardown: the parent
+        # times each rep by collecting these, so the final rep's window
+        # can't absorb spark.stop()/process-exit (which deflated the
+        # last rep's rate in the first version of this script)
+        q.put(("rep", idx, i, _time.perf_counter() - t0, n))
     spark.stop()
 
 
@@ -112,27 +114,22 @@ def main() -> None:
             for p in procs:
                 p.start()
             rep_rates = []
+            rep_bytes = []
             for _ in range(REPS):
                 barrier.wait()
                 t0 = time.perf_counter()
-                # barrier releases all readers at once; they re-park on
-                # the next rep's barrier, so join timing per rep = the
-                # slowest reader's scan
-                while True:
-                    time.sleep(0.05)
-                    if all(not p.is_alive() for p in procs):
-                        break  # last rep: queue drained below
-                    # readers block on the NEXT barrier once done; detect
-                    # by parties waiting (n_procs means all finished)
-                    if barrier.n_waiting == n_procs:
-                        break
+                # every reader posts a per-rep record the moment its
+                # scan finishes; the rep window closes when the LAST
+                # record arrives — teardown never leaks into the timing
+                recs = [q.get() for _ in range(n_procs)]
                 rep_rates.append(time.perf_counter() - t0)
-            results = [q.get() for _ in procs]
+                rep_bytes.append(sum(r[4] for r in recs))
             for p in procs:
                 p.join()
-            total_b = sum(sum(n for _, n in times) for _, times in results)
-            per_rep_b = total_b / REPS
-            corner = [round(per_rep_b / (1024 * 1024) / dt, 1) for dt in rep_rates]
+            corner = [
+                round(b / (1024 * 1024) / dt, 1)
+                for b, dt in zip(rep_bytes, rep_rates)
+            ]
             med = statistics.median(corner)
             matrix[f"{n_procs}p_x_{n_streams}s"] = med
             print(f"# read {n_procs} procs x {n_streams} streams: {med} MiB/s "

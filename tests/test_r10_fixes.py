@@ -831,7 +831,11 @@ def test_windowed_late_drop_semantics(spark):
     finalized = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") <= F.lit(
         mx
     ) - F.expr("INTERVAL 1 HOUR")
-    wm2 = ev.filter(lead).agg(F.max("ts")).collect()[0][0] - dt.timedelta(hours=1)
+    # the late filter lags one batch: its watermark comes from batch 1
+    # (the evens) only — NOT from the lead set (see the oracle comment)
+    wm2 = ev.filter(F.col("event_id") % 2 == 0).agg(F.max("ts")).collect()[0][
+        0
+    ] - dt.timedelta(hours=1)
     open_window = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") > F.lit(wm2)
     lead_fin = ev.filter(lead & finalized).count()
     late_kept_fin = ev.filter(~lead & open_window & finalized).count()
@@ -842,3 +846,61 @@ def test_windowed_late_drop_semantics(spark):
     # the watermark semantic this query exists to exercise)
     assert emitted == lead_fin + late_kept_fin, (emitted, lead_fin, late_kept_fin)
     assert late_dropped > 0 and emitted < total, (late_dropped, emitted, total)
+
+
+def test_late_filter_lags_one_batch(spark, tmp_path):
+    """The ONLY fixture that distinguishes the two watermark models
+    (Spark's two-watermark semantics, SPARK-40925): the advance batch
+    carries a timestamp two hours PAST the bulk batch's max, and a late
+    row lands in a window between the two candidate watermarks. Under
+    the (wrong) same-batch model the row is dropped; under Spark's
+    lagged late-filter it is KEPT and merged — the oracle encodes the
+    lagged model, so this pin is what keeps query and oracle honest if
+    Spark's semantics ever move."""
+    import datetime as dt
+    import os
+    import shutil
+    import uuid
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(h * 2 + 100, base + dt.timedelta(hours=h, minutes=5), 1) for h in range(10)]
+    rows.append((198, base + dt.timedelta(hours=10, minutes=30), 1))  # max(bulk)
+    rows.append((201, base + dt.timedelta(hours=12, minutes=30), 1))  # advance max
+    rows.append((203, base + dt.timedelta(hours=10, minutes=45), 7))  # the probe
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, cents long")
+    mx = base + dt.timedelta(hours=12, minutes=30)
+    cut = mx - dt.timedelta(hours=2)
+    advance = (F.col("event_id") % 4 == 1) & (F.col("ts") >= F.lit(cut))
+    batches = (
+        df.filter(F.col("event_id") % 2 == 0),
+        df.filter(advance),
+        df.filter((F.col("event_id") % 2 == 1) & ~advance),
+    )
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, b in enumerate(batches):
+        tmp = str(tmp_path / f"t{i}")
+        b.coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp, part), f"{in_dir}/b{i}.parquet")
+        os.utime(f"{in_dir}/b{i}.parquet", (1_000_000_000 + i * 1000,) * 2)
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    name = f"wmlag_{uuid.uuid4().hex[:6]}"
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .select(F.col("w.start").alias("hour"), "n", "cents")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r["hour"].replace(tzinfo=None): (r["n"], r["cents"])
+           for r in spark.table(name).collect()}
+    spark.catalog.dropTempView(name)
+    probe = base + dt.timedelta(hours=10)
+    # late probe KEPT (lagged filter: window end 11:00 > max(bulk)-1h=9:30)
+    assert got[probe] == (2, 8), got.get(probe)
+    # the advance row's own window (12:00) is NOT finalized (wm 11:30)
+    assert base + dt.timedelta(hours=12) not in got
