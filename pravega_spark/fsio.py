@@ -563,10 +563,13 @@ def release_lock(path: str, token: str) -> None:
 
 import threading as _threading
 
-_HELD_LOCKS: dict[str, list] = {}  # token -> [path, lease_ms, last_renew_monotonic]
+# token -> [path, lease_ms, last_renew_monotonic, renew_in_flight]
+_HELD_LOCKS: dict[str, list] = {}
 # built at import (the module import lock serializes it): a lazy
 # check-then-create here would itself race the first two lock holders
 _HELD_GUARD = _threading.Lock()
+# signals renew_in_flight -> False so _unregister_held can wait it out
+_HELD_COND = _threading.Condition(_HELD_GUARD)
 _RENEW_WAKE = _threading.Event()
 _RENEWER_STARTED = False
 
@@ -582,11 +585,16 @@ def _renew_loop():
     object-store roots a renew is a listing plus a PUT, and holding the
     guard across it would block every locked() acquisition and release
     in the process for the duration. The renew-vs-release race is
-    resolved by re-checking registration AFTER the renew: if the entry
-    vanished (released while we renewed), the renew may have
-    resurrected a freed lock file — undo it with a release_lock, which
-    is token-conditional and therefore cannot touch a lock a NEW holder
-    has since acquired.
+    resolved by ORDERING, not by undo (r11 ADVICE): each renew marks
+    its entry in-flight under the guard, and _unregister_held waits
+    that flag out before its caller's release_lock runs — so a renew's
+    read-check-write can never interleave with the release. (The old
+    post-renew "undo a resurrection" release was itself unsafe: on a
+    local root the resurrection write_json_atomic could clobber a NEW
+    holder's lock doc acquired between release and undo, and the
+    token-conditional undo then deleted the new holder's lock — a
+    double-holder window. The undo below survives only as a last-ditch
+    repair for the bounded-wait timeout path.)
     """
     import time as _time
 
@@ -599,6 +607,10 @@ def _renew_loop():
             p, lease, last = ent[0], ent[1], ent[2]
             if now - last < lease / 3000.0:
                 continue
+            with guard:
+                if _HELD_LOCKS.get(tok) is not ent:
+                    continue  # released since the snapshot: no I/O at all
+                ent[3] = True  # release of this token now waits for us
             try:
                 ok = renew_lock(p, tok, lease)
             except Exception:
@@ -613,11 +625,18 @@ def _renew_loop():
                 # False and deregisters below.
                 ok = None
             with guard:
+                ent[3] = False
+                _HELD_COND.notify_all()
                 still = _HELD_LOCKS.get(tok)
                 if still is not ent:
                     if still is None:
+                        # only reachable when _unregister_held gave up
+                        # waiting (bounded-wait timeout, i.e. this very
+                        # renew stalled for ~a lease on a sick backend)
+                        # and released anyway: undo a possible
+                        # resurrection by this renew's write
                         try:
-                            release_lock(p, tok)  # undo a resurrection
+                            release_lock(p, tok)
                         except Exception:
                             pass
                 elif ok:
@@ -660,7 +679,7 @@ def _register_held(token: str, path: str, lease_ms: int) -> None:
 
     guard = _held_guard()
     with guard:
-        _HELD_LOCKS[token] = [path, lease_ms, _time.monotonic()]
+        _HELD_LOCKS[token] = [path, lease_ms, _time.monotonic(), False]
         start = not _RENEWER_STARTED
         _RENEWER_STARTED = True
     _RENEW_WAKE.set()  # reset the renewer's sleep for this lease's budget
@@ -669,11 +688,28 @@ def _register_held(token: str, path: str, lease_ms: int) -> None:
 
 
 def _unregister_held(token: str) -> None:
-    with _HELD_GUARD:
+    """Deregister a lease and WAIT OUT any in-flight renew of it.
+
+    The caller's release_lock follows this call; letting it run while
+    the renewer is mid read-check-write on the same lock would let the
+    stale renew resurrect (local root: write_json_atomic clobbers; claim
+    root: open_output_stream re-creates the deleted claim) a lock a new
+    cross-process holder may have since acquired — the r11 ADVICE
+    double-holder window. Waiting here is cheap: the flag is set only
+    for the duration of one renew I/O, and only a release racing that
+    exact renew ever blocks. The wait is bounded (~one lease) so a hung
+    backend can't deadlock release; on timeout the renewer's post-renew
+    re-check (entry gone -> token-conditional release) is the fallback.
+    """
+    import time as _time
+
+    with _HELD_COND:
+        ent = _HELD_LOCKS.get(token)
+        if ent is not None:
+            deadline = _time.monotonic() + max(ent[1] / 1000.0, 5.0)
+            while ent[3] and _time.monotonic() < deadline:
+                _HELD_COND.wait(timeout=deadline - _time.monotonic())
         _HELD_LOCKS.pop(token, None)
-    # the caller's release_lock follows; if an in-flight renew (outside
-    # the guard) resurrects the lock file after that, the renewer's own
-    # post-renew re-check undoes it (see _renew_loop)
 
 
 def locked(path: str, lease_ms: int = 30_000, timeout_ms: int = 180_000):

@@ -877,6 +877,7 @@ class StreamStore:
             tbl = tbl.drop_columns(stale)
         path = self._stream_path(scope, stream)
         deadline = time.time() + RESERVATION_GRACE_MS / 1000.0 + 60.0
+        fences = 0  # read-repair force-expiries of THIS batch so far
         while True:
             # --- route (outside the lock; epoch validated under it) ---
             epoch = self.meta.active_epoch(scope, stream)
@@ -938,7 +939,9 @@ class StreamStore:
                     # a sealed one — which _reserve_locked rejects and
                     # we re-route against the fresh epoch.
                     try:
-                        res_id, bases = self._reserve_locked(doc, counts, writer_marker, txn_marker)
+                        res_id, bases = self._reserve_locked(
+                            doc, counts, writer_marker, txn_marker, attempt=fences
+                        )
                     except StreamSealedException:
                         retry = True
                         res_id = None
@@ -981,6 +984,7 @@ class StreamStore:
                         for rel in obsolete or ():
                             fsio.remove(fsio.join(path, rel))
                     retry = True
+                    fences += 1  # next reservation carries attempt=fences
                 else:
                     entries = {
                         sid: {"base": bases[sid], "n": wcounts[sid], "files": files}
@@ -1173,10 +1177,14 @@ class StreamStore:
         counts: dict[int, int],
         writer_marker: tuple[str, int] | None,
         txn_marker: str | None = None,
+        attempt: int = 0,
     ) -> tuple[str, dict[int, int]]:
         """Claim [reserved_tail, reserved_tail+n) per touched segment.
         Mutates ``doc``; the caller persists it (conditional write) and
         may then write payload files at these offsets WITHOUT the lock.
+        ``attempt`` counts prior read-repair fences of this same batch;
+        readers scale their force-expiry deadline by it (see
+        _stale_gap_blockers) so a slow-but-live writer converges.
         """
         res_id = uuid.uuid4().hex
         segs: dict[str, list[int]] = {}
@@ -1189,6 +1197,8 @@ class StreamStore:
                 raise StreamSealedException(f"segment {sid} is sealed")
             segs[sid_str] = [self._reserved_tail(doc, sid_str), int(n)]
         entry: dict = {"segs": segs, "ts": int(time.time() * 1000)}
+        if attempt:
+            entry["attempt"] = int(attempt)
         if writer_marker is not None:
             entry["writer"] = writer_marker[0]
         if txn_marker is not None:
@@ -1340,10 +1350,24 @@ class StreamStore:
             )
             absorbed: list[str] = []
             n_abs = 0
-            while waiting and waiting[0]["base"] == s["tail_offset"] + n_abs:
-                e = waiting.pop(0)
-                absorbed += e["files"]
-                n_abs += e["n"]
+            while waiting:
+                b = waiting[0]["base"]
+                if b == s["tail_offset"] + n_abs:
+                    e = waiting.pop(0)
+                    absorbed += e["files"]
+                    n_abs += e["n"]
+                elif b < s["tail_offset"] + n_abs:
+                    # corrupt-state repair (r11 ADVICE): a pending entry
+                    # strictly below the visible tail covers offsets that
+                    # are ALREADY visible — the reserve/publish protocol
+                    # never produces one, so absorbing it would double-
+                    # publish. Drop it (its files become unreferenced ->
+                    # fsck orphans); without this, _stranded_pending's
+                    # `min(base) <= tail` keeps firing and every read/
+                    # tail poll takes the commit lock without converging.
+                    waiting.pop(0)
+                else:
+                    break
             if waiting:
                 pend[sid_str] = waiting
             else:
@@ -1562,7 +1586,18 @@ class StreamStore:
                 continue  # contiguous — _stranded_pending handles it
             for rid, r in res.items():
                 seg = r["segs"].get(sid_str)
-                if seg is not None and seg[0] < emin and now - r["ts"] > dl:
+                # adaptive deadline (r11 ADVICE): a reservation whose
+                # writer was already force-expired N times carries
+                # attempt=N, and readers wait 2^N times longer before
+                # fencing again (capped at the reservation grace) — a
+                # LIVE writer whose payload writes legitimately exceed
+                # the flat deadline (large batches, slow object store)
+                # converges instead of being re-fenced on every attempt
+                # and burning a payload write per cycle.
+                eff = max(
+                    dl, min(dl << min(int(r.get("attempt", 0)), 5), RESERVATION_GRACE_MS)
+                )
+                if seg is not None and seg[0] < emin and now - r["ts"] > eff:
                     out.add(rid)
         return out
 

@@ -506,3 +506,68 @@ def test_reader_gap_repair_on_object_store(object_store, monkeypatch):
     assert [rows[o] for o in range(4, 7)] == [200, 201, 202]
     store.fsck_stream("s", "ev")
     assert store.fsck_stream("s", "ev") == []
+
+
+def test_truncate_then_reader_repair_on_object_store(object_store, monkeypatch):
+    """VERDICT r10 item 6, object-store twin of
+    test_truncate_at_gap_then_repair_no_resurrection: truncation at a
+    dead writer's gap base, then reader repair, then the zombie's retry
+    — head never regresses, B renumbers to [head, head+3), A lands
+    exactly once above it, all through the S3-semantics contract."""
+    import pravega_spark.store as store_mod
+    from pravega_spark.streamcut import StreamCut
+
+    handler, root = object_store
+    store = StreamStore(None, root)
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    store.append_events("s", "ev", [{"routing_key": "k", "v": i} for i in range(4)],
+                        writer_id="W0", batch_seq=0)
+
+    armed = {"on": True}
+    orig = StreamStore._write_hot_batch
+
+    def crashing(self, tbl, seg_arr, bases, path, tag):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("died mid-payload")
+        return orig(self, tbl, seg_arr, bases, path, tag)
+
+    monkeypatch.setattr(StreamStore, "_write_hot_batch", crashing)
+    monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 600_000)
+    with pytest.raises(RuntimeError):
+        store.append_events("s", "ev", [{"routing_key": "k", "v": 100 + i} for i in range(5)],
+                            writer_id="A", batch_seq=0)
+    store.append_events("s", "ev", [{"routing_key": "k", "v": 200 + i} for i in range(3)],
+                        writer_id="B", batch_seq=0)
+    assert dict(store.meta.tail_offsets("s", "ev")) == {0: 4}
+
+    store.truncate_stream("s", "ev", StreamCut.of({0: 4}))
+    doc = store.meta.segments_doc("s", "ev")
+    assert doc["segments"]["0"]["head_offset"] == 4
+    assert doc.get("pending") and doc.get("reservations")
+
+    monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 0)
+    assert store.tail_stream_cut("s", "ev").positions == {0: 7}
+    doc = store.meta.segments_doc("s", "ev")
+    assert doc["segments"]["0"]["head_offset"] == 4
+    assert not doc.get("reservations") and not doc.get("pending")
+
+    monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 600_000)
+    store.append_events("s", "ev", [{"routing_key": "k", "v": 100 + i} for i in range(5)],
+                        writer_id="A", batch_seq=0)
+    doc = store.meta.segments_doc("s", "ev")
+    assert doc["segments"]["0"]["head_offset"] == 4
+    assert doc["segments"]["0"]["tail_offset"] == 12
+
+    path = fsio.join(root, "streams", "s", "ev")
+    rows = {}
+    for rel in store.meta.segment_files("s", "ev", "0", doc["segments"]["0"]):
+        t = fsio.parquet_read_table(fsio.join(path, rel))
+        for v, off in zip(t["v"].to_pylist(), t["offset"].to_pylist()):
+            rows[off] = v
+    assert sorted(rows) == list(range(12))
+    assert [rows[o] for o in range(4, 7)] == [200, 201, 202]
+    assert [rows[o] for o in range(7, 12)] == [100, 101, 102, 103, 104]
+    store.fsck_stream("s", "ev")
+    assert store.fsck_stream("s", "ev") == []

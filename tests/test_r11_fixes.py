@@ -1,0 +1,283 @@
+"""Round-11 fixes.
+
+r11 ADVICE:
+- (medium) fsio renew-vs-release: a local-backend renew is a non-atomic
+  read-check-write; releasing while one is in flight let the stale renew
+  resurrect the lock over a NEW cross-process holder, and the renewer's
+  token-conditional undo then deleted the new holder's lock — a
+  double-holder window. Fixed by ordering: _unregister_held waits out
+  any in-flight renew of its token before release_lock runs.
+- (low) READ_REPAIR_DEADLINE_MS was a flat 2 s: a live writer whose
+  payload legitimately outlives it was force-expired on EVERY attempt.
+  Reservations now carry the writer's fence count and readers scale the
+  deadline 2^attempt (capped at the reservation grace).
+- (low) _stranded_pending fires on min(base) <= tail but absorption only
+  takes base == tail: a corrupt below-tail pending entry made every
+  read/tail poll take the commit lock forever. The repair now DROPS
+  below-tail entries (their files become fsck orphans) so it converges.
+
+VERDICT r10 item 6: the truncate × crash-repair seam — truncating at a
+dead-writer gap must repair-then-truncate without resurrecting dropped
+offsets or double-publishing (object-store twin in test_object_store).
+"""
+
+import json
+import threading
+import time
+
+import pytest
+
+import pravega_spark.fsio as fsio
+import pravega_spark.store as store_mod
+from pravega_spark.config import ScalingPolicy, StreamConfiguration
+from pravega_spark.store import StreamStore
+
+
+# ---------------- fsio: release waits out an in-flight renew ----------------
+
+
+def test_release_waits_out_inflight_renew(tmp_path, monkeypatch):
+    """Freeze a renew between its token check and its lock-doc write
+    (the exact window the ADVICE names), release the lock meanwhile,
+    and let a new holder acquire: the release must BLOCK until the
+    renew completes, so the stale renew can neither clobber nor — via
+    the renewer's undo path — delete the new holder's lock."""
+    path = str(tmp_path / "doc.lock")
+    in_renew = threading.Event()
+    resume = threading.Event()
+    real_write = fsio.write_json_atomic
+
+    def paused_write(p, doc):
+        if p == path and not in_renew.is_set():
+            in_renew.set()
+            resume.wait(10)
+        return real_write(p, doc)
+
+    token = fsio.acquire_lock(path, lease_ms=300, timeout_ms=2000)
+    monkeypatch.setattr(fsio, "write_json_atomic", paused_write)
+    fsio._register_held(token, path, 300)
+    try:
+        assert in_renew.wait(10), "renewer never attempted a renew"
+
+        released = threading.Event()
+
+        def releaser():
+            fsio._unregister_held(token)
+            fsio.release_lock(path, token)
+            released.set()
+
+        t = threading.Thread(target=releaser)
+        t.start()
+        time.sleep(0.2)
+        # the fix: release waits out the paused renew instead of racing it
+        assert not released.is_set(), "release ran while a renew was in flight"
+        resume.set()
+        assert released.wait(10)
+        t.join(10)
+
+        # a new cross-process holder acquires; the old renewer must never
+        # touch its lock (pre-fix: stale write clobbered the doc with the
+        # old token and the undo release then DELETED the new holder's lock)
+        monkeypatch.setattr(fsio, "write_json_atomic", real_write)
+        tok2 = fsio.acquire_lock(path, lease_ms=30_000, timeout_ms=2000)
+        time.sleep(0.4)  # give a buggy renewer time to do its damage
+        with open(path, "rb") as fh:
+            doc = json.loads(fh.read())
+        assert doc["token"] == tok2, "stale renew disturbed the new holder's lock"
+        fsio.release_lock(path, tok2)
+    finally:
+        resume.set()
+        fsio._unregister_held(token)
+
+
+def test_unregister_without_inflight_renew_is_immediate(tmp_path):
+    """The wait is scoped to an in-flight renew of the SAME token —
+    plain release never blocks."""
+    path = str(tmp_path / "d.lock")
+    token = fsio.acquire_lock(path, lease_ms=30_000, timeout_ms=2000)
+    fsio._register_held(token, path, 30_000)
+    t0 = time.monotonic()
+    fsio._unregister_held(token)
+    fsio.release_lock(path, token)
+    assert time.monotonic() - t0 < 1.0
+    assert not fsio.exists(path)
+
+
+# ---------------- adaptive read-repair deadline ----------------
+
+
+def _gap_doc(now_ms: int, age_ms: int, attempt: int) -> dict:
+    """A segment doc with one pending commit stuck behind one reservation
+    of the given age/attempt — the read-repair decision input."""
+    entry = {"segs": {"0": [10, 5]}, "ts": now_ms - age_ms}
+    if attempt:
+        entry["attempt"] = attempt
+    return {
+        "segments": {"0": {"sealed": False, "head_offset": 0,
+                           "tail_offset": 10, "event_count": 10}},
+        "pending": {"0": [{"base": 15, "n": 5, "files": []}]},
+        "reservations": {"r1": entry},
+    }
+
+
+def test_fenced_reservation_deadline_grows_exponentially():
+    now = int(time.time() * 1000)
+    dl = store_mod.READ_REPAIR_DEADLINE_MS  # 2000 default
+
+    # attempt 0: flat deadline — just past it is flagged
+    assert store_mod.StreamStore._stale_gap_blockers(_gap_doc(now, dl + 500, 0)) == {"r1"}
+    # attempt 2: the same age is now well inside the 4x-grown deadline
+    assert store_mod.StreamStore._stale_gap_blockers(_gap_doc(now, dl + 500, 2)) == set()
+    # ... but past 4x it is flagged again
+    assert store_mod.StreamStore._stale_gap_blockers(_gap_doc(now, 4 * dl + 500, 2)) == {"r1"}
+    # growth is capped at the reservation grace, so repair is never
+    # slower than the pre-r10 grace-based path
+    age = store_mod.RESERVATION_GRACE_MS + 500
+    assert store_mod.StreamStore._stale_gap_blockers(_gap_doc(now, age, 50)) == {"r1"}
+
+
+def test_fence_retry_carries_attempt(tmp_path, monkeypatch):
+    """E2E: a live writer fenced by a reader re-reserves with attempt=1
+    (so readers back off 2x) and still lands exactly once."""
+    root = str(tmp_path / "st")
+    store = StreamStore(None, root)
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    store.append_events("s", "ev", [{"routing_key": "k", "v": i} for i in range(4)],
+                        writer_id="W0", batch_seq=0)
+
+    peer = StreamStore(None, root)
+    orig = store._write_hot_batch  # bound: the peer's writes stay unpatched
+    calls = {"n": 0}
+    seen_attempts = []
+
+    def slow(tbl, seg_arr, bases, path, tag):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # while A "stalls" mid-payload: B pends above A's gap, then a
+            # tail poll with a zero deadline fences A and absorbs B
+            peer.append_events("s", "ev", [{"routing_key": "k", "v": 200 + i} for i in range(3)],
+                               writer_id="B", batch_seq=0)
+            monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 0)
+            assert peer.tail_stream_cut("s", "ev").positions == {0: 7}
+            # restore: the retry must not be instantly re-fenced
+            monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 600_000)
+        else:
+            res = store.meta.segments_doc("s", "ev").get("reservations", {})
+            seen_attempts.extend(r.get("attempt", 0) for r in res.values())
+        return orig(tbl, seg_arr, bases, path, tag)
+
+    monkeypatch.setattr(store, "_write_hot_batch", slow)
+    store.append_events("s", "ev", [{"routing_key": "k", "v": 100 + i} for i in range(5)],
+                        writer_id="A", batch_seq=0)
+    assert calls["n"] == 2  # fenced exactly once, then retried
+    assert seen_attempts == [1]  # the retry's reservation carried attempt=1
+    assert store.tail_stream_cut("s", "ev").positions == {0: 12}
+    doc = store.meta.segments_doc("s", "ev")
+    assert not doc.get("reservations") and not doc.get("pending")
+
+
+# ---------------- below-tail pending: repair converges ----------------
+
+
+@pytest.mark.parametrize("base,n", [(3, 2), (8, 5)])
+def test_below_tail_pending_drops_and_converges(tmp_path, monkeypatch, base, n):
+    """Inject the 'impossible' corrupt state the repair code exists for:
+    a pending entry fully (base=3,n=2) or partially (base=8,n=5) below
+    the visible tail of 10. One repair pass must DROP it — absorbing
+    would double-publish already-visible offsets — and the precheck must
+    then return False so reads stop taking the commit lock."""
+    root = str(tmp_path / "st")
+    store = StreamStore(None, root)
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    store.append_events("s", "ev", [{"routing_key": "k", "v": i} for i in range(10)],
+                        writer_id="W0", batch_seq=0)
+
+    doc = store.meta.segments_doc("s", "ev")
+    doc.setdefault("pending", {})["0"] = [{"base": base, "n": n, "files": []}]
+    store.meta.put_segments_doc("s", "ev", doc, expected_version=doc["version"])
+
+    # first poll repairs (drops the corrupt entry), tail unchanged
+    assert store.tail_stream_cut("s", "ev").positions == {0: 10}
+    doc2 = store.meta.segments_doc("s", "ev")
+    assert not doc2.get("pending")
+    # converged: the lockless precheck no longer fires
+    assert store._maybe_read_repair("s", "ev", doc2) is False
+
+
+# ---------------- truncate × crash-repair seam (VERDICT item 6) -------------
+
+
+def test_truncate_at_gap_then_repair_no_resurrection(tmp_path, monkeypatch):
+    """Dead writer A leaves a gap at the visible tail; B's commit pends
+    above it; the stream is truncated AT the gap base (== visible tail,
+    the highest cut truncate accepts). The later reader repair must
+    renumber B down INTO the gap — at/above the new head, so B stays
+    visible — while offsets below the head stay truncated, and A's
+    retry lands exactly once above B."""
+    root = str(tmp_path / "st")
+    store = StreamStore(None, root)
+    store.create_scope("s")
+    store.create_stream("s", "ev", StreamConfiguration(scaling=ScalingPolicy.fixed(1)))
+    store.append_events("s", "ev", [{"routing_key": "k", "v": i} for i in range(4)],
+                        writer_id="W0", batch_seq=0)
+
+    armed = {"on": True}
+    orig = StreamStore._write_hot_batch
+
+    def crashing(self, tbl, seg_arr, bases, path, tag):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("died mid-payload")
+        return orig(self, tbl, seg_arr, bases, path, tag)
+
+    monkeypatch.setattr(StreamStore, "_write_hot_batch", crashing)
+    monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 600_000)
+    with pytest.raises(RuntimeError):
+        store.append_events("s", "ev", [{"routing_key": "k", "v": 100 + i} for i in range(5)],
+                            writer_id="A", batch_seq=0)
+    store.append_events("s", "ev", [{"routing_key": "k", "v": 200 + i} for i in range(3)],
+                        writer_id="B", batch_seq=0)
+    assert store.meta.tail_offsets("s", "ev") == {0: 4}
+
+    # truncate AT the gap base; pending/reservations must survive the
+    # truncate's doc rewrite (put_segments swaps only the segments tree)
+    from pravega_spark.streamcut import StreamCut
+
+    store.truncate_stream("s", "ev", StreamCut.of({0: 4}))
+    doc = store.meta.segments_doc("s", "ev")
+    assert doc["segments"]["0"]["head_offset"] == 4
+    assert doc.get("pending") and doc.get("reservations")
+
+    # reader repair: B renumbers into [4,7) — at the head, fully visible
+    monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 0)
+    assert store.tail_stream_cut("s", "ev").positions == {0: 7}
+    doc = store.meta.segments_doc("s", "ev")
+    assert doc["segments"]["0"]["head_offset"] == 4  # truncation NOT undone
+    assert not doc.get("reservations") and not doc.get("pending")
+
+    # A's zombie retry: its marker never advanced, so the retry appends
+    # exactly once, ABOVE B — never into the truncated range
+    monkeypatch.setattr(store_mod, "READ_REPAIR_DEADLINE_MS", 600_000)
+    store.append_events("s", "ev", [{"routing_key": "k", "v": 100 + i} for i in range(5)],
+                        writer_id="A", batch_seq=0)
+    doc = store.meta.segments_doc("s", "ev")
+    assert doc["segments"]["0"]["head_offset"] == 4
+    assert doc["segments"]["0"]["tail_offset"] == 12
+
+    # physical readback: contiguous offsets, B then A above the head;
+    # nothing below the head was rewritten back into visibility
+    path = fsio.join(root, "streams", "s", "ev")
+    rows = {}
+    for rel in store.meta.segment_files("s", "ev", "0", doc["segments"]["0"]):
+        t = fsio.parquet_read_table(fsio.join(path, rel))
+        for v, off in zip(t["v"].to_pylist(), t["offset"].to_pylist()):
+            rows[off] = v
+    assert sorted(rows) == list(range(12))
+    visible = {o: v for o, v in rows.items() if o >= 4}
+    assert [visible[o] for o in range(4, 7)] == [200, 201, 202]
+    assert [visible[o] for o in range(7, 12)] == [100, 101, 102, 103, 104]
+    # truncated offsets keep W0's original rows until compaction drops
+    # them — repair never rewrote anything below the head
+    assert [rows[o] for o in range(0, 4)] == [0, 1, 2, 3]
