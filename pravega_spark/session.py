@@ -23,22 +23,40 @@ def get_spark(app_name: str = "pravega_spark", shuffle_partitions: int | None = 
     from spark-submit and these configs still apply.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    override = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if shuffle_partitions is None:
-        # default = cpus; override when the DATA outgrows the box (the
-        # sf100 spot-check: 600M-row joins at 32 reduce partitions hold
-        # ~19M rows each and spill — 256 took q18 from 198 s to 110 s
-        # and corpus_ngram_novelty from 514 s to 320 s ≈ linear). On a
-        # real cluster this is sized to keep post-shuffle partitions
-        # ~100-200 MB; AQE coalesces the excess back down.
-        shuffle_partitions = int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
-        )
+        # ``spark.sql.shuffle.partitions`` stays = cpus: it is what the
+        # NON-adaptive paths consume — Structured Streaming pins its
+        # state-store partitioning to this value at first checkpoint
+        # (AQE is disabled in stateful workloads), so growing it would
+        # both over-partition tiny micro-batches and break checkpoint
+        # compatibility across sessions.
+        shuffle_partitions = int(override) if override else cpus
+    # Reduce-side sizing is DATA-DRIVEN, not knob-driven (r10 sf100
+    # sweep: 600M-row joins at 32 reduce partitions held ~19M rows each
+    # and spilled — q18 198 s, ngram-novelty 514 s; at 256 both were
+    # linear per decade). Batch (AQE) shuffles start at a deliberately
+    # oversized initialPartitionNum and AQE coalesces neighbors back
+    # down to ~advisory bytes, so the post-shuffle partition size tracks
+    # the actual shuffled bytes of EACH query: small shuffles coalesce
+    # to ~cpus tasks (parallelismFirst), huge ones keep enough reduce
+    # tasks to stay in memory. Oversizing is safe (coalesce only
+    # merges); undersizing is not (AQE never splits a non-skew-join
+    # partition) — hence 32x cpus. On a 1000-executor cluster the same
+    # pattern holds with a proportionally larger initial count.
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS is demoted to an override of both.
+    initial_partitions = int(override) if override else max(1024, cpus * 32)
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_partitions),
+        )
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
