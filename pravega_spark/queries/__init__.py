@@ -35,6 +35,11 @@ _MODULES = (relational, stream_ops, text, similarity, multimodal)
 # Gate priority: least driver evidence first (rotated each round so every
 # registered query accumulates post-engine-churn driver rows).
 _GATE_ORDER = [
+    # -- new in round 11 (never gated): stream-batch equivalence of the
+    # -- composed daily pipeline (VERDICT r10 item 3) — same CTE oracle
+    # -- as the batch twin, so the driver's value hash IS the
+    # -- equivalence check
+    "pipeline_daily_corpus_streaming",
     # -- r11 rotation (VERDICT r10 item 2): the 46 SQL-oracled queries
     # -- past the r10 50-entry cap (latest driver rows r9, or never for
     # -- the four r10 late ops at the end of this block) — fronted so no
@@ -91,7 +96,6 @@ _GATE_ORDER = [
     "streamcut_bounded_read",
     "stream_fetch_event",
     "stream_tail_offsets",
-    "streaming_scale_epoch_read",
     # -- tail (past the 50-entry cap this round): every entry below has
     # -- a fresh r10 driver row, so nothing goes two rounds stale.
     # -- text_bpe_vocab_scale sits FIRST past-cap BY DESIGN (VERDICT r9
@@ -101,6 +105,7 @@ _GATE_ORDER = [
     # -- SQL-only gate record 50/50 green.
     # -- r12 rotation note: front this block next round ------------------
     "text_bpe_vocab_scale",
+    "streaming_scale_epoch_read",
     "pipeline_daily_corpus",
     "dedup_minhash_signatures",
     "embedding_near_dup",

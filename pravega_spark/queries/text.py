@@ -2541,42 +2541,10 @@ def _pd_novel_expr(orig: str, tag: int) -> str:
     )
 
 
-def pipeline_daily_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed daily training-data pipeline over a two-day fixture:
-    ingest → clean (token-count + stopword quality, PII scrub,
-    Gopher-style repetition) → MAINTAINED exact dedup (day-2 classifies
-    against the index day-1's survivors were appended to) → benchmark
-    decontamination → greedy token packing. Output: per-(day, lang)
-    funnel counts + packing stats, so the value hash pins every seam:
-    dedup input == clean output, decontam input == dedup survivors,
-    packer input == final survivors (n_final == packed doc tokens), and
-    day-2's `n_dup_increment` is nonzero ONLY because day-1's
-    maintenance append ran.
-
-    Seam semantics worth naming: the maintained index receives FINAL
-    survivors (post-decontamination) — the packer's rejects never enter
-    the index, so a day-2 re-crawl of a day-1 contaminated doc
-    classifies 'new' and then dies at decontamination again (pinned by
-    the fixture: re-crawl texts reproduce day-1 suffixes exactly).
-
-    100 TB shape: every stage is linear — clean is a map + one bigram
-    aggregation; dedup is an equi-join of the increment against the
-    bucketed standing index (zero corpus shuffle, same plan family as
-    corpus_dedup_incremental_maintained); decontam intersects against a
-    broadcast-size benchmark list; packing reuses the salted
-    running-sum window (per-task input bounded by stratum/G). Stage
-    outputs are persisted ONCE (cleaned / per-day classified frames) —
-    the index append and the funnel aggregation read the same
-    materialization, no stage-boundary recompute.
-
-    Reference parity: the chain mirrors PravegaTest.java's composed
-    system flow in shape; stages cite their own reference anchors."""
-    from pravega_spark.sources.bucketed import _source_fingerprint
-    from pravega_spark.sources.bucketing import append_bucketed_index
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-
-    # ---- ingest: two daily increments (deterministic in both engines)
+def _pd_ingest(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two deterministic daily increments (shared by the batch
+    pipeline and its streaming twin — stage semantics live HERE so the
+    two runs are the same plan driven two ways)."""
     d1 = (
         docs.filter(F.col("doc_id") % 4 == 1)
         .select(F.col("doc_id").alias("orig"), "lang", "text")
@@ -2602,9 +2570,15 @@ def pipeline_daily_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
     )
-    ingest = d1.unionByName(d2)
+    return d1, d2
 
-    # ---- clean: quality + PII + repetition in one persisted pass
+
+def _pd_clean(ingest: DataFrame) -> DataFrame:
+    """Clean stage: token-count + stopword quality, PII scrub, Gopher
+    top-bigram repetition, benchmark-shingle contamination flag. Pure
+    per-document (one bigram aggregation, no cross-doc state), so the
+    streaming twin can run it per micro-batch and land on identical
+    values."""
     tokd = ingest.select("day", "doc_id", "lang", "text", _tokens(F.col("text")).alias("w"))
     bgf = (
         tokd.filter(F.size("w") >= 2)
@@ -2622,7 +2596,7 @@ def pipeline_daily_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("c").alias("nbg"), F.max("c").alias("topc"))
     )
-    cleaned = (
+    return (
         tokd.join(bgf, "doc_id", "left")
         .select(
             "day", "doc_id", "lang", "text", "w",
@@ -2645,64 +2619,35 @@ def pipeline_daily_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(_SHINGLE_EXPR), F.array(*[F.lit(b) for b in _PD_BENCH])
             ),
         )
-        .persist()
     )
-    register_result_cache(cleaned)
 
-    # ---- maintained dedup: the standing bucketed fingerprint index
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    tbl = f"pvs_pdaily_v1_{_source_fingerprint(sf_dir, 'documents')}"
-    indexed = _ensure_bucketed_index(
-        spark, "pvs_pdaily_", tbl, lambda: _corpus_fingerprints(docs), ["fp"], 16,
-        source_path=src,
+
+def _pd_classify(cand_clean: DataFrame, index: DataFrame) -> DataFrame:
+    """Dedup-classify one day's CLEAN docs against the standing index
+    snapshot as of that day's start. "!= doc_id" drops only the doc's
+    OWN maintained entry (a rerun artifact — the namespaced ids make
+    any other equality impossible), so rerun classification matches the
+    first run."""
+    cand = cand_clean.withColumn("fp", F.md5("text"))
+    matched = (
+        cand.select("doc_id", "fp")
+        .join(index, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(F.col("corpus_doc") != F.col("doc_id"), F.col("corpus_doc"))
+            ).alias("matched_doc")
+        )
     )
-    base = spark.table(tbl) if indexed else _corpus_fingerprints(docs)
+    return cand.join(matched, "doc_id").withColumn(
+        "final", F.col("matched_doc").isNull() & ~F.col("contaminated")
+    )
 
-    def _classify(day_no: int, index: DataFrame) -> DataFrame:
-        cand = cleaned.filter((F.col("day") == day_no) & F.col("clean")).withColumn(
-            "fp", F.md5("text")
-        )
-        # "!= doc_id" drops only the doc's OWN maintained entry (a rerun
-        # artifact — the namespaced ids make any other equality
-        # impossible), so rerun classification matches the first run
-        matched = (
-            cand.select("doc_id", "fp")
-            .join(index, "fp", "left")
-            .groupBy("doc_id")
-            .agg(
-                F.min(
-                    F.when(F.col("corpus_doc") != F.col("doc_id"), F.col("corpus_doc"))
-                ).alias("matched_doc")
-            )
-        )
-        return (
-            cand.join(matched, "doc_id")
-            .withColumn(
-                "final", F.col("matched_doc").isNull() & ~F.col("contaminated")
-            )
-            .persist()
-        )
 
-    r1 = _classify(1, base)
-    register_result_cache(r1)
-    s1 = r1.filter("final").select(F.col("doc_id").alias("corpus_doc"), "fp")
-    if indexed:
-        # maintenance: day-1 FINAL survivors enter the standing index,
-        # bucket-aligned, exactly-once (the _PVS_APPLIED marker makes a
-        # rerun a no-op — same pin family as tests/test_r9_fixes.py)
-        append_bucketed_index(spark, tbl, s1, ["fp"], 16, increment_id="pipe_day1")
-        maintained = spark.table(tbl)
-    else:
-        maintained = base.unionByName(s1)
-
-    r2 = _classify(2, maintained)
-    register_result_cache(r2)
-    if indexed:
-        s2 = r2.filter("final").select(F.col("doc_id").alias("corpus_doc"), "fp")
-        append_bucketed_index(spark, tbl, s2, ["fp"], 16, increment_id="pipe_day2")
-
-    # ---- funnel + decontamination + packing over the persisted stages
-    res = r1.unionByName(r2)
+def _pd_funnel(cleaned: DataFrame, res: DataFrame) -> DataFrame:
+    """Funnel + packing rollup over the staged pipeline outputs:
+    ``cleaned`` is every ingested doc with its clean flag, ``res`` every
+    CLEAN doc with its classification (matched_doc/final)."""
     one = F.lit(1)
     dupagg = res.groupBy("day", "lang").agg(
         F.sum(F.when(F.col("matched_doc") >= _PD_OFF1, one).otherwise(0))
@@ -2741,7 +2686,7 @@ def pipeline_daily_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("packed_tokens"),
     )
     zero = F.lit(0).cast("bigint")
-    out = (
+    return (
         ing.join(dupagg, ["day", "lang"], "left")
         .join(packagg, ["day", "lang"], "left")
         .select(
@@ -2759,7 +2704,221 @@ def pipeline_daily_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "lang")
     )
-    return register_result_cache(out)
+
+
+def pipeline_daily_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed daily training-data pipeline over a two-day fixture:
+    ingest → clean (token-count + stopword quality, PII scrub,
+    Gopher-style repetition) → MAINTAINED exact dedup (day-2 classifies
+    against the index day-1's survivors were appended to) → benchmark
+    decontamination → greedy token packing. Output: per-(day, lang)
+    funnel counts + packing stats, so the value hash pins every seam:
+    dedup input == clean output, decontam input == dedup survivors,
+    packer input == final survivors (n_final == packed doc tokens), and
+    day-2's `n_dup_increment` is nonzero ONLY because day-1's
+    maintenance append ran.
+
+    Seam semantics worth naming: the maintained index receives FINAL
+    survivors (post-decontamination) — the packer's rejects never enter
+    the index, so a day-2 re-crawl of a day-1 contaminated doc
+    classifies 'new' and then dies at decontamination again (pinned by
+    the fixture: re-crawl texts reproduce day-1 suffixes exactly).
+
+    100 TB shape: every stage is linear — clean is a map + one bigram
+    aggregation; dedup is an equi-join of the increment against the
+    bucketed standing index (zero corpus shuffle, same plan family as
+    corpus_dedup_incremental_maintained); decontam intersects against a
+    broadcast-size benchmark list; packing reuses the salted
+    running-sum window (per-task input bounded by stratum/G). Stage
+    outputs are persisted ONCE (cleaned / per-day classified frames) —
+    the index append and the funnel aggregation read the same
+    materialization, no stage-boundary recompute.
+
+    Reference parity: the chain mirrors PravegaTest.java's composed
+    system flow in shape; stages cite their own reference anchors."""
+    from pravega_spark.sources.bucketed import _source_fingerprint
+    from pravega_spark.sources.bucketing import append_bucketed_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d1, d2 = _pd_ingest(docs)
+    ingest = d1.unionByName(d2)
+
+    # ---- clean: quality + PII + repetition in one persisted pass
+    cleaned = _pd_clean(ingest).persist()
+    register_result_cache(cleaned)
+
+    # ---- maintained dedup: the standing bucketed fingerprint index
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    tbl = f"pvs_pdaily_v1_{_source_fingerprint(sf_dir, 'documents')}"
+    indexed = _ensure_bucketed_index(
+        spark, "pvs_pdaily_", tbl, lambda: _corpus_fingerprints(docs), ["fp"], 16,
+        source_path=src,
+    )
+    base = spark.table(tbl) if indexed else _corpus_fingerprints(docs)
+
+    def _classify(day_no: int, index: DataFrame) -> DataFrame:
+        return _pd_classify(
+            cleaned.filter((F.col("day") == day_no) & F.col("clean")), index
+        ).persist()
+
+    r1 = _classify(1, base)
+    register_result_cache(r1)
+    s1 = r1.filter("final").select(F.col("doc_id").alias("corpus_doc"), "fp")
+    if indexed:
+        # maintenance: day-1 FINAL survivors enter the standing index,
+        # bucket-aligned, exactly-once (the _PVS_APPLIED marker makes a
+        # rerun a no-op — same pin family as tests/test_r9_fixes.py)
+        append_bucketed_index(spark, tbl, s1, ["fp"], 16, increment_id="pipe_day1")
+        maintained = spark.table(tbl)
+    else:
+        maintained = base.unionByName(s1)
+
+    r2 = _classify(2, maintained)
+    register_result_cache(r2)
+    if indexed:
+        s2 = r2.filter("final").select(F.col("doc_id").alias("corpus_doc"), "fp")
+        append_bucketed_index(spark, tbl, s2, ["fp"], 16, increment_id="pipe_day2")
+
+    # ---- funnel + decontamination + packing over the persisted stages
+    return register_result_cache(_pd_funnel(cleaned, r1.unionByName(r2)))
+
+
+def pipeline_daily_corpus_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-batch equivalence for the composed daily pipeline
+    (VERDICT r10 item 3; reference test/system/.../PravegaTest.java —
+    the reference's system test drives the same flow CONTINUOUSLY:
+    write → scale → read live, not as a day-end batch): the exact
+    ``pipeline_daily_corpus`` chain driven through the engine's OWN
+    streaming plane. The two daily increments are written as events
+    into an engine stream and drained by a ReaderGroup across THREE
+    real triggers (day 1 split over two drains, day 2 in the third);
+    every micro-batch runs the shared clean + classify stages against
+    the standing index snapshot and stages its classified rows to
+    parquet (batch-id-keyed overwrite = retry-safe); the maintained
+    index receives a day's FINAL survivors when that day completes
+    (first trigger that sees the next day rolls the previous one over
+    — exactly-once via the _PVS_APPLIED increment markers, ids
+    ``pipes_day1``/``pipes_day2``). The funnel/packing rollup over the
+    staged outputs must then land on the SAME values as the batch run:
+    the oracle is the identical CTE, so the driver's value hash IS the
+    stream-batch equivalence check (and tests/test_r11_fixes pins
+    streaming == batch frame-exact directly).
+
+    Why day-boundary (not per-trigger) index appends: the batch
+    semantics classify ALL of a day against the index as of that day's
+    START — appending mid-day would let a later trigger match an
+    earlier trigger's survivors and the two runs would diverge on any
+    within-day duplicate. The rollover trigger is still a real
+    maintained-index increment per trigger-that-completes-a-day.
+
+    100 TB shape: identical to the batch pipeline per stage (clean is
+    per-doc, classify joins each increment against the bucketed
+    standing index with zero corpus shuffle); the streaming layer adds
+    only the engine source's per-trigger transfer and one parquet
+    stage write per micro-batch."""
+    import shutil
+    import tempfile
+
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+    from pravega_spark.sources.bucketed import _source_fingerprint
+    from pravega_spark.sources.bucketing import append_bucketed_index
+    from pravega_spark.store import StreamStore
+    from pravega_spark.streaming import ReaderGroup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d1, d2 = _pd_ingest(docs)
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    tbl = f"pvs_pdailys_v1_{_source_fingerprint(sf_dir, 'documents')}"
+    indexed = _ensure_bucketed_index(
+        spark, "pvs_pdailys_", tbl, lambda: _corpus_fingerprints(docs), ["fp"], 16,
+        source_path=src,
+    )
+    # degraded (warehouse-unwritable) twin: the day-start snapshot is a
+    # plain frame grown at each rollover, mirroring the batch fallback
+    fallback = {"idx": None if indexed else _corpus_fingerprints(docs)}
+
+    scratch = tempfile.mkdtemp(prefix="pvs_pdaily_stream_")
+    try:
+        store = StreamStore(spark, f"{scratch}/store")
+        store.create_scope("q")
+        store.create_stream(
+            "q", "docs", StreamConfiguration(scaling=ScalingPolicy.fixed(2))
+        )
+
+        def _env(df):
+            return df.select(
+                F.col("doc_id").cast("string").alias("routing_key"),
+                F.to_timestamp(
+                    F.concat(F.lit("2024-01-0"), F.col("day").cast("string"))
+                ).alias("event_time"),
+                F.to_json(F.struct("day", "doc_id", "lang", "text"))
+                .cast("binary").alias("payload"),
+            )
+
+        stage_dir = f"{scratch}/stages"
+        payload_schema = "day INT, doc_id BIGINT, lang STRING, text STRING"
+        state = {"day": None, "batches": 0}
+
+        def _staged():
+            return spark.read.option("recursiveFileLookup", "true").parquet(stage_dir)
+
+        def _rollover(day_no: int) -> None:
+            surv = (
+                _staged()
+                .filter((F.col("day") == day_no) & F.col("final"))
+                .select(F.col("doc_id").alias("corpus_doc"), "fp")
+            )
+            if indexed:
+                append_bucketed_index(
+                    spark, tbl, surv, ["fp"], 16, increment_id=f"pipes_day{day_no}"
+                )
+            else:
+                fallback["idx"] = fallback["idx"].unionByName(surv.localCheckpoint())
+
+        def handle(batch_df, bid):
+            state["batches"] += 1
+            rows = batch_df.select(
+                F.from_json(F.col("payload").cast("string"), payload_schema).alias("j")
+            ).select("j.*")
+            days = sorted(r[0] for r in rows.select("day").distinct().collect())
+            for day_no in days:
+                if state["day"] is not None and day_no > state["day"]:
+                    _rollover(state["day"])  # previous day completed
+                if state["day"] is None or day_no > state["day"]:
+                    state["day"] = day_no
+                cleaned = _pd_clean(rows.filter(F.col("day") == day_no)).persist()
+                index = spark.table(tbl) if indexed else fallback["idx"]
+                classified = _pd_classify(cleaned.filter("clean"), index)
+                out = cleaned.drop("w").join(
+                    classified.select("doc_id", "fp", "matched_doc", "final"),
+                    "doc_id", "left",
+                )
+                out.write.mode("overwrite").parquet(f"{stage_dir}/b{bid}_d{day_no}")
+                cleaned.unpersist()
+
+        rg = ReaderGroup(store, "q", "docs", "rg_pdaily")
+        # three REAL triggers: day 1 split across two drains, then day 2
+        # (day-1 ids are all ≡ 1 mod 4 — the namespace offset is a
+        # multiple of 4 — so the halving key is mod 8: {1} vs {5})
+        store.write_events("q", "docs", _env(d1.filter(F.col("doc_id") % 8 == 1)))
+        rg.drain(handle)
+        store.write_events("q", "docs", _env(d1.filter(F.col("doc_id") % 8 == 5)))
+        rg.drain(handle)
+        store.write_events("q", "docs", _env(d2))
+        rg.drain(handle)
+        if state["batches"] < 3:
+            raise AssertionError(
+                f"streaming run produced {state['batches']} triggers, expected >= 3"
+            )
+        _rollover(state["day"])  # day-2 maintenance (mirrors the batch)
+
+        staged = _staged().persist()
+        out = _pd_funnel(staged, staged.filter("clean")).localCheckpoint()
+        staged.unpersist()
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _pd_novel_duck(orig: str, tag: int) -> str:
@@ -3028,6 +3187,7 @@ ORDER BY d.lang
 
 QUERIES = {
     "pipeline_daily_corpus": pipeline_daily_corpus,
+    "pipeline_daily_corpus_streaming": pipeline_daily_corpus_streaming,
     "corpus_ngram_novelty": corpus_ngram_novelty,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_topgram": text_repetition_topgram,
@@ -3059,6 +3219,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_daily_corpus": PIPELINE_DAILY_SQL,
+    "pipeline_daily_corpus_streaming": PIPELINE_DAILY_SQL,
     "corpus_ngram_novelty": NGRAM_NOVELTY_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
     "text_repetition_topgram": REPETITION_SQL,

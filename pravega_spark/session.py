@@ -57,6 +57,12 @@ def get_spark(app_name: str = "pravega_spark", shuffle_partitions: int | None = 
             str(initial_partitions),
         )
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))
+        # without this, the plan fragment that POPULATES a .persist()
+        # cache runs with AQE partition coalescing disabled (Spark keeps
+        # cached output partitioning stable by default) — at a 1024-wide
+        # initialPartitionNum every persisted stage would execute all
+        # 1024 reduce tasks regardless of data size
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -281,3 +281,24 @@ def test_truncate_at_gap_then_repair_no_resurrection(tmp_path, monkeypatch):
     # truncated offsets keep W0's original rows until compaction drops
     # them — repair never rewrote anything below the head
     assert [rows[o] for o in range(0, 4)] == [0, 1, 2, 3]
+
+
+# ---------------- stream-batch equivalence (VERDICT item 3) ----------------
+
+
+def test_streaming_daily_pipeline_equals_batch(spark):
+    """The composed daily pipeline driven through the engine's own
+    streaming plane (3 real triggers, day-boundary maintained-index
+    increments) must land on the BATCH run's exact final frame — the
+    stream-batch equivalence the reference's continuous system test
+    shape implies (test/system/.../PravegaTest.java)."""
+    from pravega_spark.queries.text import (
+        pipeline_daily_corpus,
+        pipeline_daily_corpus_streaming,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = [r.asDict() for r in pipeline_daily_corpus(spark, sf).collect()]
+    streamed = [r.asDict() for r in pipeline_daily_corpus_streaming(spark, sf).collect()]
+    assert len(batch) > 0
+    assert streamed == batch
