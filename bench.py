@@ -301,6 +301,81 @@ def _bench_write_latency(spark, sf_dir: str, n_batches: int = 20) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_txn_commit(spark) -> dict:
+    """Transactional write mode (X1; the reference's second write path —
+    CommitRequestHandler.java:361 merges txn shadow segments into the
+    stream on commit): stage 100 KiB events through
+    Transaction.write_events (shadow staging parquet), then time
+    commit() — the atomic merge that flips everything visible at once.
+
+    Reported next to the hot-append numbers at the SAME event size so
+    the overhead is explicit: staging pays a Spark write job per part
+    (the hot path is driver-side pyarrow), and commit pays a re-read +
+    routed merge of all staged parts plus the manifest flip. Commit-to-
+    visible is ONE atomic transition per txn regardless of size — its
+    latency is the price of txn atomicity, not a per-event cost."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pravega_spark.config import ScalingPolicy, StreamConfiguration
+    from pravega_spark.store import StreamStore
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="pvs_txnbench_")
+    try:
+        store = StreamStore(spark, root)
+        store.create_scope("bench")
+        payload = _os.urandom(100 * 1024)
+        n_parts, per_part = 4, 125  # 4 staged parts x 12.2 MiB = 48.8 MiB/txn
+        mib = n_parts * per_part * 100 / 1024
+        base = spark.createDataFrame(
+            [(f"k{i % 10}", bytearray(payload)) for i in range(per_part)],
+            "routing_key string, payload binary",
+        ).withColumn("event_time", F.current_timestamp()).cache()
+        base.count()  # materialize outside the timed region
+
+        stage_s, commit_ms = [], []
+        for rep in range(5):
+            stream = f"txn{rep}"
+            store.create_stream(
+                "bench", stream, StreamConfiguration(scaling=ScalingPolicy.fixed(10))
+            )
+            txn = store.begin_txn("bench", stream)
+            t0 = time.perf_counter()
+            for _ in range(n_parts):
+                txn.write_events(base)
+            t1 = time.perf_counter()
+            txn.commit()
+            t2 = time.perf_counter()
+            # the commit IS the visibility flip — verify, don't trust
+            total = sum(store.meta.tail_offsets("bench", stream).values())
+            assert total == n_parts * per_part, total
+            stage_s.append(t1 - t0)
+            commit_ms.append((t2 - t1) * 1000)
+        base.unpersist()
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        cs = sorted(commit_ms)
+        out = {
+            "staged_mib": round(mib, 1),
+            "parts_per_txn": n_parts,
+            "event_bytes": 100 * 1024,
+            # end-to-end staged-commit throughput: bytes / (stage+commit)
+            "txn_commit_mib_per_s": round(
+                mib / (med(stage_s) + med(commit_ms) / 1000), 1
+            ),
+            "stage_mib_per_s": round(mib / med(stage_s), 1),
+            "commit_p50_ms": round(cs[len(cs) // 2], 1),
+            "commit_p99_ms": round(cs[-1], 1),  # max of 5 reps
+            "commit_to_visible_mib_per_s": round(mib / (med(commit_ms) / 1000), 1),
+        }
+        print(f"# txn_commit: {out} (stage reps {[round(s, 2) for s in stage_s]}s, "
+              f"commit reps {[round(c) for c in commit_ms]}ms)", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _bench_streaming_roundtrip(spark, sf_dir: str) -> float:
     """Streaming-plane round trip: events → stream → ``pravega_stream``
     source (Python data source, Arrow-batched) → exactly-once sink →
@@ -606,6 +681,12 @@ def main() -> None:
     except Exception as e:
         errors["stream_write_events"] = _err_str(e)
         print(f"# stream_write_events: ERROR {errors['stream_write_events']}", file=sys.stderr)
+    txn: dict = {}
+    try:
+        txn = _bench_txn_commit(spark)
+    except Exception as e:
+        errors["txn_commit"] = _err_str(e)
+        print(f"# txn_commit: ERROR {errors['txn_commit']}", file=sys.stderr)
 
     # settle the JVM before the query loop: the write benches leave GC
     # debt + page-cache pressure that otherwise taxes query timings 2-4x
@@ -709,6 +790,7 @@ def main() -> None:
         "queries": timings,
         "query_reps": rep_times,
         "write_latency": latency,
+        "txn_commit": txn,
         "streaming_steady_state": steady,
         "kvt_compaction": kvtc,
         "sf": sf_val,
@@ -757,6 +839,9 @@ def main() -> None:
             if isinstance(latency, dict)
             else None
         ),
+        "txn_commit_mib_per_s": txn.get("txn_commit_mib_per_s") if isinstance(txn, dict) else None,
+        "txn_commit_p50_ms": txn.get("commit_p50_ms") if isinstance(txn, dict) else None,
+        "txn_commit_p99_ms": txn.get("commit_p99_ms") if isinstance(txn, dict) else None,
         "streaming_roundtrip_s": timings.get("streaming_roundtrip"),
         "streaming_steady_state_ev_per_s": (
             steady.get("ev_per_s") if isinstance(steady, dict) else None
