@@ -40,6 +40,13 @@ _GATE_ORDER = [
     # -- as the batch twin, so the driver's value hash IS the
     # -- equivalence check
     "pipeline_daily_corpus_streaming",
+    # -- new in round 11 (never gated): duplicate-span removal audit
+    # -- (ExactSubstr dedup at span grain), leakage-safe split
+    # -- (cluster-granular train/val/test), spherical k-means
+    # -- refinement — all SQL-oracled
+    "corpus_duplicate_spans",
+    "corpus_leakage_safe_split",
+    "similarity_kmeans_refine",
     # -- r11 rotation (VERDICT r10 item 2): the 46 SQL-oracled queries
     # -- past the r10 50-entry cap (latest driver rows r9, or never for
     # -- the four r10 late ops at the end of this block) — fronted so no
@@ -90,14 +97,11 @@ _GATE_ORDER = [
     "corpus_ngram_novelty",
     "similarity_knn_graph",
     "streaming_windowed_late_drop",
-    # -- r11-churned keeps (r10 rows): the truncate×repair seam work and
-    # -- the adaptive read-repair deadline touch the batch-read/tail-poll
-    # -- path these exercise end-to-end ----------------------------------
-    "streamcut_bounded_read",
-    "stream_fetch_event",
-    "stream_tail_offsets",
     # -- tail (past the 50-entry cap this round): every entry below has
-    # -- a fresh r10 driver row, so nothing goes two rounds stale.
+    # -- a fresh r10 driver row, so nothing goes two rounds stale (the
+    # -- three read-path entries right below slid past-cap to make room
+    # -- for the three never-gated r11 ops above; their r10 rows are one
+    # -- round old and check_parity re-verifies them each round).
     # -- text_bpe_vocab_scale sits FIRST past-cap BY DESIGN (VERDICT r9
     # -- item 2 / r10 item 2): its oracle is pure Python
     # -- (queries/py_oracles.py, judged via check_parity's
@@ -105,6 +109,9 @@ _GATE_ORDER = [
     # -- SQL-only gate record 50/50 green.
     # -- r12 rotation note: front this block next round ------------------
     "text_bpe_vocab_scale",
+    "streamcut_bounded_read",
+    "stream_fetch_event",
+    "stream_tail_offsets",
     "streaming_scale_epoch_read",
     "pipeline_daily_corpus",
     "dedup_minhash_signatures",

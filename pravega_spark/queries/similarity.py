@@ -695,6 +695,164 @@ ORDER BY src, rk
 """
 
 
+# --------------------------------------------- k-means refinement (r11)
+_KM_ITERS = 2  # unrolled Lloyd iterations (the oracle unrolls the same 2)
+
+
+def _km_literal(cents: list[tuple[int, list[float]]]):
+    """The collected (cluster, centroid) list as ONE literal array-of-
+    structs column — assignment against it is a per-row codegen
+    expression, cheaper than even a broadcast join (no build side)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cl)).alias("cl"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cl, vec in cents
+        ]
+    )
+
+
+def _km_assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """argmax-cosine assignment vs literal centroids: best = array_max
+    over (rounded cosine, -cluster) structs — lexicographic struct
+    ordering IS the (cosine DESC, cluster ASC) tie-break the oracle's
+    row_number uses."""
+    from pravega_spark.functions.vectors import cosine as v_cosine
+
+    scored = F.transform(
+        _km_literal(cents),
+        lambda s: F.struct(
+            F.round(v_cosine(F.col("embedding"), s["cv"]), 6).alias("cos"),
+            (-s["cl"]).alias("ncl"),
+        ),
+    )
+    best = F.array_max(scored)
+    return df.withColumn("cluster", (-best["ncl"]).cast("bigint")).withColumn(
+        "cos", best["cos"]
+    )
+
+
+def _km_centroids(df: DataFrame, by: str) -> list[tuple[int, list[float]]]:
+    """Positional-explode mean per cluster, ROUNDED to 6 dp — the
+    rounding is what makes the next iteration's assignments identical
+    across engines (raw avg doubles differ in summation order). The
+    k×dim result is driver-collected: the canonical Lloyd sync point,
+    kilobytes at any corpus scale."""
+    rows = (
+        df.select(by, F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(by, "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .groupBy(by)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    return sorted((r[0], list(r["centroid"])) for r in rows)
+
+
+def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embeddings (2 Lloyd iterations from
+    the label-centroid init): the clustering pass a curation pipeline
+    runs to balance/cap a training mix by semantic region, and the
+    refinement that turns the IVF coarse quantizer's metadata cells
+    (``_ivf_quantizer`` inherits labels as-is) into data-driven ones.
+
+    Per final cluster: member count, members whose assignment moved off
+    their initial label, and mean member-to-centroid cosine (the
+    spherical-k-means objective; its rise across iterations is the
+    convergence signal).
+
+    Scale shape: assignment is a PER-ROW codegen expression against the
+    k×dim centroid literal — the corpus never shuffles and there is no
+    join, not even a broadcast build side; each recompute is one
+    positional-explode aggregation that map-side-combines to k×dim rows
+    before its (tiny) shuffle. Between iterations the k×dim centroids
+    sync through the driver — the canonical Lloyd sync point, kB-sized
+    at any corpus scale. Total: 2 linear corpus passes + 1 linear
+    explode pass; iteration count is a constant, not data-dependent.
+    Determinism contract: centroid components and cosines round to 6 dp
+    at every iteration boundary, so both engines compute identical
+    assignments (summation-order noise cannot accumulate across
+    iterations); ties break toward the smaller cluster id in both.
+
+    Reference parity: no analogue in pravega (stream store); pipeline
+    tooling per the build brief (spherical k-means per Dhillon & Modha
+    2001; the curation use is the SemDeDup/doc-cluster-balance shape).
+
+    Empty-cluster contract: a cell that loses all members mid-iteration
+    simply stops existing (both engines drop it from the avg); the
+    label-centroid init over non-degenerate data keeps k stable here."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    c0 = _km_centroids(emb, "label")
+    a = _km_assign(emb, c0)
+    for _ in range(_KM_ITERS - 1):
+        c1 = _km_centroids(a, "cluster")
+        a = _km_assign(a.drop("cluster", "cos"), c1)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(F.when(F.col("cluster") != F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved"),
+            F.round(F.avg("cos"), 6).alias("avg_cos"),
+        )
+        .orderBy("cluster")
+    )
+
+
+KMEANS_REFINE_SQL = """
+WITH vals AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent0 AS (
+  SELECT label AS cl, pos, round(avg(v), 6) AS c FROM vals GROUP BY label, pos
+),
+cos1 AS (
+  SELECT v.vec_id, c.cl,
+         round(sum(v.v * c.c) / sqrt(sum(v.v * v.v) * sum(c.c * c.c)), 6) AS cos
+  FROM vals v JOIN cent0 c USING (pos) GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cl AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rk
+    FROM cos1
+  ) WHERE rk = 1
+),
+cent1 AS (
+  SELECT a1.cluster AS cl, v.pos, round(avg(v.v), 6) AS c
+  FROM vals v JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+cos2 AS (
+  SELECT v.vec_id, c.cl,
+         round(sum(v.v * c.c) / sqrt(sum(v.v * v.v) * sum(c.c * c.c)), 6) AS cos
+  FROM vals v JOIN cent1 c USING (pos) GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cl AS cluster, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rk
+    FROM cos2
+  ) WHERE rk = 1
+)
+SELECT a2.cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN a2.cluster != e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       round(avg(a2.cos), 6) AS avg_cos
+FROM a2 JOIN embeddings e USING (vec_id)
+GROUP BY a2.cluster
+ORDER BY a2.cluster
+"""
+
+
 # --------------------------------------- maintained ANN index loop (r9)
 _DAY1_VID_OFFSET = 10_000_000
 _ANN_THRESHOLD = 0.9
@@ -965,6 +1123,7 @@ QUERIES = {
     "similarity_ivf_search": similarity_ivf_search,
     "similarity_ann_recall": similarity_ann_recall,
     "similarity_knn_graph": similarity_knn_graph,
+    "similarity_kmeans_refine": similarity_kmeans_refine,
     "similarity_incremental_maintained": similarity_incremental_maintained,
     "embedding_near_dup": embedding_near_dup,
 }
@@ -972,6 +1131,7 @@ QUERIES = {
 ORACLES = {
     "similarity_ann_recall": ANN_RECALL_SQL,
     "similarity_knn_graph": KNN_GRAPH_SQL,
+    "similarity_kmeans_refine": KMEANS_REFINE_SQL,
     "similarity_incremental_maintained": ANN_MAINTAINED_SQL,
     "similarity_topk_bruteforce": TOPK_SQL,
     "similarity_lsh_bucketed": LSH_TOPK_SQL,

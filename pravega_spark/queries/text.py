@@ -3185,10 +3185,315 @@ ORDER BY d.lang
 """
 
 
+# --------------------------------------- duplicate-span removal (r11)
+# Lee et al. 2022 (arXiv:2107.06499) ExactSubstr dedup, re-expressed for
+# Spark: instead of a suffix array (single-machine, needs the corpus in
+# one address space), flag every k-token shingle whose verbatim text
+# occurs >= 2 times ANYWHERE in the corpus (with multiplicity — intra-
+# document repeats count, as in the paper), then merge each document's
+# flagged [pos, pos+k-1] windows into maximal spans. The span list is
+# what a removal pass would cut; we emit the per-language audit of it.
+_SPAN_N = _NOV_N  # same 8-token granularity as the novelty audit
+
+
+def _span_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ PARTIAL copies of every 10th doc (doc_id+1M): the
+    copy keeps tokens 1-13 and 30-42 verbatim, each region followed by
+    8 copy-unique filler tokens, so the corpus deterministically
+    contains TWO disjoint duplicated spans per pair (the merge logic
+    sees real islands, not all-or-nothing coverage; docs shorter than
+    30 tokens contribute just the prefix span). Filler tokens embed the
+    source doc_id so fillers never collide across copies (a shared
+    filler would itself become a duplicated span)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = _tokens(F.col("text"))
+    ids = F.col("doc_id").cast("string")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.slice(w, 1, 13)),
+            *[F.concat(F.lit(f"zt{i}"), ids) for i in "abcdefgh"],
+            F.concat_ws(" ", F.slice(w, 30, 13)),
+            *[F.concat(F.lit(f"zu{i}"), ids) for i in "abcdefgh"],
+        ).alias("text"),
+    )
+    return docs.unionByName(dup)
+
+
+# concat_ws both skips the empty mid-slice for short docs and never
+# double-spaces, so the two engines build the identical token sequence
+_SPAN_POOL_SQL = """
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang,
+         concat_ws(' ',
+           array_to_string(string_split_regex(trim(text), ' +')[1:13], ' '),
+           'zta' || doc_id, 'ztb' || doc_id, 'ztc' || doc_id, 'ztd' || doc_id,
+           'zte' || doc_id, 'ztf' || doc_id, 'ztg' || doc_id, 'zth' || doc_id,
+           array_to_string(string_split_regex(trim(text), ' +')[30:42], ' '),
+           'zua' || doc_id, 'zub' || doc_id, 'zuc' || doc_id, 'zud' || doc_id,
+           'zue' || doc_id, 'zuf' || doc_id, 'zug' || doc_id, 'zuh' || doc_id)
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span audit (ExactSubstr dedup, span grain): per
+    language, how many tokens sit inside maximal spans of 8-gram
+    content that occurs >= 2 times in the corpus (with multiplicity) —
+    the exact text a Lee-et-al-style removal pass would cut, where
+    whole-doc dedup only reports document identity.
+
+    Per doc: every 8-token shingle occurrence keeps its 1-based start
+    position; occurrences of globally-duplicated shingles cover tokens
+    [pos, pos+7]; overlapping/adjacent covered windows merge into
+    maximal spans (gaps-and-islands: a new span starts when the next
+    flagged position is > 8 past the previous — coverage is contiguous
+    up to that). Per lang: doc count, affected docs, token totals,
+    covered tokens, span count, longest span, covered fraction.
+
+    Scale shape: one linear explode of corpus token windows, keyed by
+    TRUNCATED 64-bit md5 (16-byte shuffle keys, same trade as the
+    novelty audit), then ONE full-width shuffle: unlike the novelty
+    audit, per-POSITION flags (not per-key aggregates) are the output,
+    so the exploded frame must be flagged row-by-row — done with a
+    count() window over the shingle key, not an aggregate-and-join-back.
+    The join formulation was written first and REJECTED by reading its
+    executed plan: Spark re-scans and re-explodes the corpus for the
+    dup-key branch (no exchange reuse across the agg/probe subtrees)
+    and sort-merge-joins, i.e. TWO full-width exchanges plus the same
+    per-key sort the window pays once. Hot-key skew is identical in
+    both (the join co-partitions on the same key), and the window
+    carries a running count, never a materialized occurrence list (the
+    collect_list single-shuffle variant was rejected for exactly that:
+    a boilerplate shingle repeated 1e6x at 100 TB concentrates its list
+    in one reduce task). The flagged frame (dup positions only) is
+    orders of magnitude smaller; the island merge windows over it per
+    doc. The oracle keeps the equivalent aggregate-join formulation for
+    SQL clarity.
+
+    Docs under 8 tokens have no 8-gram content: they count toward
+    n_docs/total_tokens with zero coverage (documented contract).
+
+    Reference parity: no analogue in pravega (stream store); pipeline
+    tooling per the build brief, methodology from Lee et al. 2022."""
+    pool = _span_pool(spark, sf_dir)
+    docs = pool.select(
+        "doc_id", "lang", _tokens(F.col("text")).alias("w")
+    ).withColumn("n_tok", F.size("w"))
+    sh = docs.filter(F.col("n_tok") >= _SPAN_N).select(
+        "doc_id",
+        F.posexplode(F.expr(_NOV_SHINGLE)).alias("pos0", "sh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    flagged = (
+        sh.withColumn("n_occ", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("n_occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        flagged.withColumn(
+            "brk",
+            F.when(
+                F.lag("pos").over(by_pos).isNull()
+                | (F.col("pos") - F.lag("pos").over(by_pos) > _SPAN_N),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + _SPAN_N).alias("span_len"))
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum("span_len").alias("covered"),
+        F.count("*").alias("n_spans"),
+        F.max("span_len").alias("max_span"),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("covered").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_affected"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.coalesce("covered", F.lit(0))).cast("bigint").alias("covered_tokens"),
+            F.sum(F.coalesce("n_spans", F.lit(0))).cast("bigint").alias("n_spans"),
+            F.max(F.coalesce("max_span", F.lit(0))).cast("bigint").alias("max_span"),
+            F.round(
+                F.sum(F.coalesce("covered", F.lit(0))) / F.sum("n_tok"), 6
+            ).alias("covered_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+DUPLICATE_SPANS_SQL = f"""
+WITH pool AS ({_SPAN_POOL_SQL}),
+tokd AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w FROM pool
+),
+sh AS (
+  SELECT doc_id,
+         generate_subscripts(keys, 1) AS pos,
+         unnest(keys) AS sh
+  FROM (
+    SELECT doc_id, list_transform(
+             range(1, len(w) - {_SPAN_N - 2}),
+             i -> substr(md5(array_to_string(w[i:i + {_SPAN_N - 1}], ' ')), 1, 16)) AS keys
+    FROM tokd WHERE len(w) >= {_SPAN_N}
+  )
+),
+dup_keys AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
+flagged AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup_keys USING (sh)),
+brks AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > {_SPAN_N} THEN 1 ELSE 0 END AS brk
+  FROM flagged
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, island, max(pos) - min(pos) + {_SPAN_N} AS span_len
+  FROM (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM brks
+  ) GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, sum(span_len) AS covered, count(*) AS n_spans,
+         max(span_len) AS max_span
+  FROM islands GROUP BY doc_id
+)
+SELECT t.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.covered IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+       CAST(sum(len(t.w)) AS BIGINT) AS total_tokens,
+       CAST(sum(coalesce(p.covered, 0)) AS BIGINT) AS covered_tokens,
+       CAST(sum(coalesce(p.n_spans, 0)) AS BIGINT) AS n_spans,
+       CAST(max(coalesce(p.max_span, 0)) AS BIGINT) AS max_span,
+       round(CAST(sum(coalesce(p.covered, 0)) AS DOUBLE) / sum(len(t.w)), 6) AS covered_frac
+FROM tokd t LEFT JOIN per_doc p USING (doc_id)
+GROUP BY t.lang
+ORDER BY t.lang
+"""
+
+
+# --------------------------------------- leakage-safe split (r11)
+_SPLIT_TRAIN_MAX = 204  # of 256: ~80 % train
+_SPLIT_VAL_MAX = 230  # next ~10 % val, rest test
+
+
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split at exact-duplicate-CLUSTER granularity: every
+    member of a duplicate cluster inherits the split of the cluster
+    representative (min doc_id), so verbatim copies can never straddle
+    train and test — the standard eval-contamination guard a pretraining
+    pipeline applies AFTER dedup decides what survives but BEFORE
+    sharding (duplicates that survive, e.g. license-exempted boilerplate,
+    must still not leak across the split boundary).
+
+    Split = first two hex chars of md5(representative doc_id) as a value
+    in [0, 256): < 204 train (~80 %), < 230 val (~10 %), else test —
+    hash-of-representative, not hash-of-doc, is the leakage guard.
+
+    Per (split, lang): docs, distinct clusters, docs that are duplicate-
+    cluster members (cluster size > 1), token totals. By construction no
+    cluster appears under two splits; the gate's value hash pins that
+    (a straddling cluster would split its n_docs across two rows).
+
+    Scale shape: ONE full-width shuffle on the content fingerprint (the
+    semantic minimum — cluster identity IS fingerprint identity); the
+    representative and cluster size ride the same window partition, so
+    no join-back; the split/lang rollup is a map-side-combined tiny agg.
+    Fixture: the shared _verbatim_pool (exact copies of every 10th doc).
+
+    Reference parity: no analogue in pravega; pipeline tooling per the
+    build brief (split hygiene per Gao et al. Pile / GPT-3 dedup
+    methodology)."""
+    pool = _verbatim_pool(spark, sf_dir, "lang")
+    by_fp = Window.partitionBy("fp")
+    fingered = (
+        pool.withColumn("fp", F.md5(F.col("text")))
+        .withColumn("n_tok", F.size(_tokens(F.col("text"))))
+        .withColumn("rep", F.min("doc_id").over(by_fp))
+        .withColumn("csize", F.count("*").over(by_fp))
+        .withColumn(
+            # mirrored in DuckDB via strpos('0123456789abcdef', ...) - 1
+            "hv",
+            F.conv(
+                F.substring(F.md5(F.col("rep").cast("string")), 1, 2), 16, 10
+            ).cast("int"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("hv") < _SPLIT_TRAIN_MAX, "train")
+            .when(F.col("hv") < _SPLIT_VAL_MAX, "val")
+            .otherwise("test"),
+        )
+    )
+    return (
+        fingered.groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_clusters"),
+            F.sum(F.when(F.col("csize") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_members"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+LEAKAGE_SPLIT_SQL = f"""
+WITH pool AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 10 = 0
+),
+fingered AS (
+  SELECT lang, md5(text) AS fp,
+         len(string_split_regex(trim(text), ' +')) AS n_tok,
+         min(doc_id) OVER w AS rep,
+         count(*) OVER w AS csize
+  FROM pool
+  WINDOW w AS (PARTITION BY md5(text))
+),
+splits AS (
+  SELECT *,
+         (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1) AS hv
+  FROM fingered
+)
+SELECT CASE WHEN hv < {_SPLIT_TRAIN_MAX} THEN 'train'
+            WHEN hv < {_SPLIT_VAL_MAX} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_members,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM splits
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "pipeline_daily_corpus": pipeline_daily_corpus,
     "pipeline_daily_corpus_streaming": pipeline_daily_corpus_streaming,
     "corpus_ngram_novelty": corpus_ngram_novelty,
+    "corpus_duplicate_spans": corpus_duplicate_spans,
+    "corpus_leakage_safe_split": corpus_leakage_safe_split,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_topgram": text_repetition_topgram,
     "corpus_mixture_weights": corpus_mixture_weights,
@@ -3221,6 +3526,8 @@ ORACLES = {
     "pipeline_daily_corpus": PIPELINE_DAILY_SQL,
     "pipeline_daily_corpus_streaming": PIPELINE_DAILY_SQL,
     "corpus_ngram_novelty": NGRAM_NOVELTY_SQL,
+    "corpus_duplicate_spans": DUPLICATE_SPANS_SQL,
+    "corpus_leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
     "text_repetition_topgram": REPETITION_SQL,
     "corpus_mixture_weights": MIXTURE_WEIGHTS_SQL,

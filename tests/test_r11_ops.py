@@ -1,0 +1,131 @@
+"""Round-11 new operators: hand-computed adversarial fixtures.
+
+The sf0.01 parity gate proves Spark == DuckDB; these tests pin the
+SEMANTICS both could get wrong together, on corpora crafted so every
+output cell is hand-derivable:
+
+- corpus_duplicate_spans: island merging — adjacent-but-disjoint
+  duplicated windows (gap exactly k) merge into ONE contiguous span,
+  while the same two regions separated by unique text stay TWO spans;
+  cross-boundary shingles that occur once stay unflagged.
+- corpus_leakage_safe_split: a duplicate member whose OWN doc_id hashes
+  to a different split must follow its representative's split (the
+  leakage guard is hash-of-rep, not hash-of-doc).
+- similarity_kmeans_refine: an exact cosine tie between two centroids
+  assigns to the smaller cluster id (the documented tie-break that the
+  oracle's row_number ordering mirrors).
+"""
+
+import hashlib
+
+import pytest
+
+from pravega_spark.queries.similarity import similarity_kmeans_refine
+from pravega_spark.queries.text import (
+    corpus_duplicate_spans,
+    corpus_leakage_safe_split,
+)
+
+
+def _write_documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _toks(prefix, lo, hi):
+    return " ".join(f"{prefix}{i}" for i in range(lo, hi))
+
+
+def test_duplicate_spans_island_semantics(spark, tmp_path):
+    # namespaces: a* shared by docs 1/2 (two regions), b*/c* unique
+    # middles, r* shared by docs 3/4, d* unique middle, e* short doc
+    r1_a, mid_b, r2_a = _toks("a", 0, 10), _toks("b", 0, 10), _toks("a", 20, 30)
+    r1_r, mid_c, r2_r = _toks("r", 0, 10), _toks("c", 0, 10), _toks("r", 20, 30)
+    rows = [
+        # doc1/doc2: share tokens 1-10 and 21-30; doc1's middle (b*) and
+        # doc2's middle (c*) unique -> flagged starts {1,2,3} and
+        # {21,22,23} in BOTH docs, gap 18 > 8 -> 2 spans of 10 each
+        (1, "en", f"{r1_a} {mid_b} {r2_a}"),
+        (2, "en", f"{r1_a} {mid_c} {r2_a}"),
+        # doc3: the SAME two shared regions back-to-back (20 tokens) ->
+        # flagged starts {1,2,3} and {11,12,13}; 11 - 3 = 8 = k -> ONE
+        # merged span of 20 (coverage is contiguous). Its cross-boundary
+        # 8-grams (starts 4..10) occur nowhere else -> unflagged.
+        (3, "en", f"{r1_r} {r2_r}"),
+        # doc4: same regions separated by unique middle (d*) -> 2 spans
+        (4, "en", f"{r1_r} {_toks('d', 0, 10)} {r2_r}"),
+        # doc5: under 8 tokens -> counted, zero coverage
+        (5, "en", _toks("e", 0, 5)),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    [row] = corpus_duplicate_spans(spark, sf).collect()
+    assert row.lang == "en"
+    assert row.n_docs == 5
+    assert row.n_affected == 4
+    assert row.total_tokens == 30 + 30 + 20 + 30 + 5
+    # docs 1,2,4: 2 spans x 10 tokens; doc3: 1 span x 20 tokens
+    assert row.covered_tokens == 20 + 20 + 20 + 20
+    assert row.n_spans == 2 + 2 + 1 + 2
+    assert row.max_span == 20
+    assert row.covered_frac == round(80 / 115, 6)
+
+
+def _hv(rep: int) -> int:
+    return int(hashlib.md5(str(rep).encode()).hexdigest()[:2], 16)
+
+
+def _split(rep: int) -> str:
+    hv = _hv(rep)
+    return "train" if hv < 204 else ("val" if hv < 230 else "test")
+
+
+def test_leakage_split_follows_representative(spark, tmp_path):
+    # ids 3 and 17 share text T1: rep = 3 -> 'test' (md5('3')[:2] = 0xec
+    # = 236), while 17 ALONE would be 'train' (0x70 = 112) — the
+    # adversarial member that must follow its representative.
+    assert _split(3) == "test" and _split(17) == "train"
+    # id 10 (%10 == 0) gains a verbatim fixture copy at 1000010; the
+    # pair forms a 2-member cluster under rep 10's split ('val', 0xd3).
+    assert _split(10) == "val"
+    t1 = _toks("x", 0, 12)
+    t2 = _toks("y", 0, 7)
+    sf = _write_documents(
+        spark, tmp_path, [(3, "en", t1), (17, "en", t1), (10, "en", t2)]
+    )
+    rows = {
+        (r.split, r.lang): r for r in corpus_leakage_safe_split(spark, sf).collect()
+    }
+    assert set(rows) == {("test", "en"), ("val", "en")}  # no 'train' row
+    test_row = rows[("test", "en")]
+    assert test_row.n_docs == 2 and test_row.n_clusters == 1
+    assert test_row.n_dup_members == 2
+    assert test_row.total_tokens == 24
+    val_row = rows[("val", "en")]
+    assert val_row.n_docs == 2 and val_row.n_clusters == 1
+    assert val_row.n_dup_members == 2
+    assert val_row.total_tokens == 14
+
+
+def test_kmeans_tie_breaks_to_smaller_cluster(spark, tmp_path):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.0, 1.0], 1),
+        # exact cosine tie vs both INIT centroids (0.707107 after the
+        # 6-dp round); labeled 1, must land in cluster 0 (smaller id).
+        # vec 5 counterbalances vec 4's pull on label 1's init centroid
+        # (avg of [0,1],[0,1],[1,1],[-1,1] = [0, .75] — on-axis, so the
+        # tie is exact); its own assignment stays cluster 1 throughout.
+        (4, [1.0, 1.0], 1),
+        (5, [-1.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.cluster: r for r in similarity_kmeans_refine(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_members == 3 and out[0].n_moved == 1
+    assert out[1].n_members == 3 and out[1].n_moved == 0
