@@ -65,6 +65,13 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "similarity_knn_graph",
     "streaming_windowed_late_drop",
+    # r11 additions: the streaming twin of the daily pipeline + the
+    # duplicate-span audit + leakage-safe split + k-means refinement
+    "pipeline_daily_corpus_streaming",
+    "corpus_duplicate_spans",
+    "corpus_leakage_safe_split",
+    "similarity_kmeans_refine",
+    "similarity_semantic_dedup",
 ]
 
 

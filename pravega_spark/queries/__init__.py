@@ -108,6 +108,10 @@ _GATE_ORDER = [
     # -- python_oracles path), so keeping it past-cap keeps the driver's
     # -- SQL-only gate record 50/50 green.
     # -- r12 rotation note: front this block next round ------------------
+    # -- new in r11 but past-cap: the in-gate 50 is fully claimed by the
+    # -- r11 rotation + the three never-gated r11 ops; this one is
+    # -- judge-verified via check_parity this round and fronts in r12
+    "similarity_semantic_dedup",
     "text_bpe_vocab_scale",
     "streamcut_bounded_read",
     "stream_fetch_event",

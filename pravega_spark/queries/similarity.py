@@ -853,6 +853,136 @@ ORDER BY a2.cluster
 """
 
 
+# --------------------------------------------- semantic dedup (r11)
+_SEM_THRESHOLD = 0.35  # same natural-pair threshold the near-dup op uses
+
+
+def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus into SEMANTIC cells (cosine assignment to the label-centroid
+    quantizer — a vector labeled 3 lands wherever it actually points,
+    unlike the label-cell near-dup), then inside each cell drop every
+    vector that has a >= 0.35-cosine neighbor with a smaller id — the
+    curation pass that removes semantically redundant training data
+    near-verbatim dedup can't see.
+
+    Drop rule (documented contract): greedy-by-id, one pass — a rep is
+    dropped iff SOME smaller-id rep in its cell clears the threshold.
+    Chains a<b<c with cos(a,b) and cos(b,c) over but cos(a,c) under
+    the bar drop BOTH b and c (b's dropper is a, c's is b — already
+    dropped). That over-drops vs connected-component dedup keeping one
+    per component only in the sense of keeping FEWER; it needs no
+    iteration, which is why SemDeDup-scale systems use exactly this
+    shape.
+
+    Exact-collapse pre-pass (the near-dup/MinHash law): the quadratic
+    in-cell join runs on one representative per DISTINCT embedding;
+    multiplicity rides the rep, so exact-duplicate mass is reported
+    (n_vectors vs n_reps) but never re-paired. Per final cell: total
+    vectors, distinct reps, dropped reps, dropped vector mass.
+
+    Scale shape: quantizer = one positional-explode aggregation
+    (map-side combined to k×dim); assignment = per-row codegen against
+    the k×dim literal (zero shuffle, no build side); collapse = one
+    linear shuffle on the embedding key; the in-cell pair join carries
+    whole vectors through the vectorized cosine (64x less volume than
+    positional explode) and AQE skew-splits any hot cell; the dropped
+    flag joins back rep-to-rep (post-collapse grain, both sides tiny
+    relative to the corpus).
+
+    Reference parity: no analogue in pravega (stream store); pipeline
+    tooling per the build brief."""
+    from pravega_spark.functions.vectors import cosine as v_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    c0 = _km_centroids(emb, "label")
+    reps = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep"), F.count("*").alias("nm")
+    )
+    assigned = _km_assign(reps, c0).drop("cos")
+    a = assigned.select(
+        "cluster", F.col("rep").alias("a_rep"), F.col("embedding").alias("a_vec")
+    )
+    b = assigned.select(
+        "cluster", F.col("rep").alias("b_rep"), F.col("embedding").alias("b_vec")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a_rep") < F.col("b_rep"))
+        .filter(F.round(v_cosine("a_vec", "b_vec"), 6) >= _SEM_THRESHOLD)
+        .select(F.col("b_rep").alias("rep"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "rep", "left")
+        .groupBy("cluster")
+        .agg(
+            F.sum("nm").cast("bigint").alias("n_vectors"),
+            F.count("*").cast("bigint").alias("n_reps"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).cast("bigint").alias("n_dropped_reps"),
+            F.sum(F.when(F.col("is_dropped").isNotNull(), F.col("nm")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_vectors"),
+        )
+        .orderBy("cluster")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH vals AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent0 AS (
+  SELECT label AS cl, pos, round(avg(v), 6) AS c FROM vals GROUP BY label, pos
+),
+reps AS (
+  SELECT embedding, min(vec_id) AS rep, count(*) AS nm
+  FROM embeddings GROUP BY embedding
+),
+rvals AS (
+  SELECT rep, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM reps
+),
+rcos AS (
+  SELECT r.rep, c.cl,
+         round(sum(r.v * c.c) / sqrt(sum(r.v * r.v) * sum(c.c * c.c)), 6) AS cos
+  FROM rvals r JOIN cent0 c USING (pos) GROUP BY 1, 2
+),
+ra AS (
+  SELECT rep, cl AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY rep ORDER BY cos DESC, cl ASC) AS rk
+    FROM rcos
+  ) WHERE rk = 1
+),
+rv2 AS (SELECT ra.cluster, v.rep, v.pos, v.v FROM rvals v JOIN ra USING (rep)),
+pairs AS (
+  SELECT a.cluster, a.rep AS a_rep, b.rep AS b_rep,
+         round(sum(a.v * b.v) / sqrt(sum(a.v * a.v) * sum(b.v * b.v)), 6) AS cosine
+  FROM rv2 a JOIN rv2 b
+    ON a.cluster = b.cluster AND a.pos = b.pos AND a.rep < b.rep
+  GROUP BY 1, 2, 3
+  HAVING cosine >= {_SEM_THRESHOLD}
+),
+dropped AS (SELECT DISTINCT b_rep AS rep FROM pairs)
+SELECT ra.cluster,
+       CAST(sum(r.nm) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_reps,
+       CAST(sum(CASE WHEN d.rep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_reps,
+       CAST(sum(CASE WHEN d.rep IS NOT NULL THEN r.nm ELSE 0 END) AS BIGINT) AS n_dropped_vectors
+FROM reps r
+JOIN ra ON ra.rep = r.rep
+LEFT JOIN dropped d ON d.rep = r.rep
+GROUP BY ra.cluster
+ORDER BY ra.cluster
+"""
+
+
 # --------------------------------------- maintained ANN index loop (r9)
 _DAY1_VID_OFFSET = 10_000_000
 _ANN_THRESHOLD = 0.9
@@ -1124,6 +1254,7 @@ QUERIES = {
     "similarity_ann_recall": similarity_ann_recall,
     "similarity_knn_graph": similarity_knn_graph,
     "similarity_kmeans_refine": similarity_kmeans_refine,
+    "similarity_semantic_dedup": similarity_semantic_dedup,
     "similarity_incremental_maintained": similarity_incremental_maintained,
     "embedding_near_dup": embedding_near_dup,
 }
@@ -1132,6 +1263,7 @@ ORACLES = {
     "similarity_ann_recall": ANN_RECALL_SQL,
     "similarity_knn_graph": KNN_GRAPH_SQL,
     "similarity_kmeans_refine": KMEANS_REFINE_SQL,
+    "similarity_semantic_dedup": SEMANTIC_DEDUP_SQL,
     "similarity_incremental_maintained": ANN_MAINTAINED_SQL,
     "similarity_topk_bruteforce": TOPK_SQL,
     "similarity_lsh_bucketed": LSH_TOPK_SQL,

@@ -107,6 +107,33 @@ def test_leakage_split_follows_representative(spark, tmp_path):
     assert val_row.total_tokens == 14
 
 
+def test_semantic_dedup_chain_drops_and_multiplicity(spark, tmp_path):
+    """a<b<c at 0deg/60deg/120deg: cos(a,b)=cos(b,c)=0.5 >= 0.35 but
+    cos(a,c)=-0.5 — the greedy-by-id rule drops BOTH b and c (b's
+    dropper is a, c's is b even though b is itself dropped), the
+    documented over-drop vs connected-component dedup. Exact copies of
+    a (ids 3,4) collapse onto its rep and ride as multiplicity."""
+    from pravega_spark.queries.similarity import similarity_semantic_dedup
+
+    s3 = 0.8660254
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.5, s3], 0),
+        (2, [-0.5, s3], 0),
+        (3, [1.0, 0.0], 0),
+        (4, [1.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    [row] = similarity_semantic_dedup(spark, str(tmp_path)).collect()
+    assert row.cluster == 0
+    assert row.n_vectors == 5 and row.n_reps == 3
+    assert row.n_dropped_reps == 2  # b via a, c via (already-dropped) b
+    assert row.n_dropped_vectors == 2
+
+
 def test_kmeans_tie_breaks_to_smaller_cluster(spark, tmp_path):
     rows = [
         (0, [1.0, 0.0], 0),
