@@ -112,6 +112,7 @@ _GATE_ORDER = [
     # -- r11 rotation + the three never-gated r11 ops; this one is
     # -- judge-verified via check_parity this round and fronts in r12
     "similarity_semantic_dedup",
+    "events_interval_overlap",
     "text_bpe_vocab_scale",
     "streamcut_bounded_read",
     "stream_fetch_event",

@@ -1865,6 +1865,184 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# --------------------------------------------- interval-overlap join (r11)
+_IV_GAP_S = 1800  # same 30-min inactivity gap as the sessionization ops
+_IV_CELL_US = 3_600_000_000  # 1-hour grid cells, in microseconds
+
+
+def _iv_sessions(ev: DataFrame, etype: str) -> DataFrame:
+    """Per-user sessions of one event type as CLOSED intervals in epoch
+    MICROSECONDS: start = min(ts), end = max(ts) + the 30-min gap (the
+    native session_window bound — a session stays 'open' one gap past
+    its last event, which is also what makes cross-user overlap a
+    non-degenerate question on sparse event data)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("event_type") == etype)
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("s_us"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                + F.lit(_IV_GAP_S * 1_000_000)
+            ).alias("e_us"),
+        )
+    )
+
+
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval-overlap join — NO equi key: which purchase
+    sessions ran concurrently with ANY error session (any user's) —
+    the incident-impact question. Spark has no native interval-join
+    operator; the naive formulation is a BroadcastNestedLoopJoin on
+    the range predicate (O(|A|x|B|) comparisons, only viable while one
+    side broadcasts). This implements the standard GRID decomposition:
+    each interval explodes to the 1-hour epoch cells it covers (~2
+    cells at these widths), the join becomes an EQUI-join on the cell,
+    and each surviving pair is counted exactly once by the ownership
+    rule — only in the cell that contains max(a.start, b.start), so no
+    distinct pass is needed. Per-cell pair products are the inherent
+    interval-join cost (equivalent to IEJoin bucket products); a hot
+    hour AQE-skew-splits like any equi-join key.
+
+    Overlap is closed-interval at microsecond grain: a.s <= b.e AND
+    b.s <= a.e; same-user pairs count (there is deliberately no key
+    constraint). Output per day of the purchase session's start:
+    sessions starting that day, how many overlapped >= 1 error
+    session, total overlapping pairs (a session pairs once per error
+    session it overlaps), mean overlap seconds.
+
+    The oracle joins on the raw range predicate — DuckDB plans its own
+    IEJoin — so the grid decomposition's correctness (cell coverage,
+    ownership dedup, boundary touches) is value-hashed against a
+    grid-free formulation.
+
+    Reference parity: no analogue in pravega; standard
+    spatial/temporal-join decomposition (e.g. DeWitt et al. PBSM)."""
+    ev = _t(spark, sf_dir, "events")
+    err = _iv_sessions(ev, "error").select(
+        F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e")
+    )
+    pur = _iv_sessions(ev, "purchase").select(
+        "user_id", "session_id", F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e")
+    )
+    cell = lambda c: F.floor(F.col(c) / _IV_CELL_US)  # noqa: E731
+    a_cells = err.withColumn(
+        "cell", F.explode(F.sequence(cell("a_s"), cell("a_e")))
+    )
+    b_cells = pur.withColumn(
+        "cell", F.explode(F.sequence(cell("b_s"), cell("b_e")))
+    )
+    pairs = (
+        a_cells.join(b_cells, "cell")
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .filter(
+            F.floor(F.greatest("a_s", "b_s") / _IV_CELL_US) == F.col("cell")
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "b_s",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).alias("overlap_us"),
+        )
+    )
+    per_sess = pairs.groupBy("user_id", "session_id", "b_s").agg(
+        F.count("*").alias("n_pairs"), F.sum("overlap_us").alias("ov_us")
+    )
+    day = F.date_trunc("day", F.timestamp_micros(F.col("b_s")))
+    scaffold = pur.groupBy(day.alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    overlapped = per_sess.groupBy(
+        F.date_trunc("day", F.timestamp_micros(F.col("b_s"))).alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_overlapped"),
+        F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("ov_us") / F.sum("n_pairs") / 1e6, 6).alias("avg_overlap_s"),
+    )
+    return (
+        scaffold.join(overlapped, "day", "left")
+        .select(
+            "day",
+            "n_sessions",
+            F.coalesce("n_overlapped", F.lit(0)).alias("n_overlapped"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("avg_overlap_s", F.lit(0.0)).alias("avg_overlap_s"),
+        )
+        .orderBy("day")
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {_IV_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE event_type IN ('error', 'purchase')
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id,
+         ts
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, event_type, session_id,
+         epoch_us(min(ts)) AS s_us,
+         epoch_us(max(ts)) + {_IV_GAP_S}::BIGINT * 1000000 AS e_us
+  FROM sess GROUP BY 1, 2, 3
+),
+err AS (SELECT s_us AS a_s, e_us AS a_e FROM iv WHERE event_type = 'error'),
+pur AS (SELECT user_id, session_id, s_us AS b_s, e_us AS b_e
+        FROM iv WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT p.user_id, p.session_id, p.b_s,
+         least(e.a_e, p.b_e) - greatest(e.a_s, p.b_s) AS overlap_us
+  FROM pur p JOIN err e ON e.a_s <= p.b_e AND p.b_s <= e.a_e
+),
+per_sess AS (
+  SELECT user_id, session_id, b_s, count(*) AS n_pairs, sum(overlap_us) AS ov_us
+  FROM pairs GROUP BY 1, 2, 3
+),
+scaffold AS (
+  SELECT CAST(date_trunc('day', make_timestamp(b_s)) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_sessions
+  FROM pur GROUP BY 1
+),
+agg AS (
+  SELECT CAST(date_trunc('day', make_timestamp(b_s)) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_overlapped,
+         CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+         round(CAST(sum(ov_us) AS DOUBLE) / sum(n_pairs) / 1e6, 6) AS avg_overlap_s
+  FROM per_sess GROUP BY 1
+)
+SELECT s.day, s.n_sessions,
+       coalesce(a.n_overlapped, 0) AS n_overlapped,
+       coalesce(a.n_pairs, 0) AS n_pairs,
+       coalesce(a.avg_overlap_s, 0.0) AS avg_overlap_s
+FROM scaffold s LEFT JOIN agg a USING (day)
+ORDER BY s.day
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -1905,6 +2083,7 @@ QUERIES = {
     "order_priority_pivot": order_priority_pivot,
     "events_hourly_agg": events_hourly_agg,
     "events_sessionization": events_sessionization,
+    "events_interval_overlap": events_interval_overlap,
     "events_session_window": events_session_window,
     "events_json_extract": events_json_extract,
     "events_asof_purchase": events_asof_purchase,
@@ -1951,6 +2130,7 @@ ORACLES = {
     "order_priority_pivot": PRIORITY_PIVOT_SQL,
     "events_hourly_agg": EVENTS_HOURLY_SQL,
     "events_sessionization": SESSIONIZATION_SQL,
+    "events_interval_overlap": INTERVAL_OVERLAP_SQL,
     "events_session_window": SESSION_WINDOW_SQL,
     "events_json_extract": JSON_EXTRACT_SQL,
     "events_asof_purchase": ASOF_SQL,

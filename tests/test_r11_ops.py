@@ -134,6 +134,45 @@ def test_semantic_dedup_chain_drops_and_multiplicity(spark, tmp_path):
     assert row.n_dropped_vectors == 2
 
 
+def test_interval_overlap_grid_edges(spark, tmp_path):
+    """Grid-decomposition edge cases, hand-computed: an exact boundary
+    touch (a.end == b.start) counts with overlap 0; intervals spanning
+    two 1-hour cells pair exactly ONCE (the ownership rule, not a
+    distinct pass); a session with no overlap still scaffolds into
+    n_sessions."""
+    from datetime import datetime as dt
+
+    from pravega_spark.queries.relational import events_interval_overlap
+
+    d = lambda h, m: dt(2024, 3, 1, h, m)  # noqa: E731
+    rows = [
+        # (event_id, ts, user_id, event_type): error u1 [10:00,10:30]
+        (1, d(10, 0), 1, "error"),
+        # purchase u2 [10:30,11:00] — touches a_e exactly, overlap 0
+        (2, d(10, 30), 2, "purchase"),
+        # purchase u3 [09:50,10:20] — spans cells 9 & 10, overlap 20 min
+        (3, d(9, 50), 3, "purchase"),
+        # error u4 [11:30,12:15] spans cells 11 & 12; purchase u5
+        # [12:10,12:40] overlaps 5 min, owned by cell 12 — once
+        (4, d(11, 30), 4, "error"),
+        (5, d(11, 45), 4, "error"),
+        (6, d(12, 10), 5, "purchase"),
+        # purchase u6 [20:00,20:30] — no overlap, scaffold-only
+        (7, d(20, 0), 6, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    [row] = events_interval_overlap(spark, str(tmp_path)).collect()
+    assert row.n_sessions == 4
+    assert row.n_overlapped == 3
+    assert row.n_pairs == 3
+    assert row.avg_overlap_s == round((0 + 1200 + 300) / 3, 6)
+
+
 def test_kmeans_tie_breaks_to_smaller_cluster(spark, tmp_path):
     rows = [
         (0, [1.0, 0.0], 0),
