@@ -2043,6 +2043,133 @@ ORDER BY s.day
 """
 
 
+# ------------------------------------------------- CDC -> SCD2 (r11)
+_SCD2_SILVER = 100.0
+_SCD2_GOLD = 220.0
+
+
+def events_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog -> type-2 slowly-changing dimension: replay each
+    user's purchase stream as a change feed over a derived attribute
+    (spend tier: bronze < 100 <= silver < 220 <= gold on the ROLLING
+    3-purchase spend, so tiers genuinely rise AND fall — a cumulative
+    sum would make the dimension monotone and the history degenerate)
+    and materialize the SCD2 HISTORY — one row per
+    (user, tier) validity period with valid_from / valid_to /
+    is_current — the warehouse MERGE-with-history pattern (Delta/
+    Iceberg `MERGE INTO` + type-2 dimension builds; Kimball SCD
+    type 2).
+
+    Plan shape: ONE shuffle of the purchase slice on user_id serves
+    every step — cumulative sum, tier classification, change-capture
+    (keep rows where lag(tier) differs), and period close
+    (valid_to = lead(valid_from)) are all windows over the SAME
+    (user_id × ts-order) partitioning, so Catalyst runs them in a
+    single Window stage chain with no re-exchange; the final rollup is
+    one more narrow agg shuffle. Per-user work is bounded by that
+    user's event count — linear at any corpus scale, and a hot user is
+    one window partition (same bound the sessionization ops carry).
+
+    Float discipline: the rolling sum is rounded to cents BEFORE
+    tier comparison in both engines, so the window-fold order (pinned
+    by ORDER BY ts, event_id) is the only thing that must agree —
+    identical sequential folds give identical doubles.
+
+    Output per (start_day, tier): periods opened, distinct users,
+    periods still current, mean CLOSED-period duration in seconds.
+
+    Reference parity: no analogue in pravega (stream store); warehouse
+    CDC tooling per the build brief."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tiers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "cum",
+            F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 2),
+        )
+        .withColumn(
+            "tier",
+            F.when(F.col("cum") >= _SCD2_GOLD, "gold")
+            .when(F.col("cum") >= _SCD2_SILVER, "silver")
+            .otherwise("bronze"),
+        )
+    )
+    periods = (
+        tiers.withColumn("prev_tier", F.lag("tier").over(w))
+        .filter(F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier")))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "tier",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+    dur_s = (
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+        - F.unix_micros(F.col("valid_from").cast("timestamp"))
+    ) / F.lit(1e6)
+    return (
+        periods.groupBy(
+            F.date_trunc("day", "valid_from").alias("start_day"), "tier"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_periods"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("is_current").cast("bigint")).alias("n_current"),
+            F.round(
+                F.coalesce(
+                    F.avg(F.when(~F.col("is_current"), dur_s)), F.lit(0.0)
+                ),
+                3,
+            ).alias("avg_closed_s"),
+        )
+        .orderBy("start_day", "tier")
+    )
+
+
+CDC_SCD2_SQL = f"""
+WITH tiers AS (
+  SELECT user_id, ts, event_id,
+         round(sum(value) OVER w, 2) AS cum
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+),
+classed AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN cum >= {_SCD2_GOLD} THEN 'gold'
+              WHEN cum >= {_SCD2_SILVER} THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM tiers
+),
+changes AS (
+  SELECT user_id, ts, event_id, tier,
+         lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+  FROM classed
+),
+periods AS (
+  SELECT user_id, tier, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+  WHERE prev_tier IS NULL OR prev_tier <> tier
+)
+SELECT CAST(date_trunc('day', valid_from) AS TIMESTAMP) AS start_day, tier,
+       CAST(count(*) AS BIGINT) AS n_periods,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       round(coalesce(avg(CASE WHEN valid_to IS NOT NULL
+                     THEN (epoch_us(valid_to) - epoch_us(valid_from)) / 1e6
+                     END), 0.0), 3) AS avg_closed_s
+FROM periods
+GROUP BY 1, 2
+ORDER BY start_day, tier
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -2084,6 +2211,7 @@ QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     "events_sessionization": events_sessionization,
     "events_interval_overlap": events_interval_overlap,
+    "events_cdc_scd2_history": events_cdc_scd2_history,
     "events_session_window": events_session_window,
     "events_json_extract": events_json_extract,
     "events_asof_purchase": events_asof_purchase,
@@ -2131,6 +2259,7 @@ ORACLES = {
     "events_hourly_agg": EVENTS_HOURLY_SQL,
     "events_sessionization": SESSIONIZATION_SQL,
     "events_interval_overlap": INTERVAL_OVERLAP_SQL,
+    "events_cdc_scd2_history": CDC_SCD2_SQL,
     "events_session_window": SESSION_WINDOW_SQL,
     "events_json_extract": JSON_EXTRACT_SQL,
     "events_asof_purchase": ASOF_SQL,

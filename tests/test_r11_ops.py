@@ -173,6 +173,50 @@ def test_interval_overlap_grid_edges(spark, tmp_path):
     assert row.avg_overlap_s == round((0 + 1200 + 300) / 3, 6)
 
 
+def test_cdc_scd2_change_capture(spark, tmp_path):
+    """SCD2 semantics, hand-computed on one user walking
+    bronze->silver->(silver, no change row)->gold->bronze over a
+    rolling 3-purchase sum: equal consecutive tiers emit NO period,
+    valid_to is the NEXT change's ts (not the next purchase's), the
+    last period per user is current, and closed durations average per
+    (day, tier)."""
+    from datetime import datetime as dt
+
+    from pravega_spark.queries.relational import events_cdc_scd2_history
+
+    h = lambda hh: dt(2024, 3, 1, hh, 0)  # noqa: E731
+    rows = [
+        # u1 rolling sums: 50 B | 130 S | 140 S(no change) | 390 G |
+        # 315 G | 306 G | 7 B(current)
+        (1, h(10), 1, 50.0),
+        (2, h(11), 1, 80.0),
+        (3, h(12), 1, 10.0),
+        (4, h(13), 1, 300.0),
+        (5, h(14), 1, 5.0),
+        (6, h(15), 1, 1.0),
+        (7, h(16), 1, 1.0),
+        # u2: single purchase 120 -> silver, current
+        (8, h(12), 2, 120.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "purchase", v, "{}") for i, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.tier: r for r in events_cdc_scd2_history(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"bronze", "silver", "gold"}
+    b, s, g = out["bronze"], out["silver"], out["gold"]
+    # bronze: [10,11) closed + [16,None) current
+    assert (b.n_periods, b.n_users, b.n_current, b.avg_closed_s) == (2, 1, 1, 3600.0)
+    # silver: u1 [11,13) closed + u2 current
+    assert (s.n_periods, s.n_users, s.n_current, s.avg_closed_s) == (2, 2, 1, 7200.0)
+    # gold: [13,16) closed — the 14:00/15:00 same-tier rows emit nothing
+    assert (g.n_periods, g.n_users, g.n_current, g.avg_closed_s) == (1, 1, 0, 10800.0)
+
+
 def test_kmeans_tie_breaks_to_smaller_cluster(spark, tmp_path):
     rows = [
         (0, [1.0, 0.0], 0),
