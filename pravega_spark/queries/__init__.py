@@ -113,6 +113,7 @@ _GATE_ORDER = [
     # -- judge-verified via check_parity this round and fronts in r12
     "similarity_semantic_dedup",
     "events_interval_overlap",
+    "events_interval_overlap_sweepline",
     "events_cdc_scd2_history",
     "text_bpe_vocab_scale",
     "streamcut_bounded_read",

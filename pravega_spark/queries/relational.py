@@ -2043,6 +2043,213 @@ ORDER BY s.day
 """
 
 
+def events_interval_overlap_sweepline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LINEAR twin of `events_interval_overlap` — identical output,
+    identical oracle, different physical strategy. The grid version
+    materializes every overlapping pair, which is the contract when
+    pair-level output is needed but is inherently QUADRATIC in
+    per-hour concurrency (at sf100 the per-cell products hit ~10^10
+    comparisons per cell — no partitioning rescues an output-shaped
+    blowup). This version computes the same day-level AGGREGATES
+    without ever forming a pair, via the classic sweep-line / prefix-
+    sum decomposition over interval boundary points:
+
+        n_pairs(b)  = N_s(b_e) - N_e(b_s - 1)
+        sum_min(b)  = [S_e(b_e) - S_e(b_s-1)] + b_e * [N_s(b_e) - N_e(b_e)]
+        sum_max(b)  = [S_s(b_e) - S_s(b_s-1)] + b_s * [n_pairs - N_s(b_e) + N_s(b_s-1)]
+        overlap(b)  = sum_min - sum_max
+
+    where N_s/S_s (N_e/S_e) are count/sum prefix functions over error-
+    session starts (ends), evaluated at each purchase session's two
+    probe points. All four prefixes come from ONE distributed
+    cumulative sum: union boundary points + probes, bucket by the
+    1-hour cell (parallelism scales with the time span; each bucket's
+    rows grow linearly), windowed cumsum WITHIN each bucket, then add
+    the broadcast prefix of whole-bucket totals (one row per bucket —
+    the two-pass distributed prefix-sum pattern). Data points sort
+    before probes at equal t (tag column), which encodes the closed-
+    interval boundary semantics exactly; the strict `< b_s` side
+    probes at b_s - 1 (integer microseconds make that exact).
+
+    Prefix sums of epoch-microsecond values overflow int64 at scale
+    (1.7e15 per term x 10^7 terms), so S_s/S_e accumulate in
+    decimal(38,0) — exact at any realistic corpus size; counts stay
+    bigint.
+
+    Cost: O((E + P) log) — one bucket shuffle + in-bucket sort, a
+    per-bucket totals rollup (broadcast back), one session-key
+    shuffle. Every step linear in input; nothing quadratic remains.
+
+    The pytest suite pins sweepline == grid frame-exact on both the
+    hand fixture and real data; the driver value-hashes it against the
+    same grid-free DuckDB range-join oracle."""
+    ev = _t(spark, sf_dir, "events")
+    err = _iv_sessions(ev, "error").select(
+        F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e")
+    )
+    pur = _iv_sessions(ev, "purchase").select(
+        "user_id", "session_id", F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e")
+    )
+    dec = "decimal(38,0)"
+    zl = F.lit(0).cast("bigint")
+    zd = F.lit(0).cast(dec)
+    nl = F.lit(None).cast("bigint")
+
+    def _point(t, d_ns, d_ss, d_ne, d_se):
+        return [
+            t.alias("t"),
+            F.lit(0).alias("tag"),
+            d_ns.alias("d_ns"),
+            d_ss.alias("d_ss"),
+            d_ne.alias("d_ne"),
+            d_se.alias("d_se"),
+            nl.alias("user_id"),
+            nl.alias("session_id"),
+            nl.alias("b_s"),
+            nl.alias("b_e"),
+            F.lit(None).cast("string").alias("kind"),
+        ]
+
+    starts = err.select(
+        *_point(F.col("a_s"), F.lit(1).cast("bigint"), F.col("a_s").cast(dec), zl, zd)
+    )
+    ends = err.select(
+        *_point(F.col("a_e"), zl, zd, F.lit(1).cast("bigint"), F.col("a_e").cast(dec))
+    )
+    probes = (
+        pur.select(
+            "user_id",
+            "session_id",
+            "b_s",
+            "b_e",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("b_s") - 1).alias("t"), F.lit("lo").alias("kind")
+                    ),
+                    F.struct(F.col("b_e").alias("t"), F.lit("hi").alias("kind")),
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.t").alias("t"),
+            F.lit(1).alias("tag"),
+            zl.alias("d_ns"),
+            zd.alias("d_ss"),
+            zl.alias("d_ne"),
+            zd.alias("d_se"),
+            "user_id",
+            "session_id",
+            "b_s",
+            "b_e",
+            F.col("p.kind").alias("kind"),
+        )
+    )
+    pts = starts.unionByName(ends).unionByName(probes).withColumn(
+        "bucket", F.floor(F.col("t") / _IV_CELL_US)
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        pts.withColumn("c_ns", F.sum("d_ns").over(win))
+        .withColumn("c_ss", F.sum("d_ss").over(win))
+        .withColumn("c_ne", F.sum("d_ne").over(win))
+        .withColumn("c_se", F.sum("d_se").over(win))
+    )
+    bw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pts.groupBy("bucket")
+        .agg(
+            F.sum("d_ns").alias("t_ns"),
+            F.sum("d_ss").alias("t_ss"),
+            F.sum("d_ne").alias("t_ne"),
+            F.sum("d_se").alias("t_se"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("t_ns").over(bw), zl).alias("o_ns"),
+            F.coalesce(F.sum("t_ss").over(bw), zd).alias("o_ss"),
+            F.coalesce(F.sum("t_ne").over(bw), zl).alias("o_ne"),
+            F.coalesce(F.sum("t_se").over(bw), zd).alias("o_se"),
+        )
+    )
+    at = (
+        cum.filter(F.col("tag") == 1)
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "user_id",
+            "session_id",
+            "b_s",
+            "b_e",
+            "kind",
+            (F.col("c_ns") + F.col("o_ns")).alias("n_s"),
+            (F.col("c_ss") + F.col("o_ss")).alias("s_s"),
+            (F.col("c_ne") + F.col("o_ne")).alias("n_e"),
+            (F.col("c_se") + F.col("o_se")).alias("s_e"),
+        )
+    )
+    pick = lambda k, c: F.max(F.when(F.col("kind") == k, F.col(c)))  # noqa: E731
+    sess = (
+        at.groupBy("user_id", "session_id", "b_s", "b_e")
+        .agg(
+            pick("lo", "n_s").alias("lo_ns"),
+            pick("lo", "s_s").alias("lo_ss"),
+            pick("lo", "n_e").alias("lo_ne"),
+            pick("lo", "s_e").alias("lo_se"),
+            pick("hi", "n_s").alias("hi_ns"),
+            pick("hi", "s_s").alias("hi_ss"),
+            pick("hi", "n_e").alias("hi_ne"),
+            pick("hi", "s_e").alias("hi_se"),
+        )
+        .withColumn("n_pairs", F.col("hi_ns") - F.col("lo_ne"))
+        .withColumn(
+            "ov_us",
+            (
+                (F.col("hi_se") - F.col("lo_se"))
+                + F.col("b_e").cast(dec) * (F.col("hi_ns") - F.col("hi_ne"))
+            )
+            - (
+                (F.col("hi_ss") - F.col("lo_ss"))
+                + F.col("b_s").cast(dec)
+                * (F.col("n_pairs") - F.col("hi_ns") + F.col("lo_ns"))
+            ),
+        )
+    )
+    day = F.date_trunc("day", F.timestamp_micros(F.col("b_s")))
+    scaffold = pur.groupBy(day.alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    overlapped = (
+        sess.filter(F.col("n_pairs") > 0)
+        .groupBy(
+            F.date_trunc("day", F.timestamp_micros(F.col("b_s"))).alias("day")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlapped"),
+            F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("ov_us").cast("double") / F.sum("n_pairs") / 1e6, 6
+            ).alias("avg_overlap_s"),
+        )
+    )
+    return (
+        scaffold.join(overlapped, "day", "left")
+        .select(
+            "day",
+            "n_sessions",
+            F.coalesce("n_overlapped", F.lit(0)).alias("n_overlapped"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("avg_overlap_s", F.lit(0.0)).alias("avg_overlap_s"),
+        )
+        .orderBy("day")
+    )
+
+
 # ------------------------------------------------- CDC -> SCD2 (r11)
 _SCD2_SILVER = 100.0
 _SCD2_GOLD = 220.0
@@ -2211,6 +2418,7 @@ QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     "events_sessionization": events_sessionization,
     "events_interval_overlap": events_interval_overlap,
+    "events_interval_overlap_sweepline": events_interval_overlap_sweepline,
     "events_cdc_scd2_history": events_cdc_scd2_history,
     "events_session_window": events_session_window,
     "events_json_extract": events_json_extract,
@@ -2259,6 +2467,7 @@ ORACLES = {
     "events_hourly_agg": EVENTS_HOURLY_SQL,
     "events_sessionization": SESSIONIZATION_SQL,
     "events_interval_overlap": INTERVAL_OVERLAP_SQL,
+    "events_interval_overlap_sweepline": INTERVAL_OVERLAP_SQL,
     "events_cdc_scd2_history": CDC_SCD2_SQL,
     "events_session_window": SESSION_WINDOW_SQL,
     "events_json_extract": JSON_EXTRACT_SQL,

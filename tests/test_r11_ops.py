@@ -173,6 +173,40 @@ def test_interval_overlap_grid_edges(spark, tmp_path):
     assert row.avg_overlap_s == round((0 + 1200 + 300) / 3, 6)
 
 
+def test_interval_overlap_sweepline_equals_grid(spark, tmp_path):
+    """The linear sweep-line twin must reproduce the pair-materializing
+    grid version frame-exact — on the hand fixture (boundary touch,
+    multi-cell spans, scaffold-only sessions all stress the prefix
+    algebra's strict/inclusive sides) AND on real sf0.001 data."""
+    from datetime import datetime as dt
+
+    from pravega_spark.queries.relational import (
+        events_interval_overlap,
+        events_interval_overlap_sweepline,
+    )
+
+    d = lambda h, m: dt(2024, 3, 1, h, m)  # noqa: E731
+    rows = [
+        (1, d(10, 0), 1, "error"),
+        (2, d(10, 30), 2, "purchase"),
+        (3, d(9, 50), 3, "purchase"),
+        (4, d(11, 30), 4, "error"),
+        (5, d(11, 45), 4, "error"),
+        (6, d(12, 10), 5, "purchase"),
+        (7, d(20, 0), 6, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    for src in (str(tmp_path), "/root/testdata/sf0.001"):
+        grid = events_interval_overlap(spark, src).collect()
+        sweep = events_interval_overlap_sweepline(spark, src).collect()
+        assert sweep == grid, src
+
+
 def test_cdc_scd2_change_capture(spark, tmp_path):
     """SCD2 semantics, hand-computed on one user walking
     bronze->silver->(silver, no change row)->gold->bronze over a
