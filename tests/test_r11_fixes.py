@@ -302,3 +302,38 @@ def test_streaming_daily_pipeline_equals_batch(spark):
     streamed = [r.asDict() for r in pipeline_daily_corpus_streaming(spark, sf).collect()]
     assert len(batch) > 0
     assert streamed == batch
+
+
+# ------------- auto-sized reduce partitions (VERDICT r10 item 1) -------------
+
+
+def test_session_autosizes_reduce_partitions(spark):
+    """Pin the data-driven shuffle sizing contract end-to-end on the
+    live session: AQE coalescing starts from an oversized
+    initialPartitionNum (>= 32x cpus) with a 64 MB advisory target, the
+    cached-plan fragment exception is disabled (without
+    canChangeCachedPlanOutputPartitioning=true every persist()-
+    populating stage would run all ~1024 reduce tasks), and the
+    non-adaptive `spark.sql.shuffle.partitions` stays = cpus for the
+    Structured Streaming state-store paths. A regression in any of
+    these reintroduces the sf100 superlinear pair (q18 198 s / novelty
+    514 s) the r11 auto-sizing removed."""
+    import os
+
+    conf = spark.conf
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert int(
+        conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    ) >= max(1024, cpus * 32)
+    assert (
+        int(conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+        == 64 * 1024 * 1024
+    )
+    assert (
+        conf.get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")
+        == "true"
+    )
+    if not os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        assert int(conf.get("spark.sql.shuffle.partitions")) == cpus
