@@ -57,6 +57,14 @@ def get_spark(app_name: str = "pravega_spark", shuffle_partitions: int | None = 
             str(initial_partitions),
         )
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))
+        # parallelismFirst coalescing targets max(bytes/parallelism,
+        # minPartitionSize); the default 1 MiB floor is the BINDING term
+        # for byte-light/compute-heavy shuffles (a few MB of distinct
+        # vector reps feeding a quadratic pair join coalesced to 2
+        # tasks — a 6x small-scale regression found by the r11 bench
+        # A/B). 128 KiB keeps ~cpus-way parallelism for those; at real
+        # scale bytes/parallelism dominates and this floor is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         # without this, the plan fragment that POPULATES a .persist()
         # cache runs with AQE partition coalescing disabled (Spark keeps
         # cached output partitioning stable by default) — at a 1024-wide

@@ -331,6 +331,14 @@ def test_session_autosizes_reduce_partitions(spark):
         int(conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
         == 64 * 1024 * 1024
     )
+    # the 1 MiB default floor was the binding term for byte-light,
+    # compute-quadratic shuffles (near-dup pair joins coalesced to 2
+    # tasks at small SF — a 6x regression); 128 KiB keeps ~cpus-way
+    # parallelism there and is inert once bytes/parallelism dominates
+    assert (
+        conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+        == "128k"
+    )
     assert (
         conf.get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")
         == "true"
