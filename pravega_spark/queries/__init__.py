@@ -111,6 +111,7 @@ _GATE_ORDER = [
     "events_interval_overlap",
     "events_interval_overlap_sweepline",
     "events_cdc_scd2_history",
+    "events_scd2_point_in_time",
     # -- text_bpe_vocab_scale stays past-cap PERMANENTLY BY DESIGN
     # -- (VERDICT r9 item 2 / r10 item 2): its oracle is pure Python
     # -- (queries/py_oracles.py, judged via check_parity's

@@ -2393,6 +2393,135 @@ ORDER BY start_day, tier
 """
 
 
+def events_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension — the
+    feature-store staple: enrich every VIEW event with the viewer's
+    spend tier AS OF the view's timestamp (tier periods come from the
+    same rolling-spend change feed `events_cdc_scd2_history`
+    materializes; views before a user's first period read 'none').
+
+    The naive formulation is a range join (e.ts in [valid_from,
+    valid_to)); Spark would plan O(|events| x |periods-per-user|)
+    comparisons or a broadcast nested loop. This uses the linear
+    UNION + LAST-KNOWN-STATE pattern instead: tier-change rows
+    (tag 0) and view rows (tag 1) interleave in ONE (user_id x
+    (ts, tag, event_id))-ordered window, and each view reads
+    last(tier, ignorenulls) — its state as of that instant. Periods
+    are contiguous per user (valid_to == next valid_from), so the
+    next change overrides exactly at the boundary, and a change at
+    the same ts as a view sorts first (tag 0 < 1) = inclusive
+    valid_from, exclusive valid_to. Two narrow user_id shuffles total
+    (change derivation over the purchase slice, then the interleave) —
+    no range predicate, nothing quadratic; a hot user is one window
+    partition.
+
+    The DuckDB oracle deliberately IS the range join (periods built
+    identically, then e.ts >= valid_from AND (valid_to IS NULL OR
+    e.ts < valid_to)) — an independent formulation, so the
+    union-window trick's boundary semantics are value-hashed against
+    the textbook definition.
+
+    Output per (view day, tier): views and distinct viewers.
+
+    Reference parity: no analogue in pravega (stream store);
+    warehouse/feature-store tooling per the build brief."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "cum", F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 2)
+        )
+        .withColumn(
+            "tier",
+            F.when(F.col("cum") >= _SCD2_GOLD, "gold")
+            .when(F.col("cum") >= _SCD2_SILVER, "silver")
+            .otherwise("bronze"),
+        )
+        .withColumn("prev_tier", F.lag("tier").over(w))
+        .filter(F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier")))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            F.col("event_id"),
+            "tier",
+        )
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(1).alias("tag"), "event_id",
+        F.lit(None).cast("string").alias("tier"),
+    )
+    pit = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+    enriched = (
+        changes.unionByName(views)
+        .withColumn(
+            "tier_asof",
+            F.last("tier", ignorenulls=True).over(
+                pit.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("tag") == 1)
+    )
+    return (
+        enriched.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.coalesce("tier_asof", F.lit("none")).alias("tier"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_views"),
+            F.countDistinct("user_id").cast("bigint").alias("n_viewers"),
+        )
+        .orderBy("day", "tier")
+    )
+
+
+SCD2_PIT_SQL = f"""
+WITH tiers AS (
+  SELECT user_id, ts, event_id,
+         round(sum(value) OVER w, 2) AS cum
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+),
+classed AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN cum >= {_SCD2_GOLD} THEN 'gold'
+              WHEN cum >= {_SCD2_SILVER} THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM tiers
+),
+changes AS (
+  SELECT user_id, ts, event_id, tier,
+         lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+  FROM classed
+),
+periods AS (
+  SELECT user_id, tier, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+  WHERE prev_tier IS NULL OR prev_tier <> tier
+),
+views AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+),
+enriched AS (
+  SELECT v.user_id, v.ts, coalesce(p.tier, 'none') AS tier
+  FROM views v
+  LEFT JOIN periods p
+    ON p.user_id = v.user_id
+   AND v.ts >= p.valid_from
+   AND (p.valid_to IS NULL OR v.ts < p.valid_to)
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, tier,
+       CAST(count(*) AS BIGINT) AS n_views,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_viewers
+FROM enriched
+GROUP BY 1, 2
+ORDER BY day, tier
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -2436,6 +2565,7 @@ QUERIES = {
     "events_interval_overlap": events_interval_overlap,
     "events_interval_overlap_sweepline": events_interval_overlap_sweepline,
     "events_cdc_scd2_history": events_cdc_scd2_history,
+    "events_scd2_point_in_time": events_scd2_point_in_time,
     "events_session_window": events_session_window,
     "events_json_extract": events_json_extract,
     "events_asof_purchase": events_asof_purchase,
@@ -2485,6 +2615,7 @@ ORACLES = {
     "events_interval_overlap": INTERVAL_OVERLAP_SQL,
     "events_interval_overlap_sweepline": INTERVAL_OVERLAP_SQL,
     "events_cdc_scd2_history": CDC_SCD2_SQL,
+    "events_scd2_point_in_time": SCD2_PIT_SQL,
     "events_session_window": SESSION_WINDOW_SQL,
     "events_json_extract": JSON_EXTRACT_SQL,
     "events_asof_purchase": ASOF_SQL,

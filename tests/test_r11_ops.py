@@ -248,6 +248,53 @@ def test_cdc_scd2_change_capture(spark, tmp_path):
     assert (g.n_periods, g.n_users, g.n_current, g.avg_closed_s) == (1, 1, 0, 10800.0)
 
 
+def test_scd2_point_in_time_boundaries(spark, tmp_path):
+    """Point-in-time join boundary semantics, hand-computed on the
+    SCD2 fixture user (bronze@10 -> silver@11 -> gold@13 -> bronze@16):
+    a view BEFORE the first period reads 'none'; a view at EXACTLY a
+    change's ts reads the NEW tier (inclusive valid_from); a view
+    mid-period reads that period; a view after the last change reads
+    the open current period; a user with no purchases is always
+    'none'."""
+    from datetime import datetime as dt
+
+    from pravega_spark.queries.relational import events_scd2_point_in_time
+
+    h = lambda hh, m=0: dt(2024, 3, 1, hh, m)  # noqa: E731
+    purchases = [
+        (1, h(10), 1, "purchase", 50.0),
+        (2, h(11), 1, "purchase", 80.0),
+        (3, h(12), 1, "purchase", 10.0),
+        (4, h(13), 1, "purchase", 300.0),
+        (5, h(14), 1, "purchase", 5.0),
+        (6, h(15), 1, "purchase", 1.0),
+        (7, h(16), 1, "purchase", 1.0),
+    ]
+    views = [
+        (10, h(9), 1, "view", 0.0),    # before first period -> none
+        (11, h(11), 1, "view", 0.0),   # exact change ts -> NEW tier (silver)
+        (12, h(13, 30), 1, "view", 0.0),  # mid gold period
+        (13, h(17), 1, "view", 0.0),   # after last change -> current bronze
+        (14, h(12), 3, "view", 0.0),   # user with no purchases -> none
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in purchases + views],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.tier: (r.n_views, r.n_viewers)
+        for r in events_scd2_point_in_time(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "none": (2, 2),
+        "silver": (1, 1),
+        "gold": (1, 1),
+        "bronze": (1, 1),
+    }
+
+
 def test_kmeans_tie_breaks_to_smaller_cluster(spark, tmp_path):
     rows = [
         (0, [1.0, 0.0], 0),
