@@ -204,6 +204,49 @@ def test_interval_overlap_sweepline_equals_grid(spark, tmp_path):
         assert sweep == grid, src
 
 
+def test_interval_overlap_sweepline_property(spark, tmp_path):
+    """Randomized adversarial check of the sweep-line prefix algebra:
+    5 seeded random fixtures biased toward TIES (timestamps drawn from
+    a coarse 10-minute grid, so boundary-touch, equal-start,
+    equal-end, and probe-collides-with-data cases all occur), each
+    asserted sweepline == grid frame-exact. Catches strict/inclusive
+    mistakes the hand fixture under-determines; seeds are fixed so a
+    failure reproduces."""
+    import random
+    from datetime import datetime as dt, timedelta
+
+    from pravega_spark.queries.relational import (
+        events_interval_overlap,
+        events_interval_overlap_sweepline,
+    )
+
+    base = dt(2024, 3, 1)
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        rows = []
+        eid = 0
+        for user in range(1, 13):
+            etype = "error" if user % 2 else "purchase"
+            for _ in range(rng.randint(1, 4)):
+                eid += 1
+                # coarse 10-min grid over 8 hours => dense ties
+                ts = base + timedelta(minutes=10 * rng.randint(0, 48))
+                rows.append((eid, ts, user, etype, 0.0, "{}"))
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        dest = tmp_path / f"s{seed}"
+        dest.mkdir()
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(dest / "events.parquet")
+        )
+        grid = events_interval_overlap(spark, str(dest)).collect()
+        sweep = events_interval_overlap_sweepline(spark, str(dest)).collect()
+        assert sweep == grid, f"seed {seed}: {sweep} != {grid}"
+
+
 def test_cdc_scd2_change_capture(spark, tmp_path):
     """SCD2 semantics, hand-computed on one user walking
     bronze->silver->(silver, no change row)->gold->bronze over a
