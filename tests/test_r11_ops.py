@@ -338,6 +338,86 @@ def test_scd2_point_in_time_boundaries(spark, tmp_path):
     }
 
 
+def test_scd2_point_in_time_random_vs_bruteforce(spark, tmp_path):
+    """Randomized adversarial check of the union-window temporal join
+    against an INDEPENDENT Python brute-force range join (periods
+    derived the textbook way, each view matched by from <= ts < to).
+    Timestamps ride a coarse grid so view-ts == change-ts collisions
+    occur; seeds fixed for reproducibility."""
+    import random
+    from collections import defaultdict
+    from datetime import datetime as dt, timedelta
+
+    from pravega_spark.queries.relational import events_scd2_point_in_time
+
+    base = dt(2024, 3, 1)
+    for seed in range(3):
+        rng = random.Random(2000 + seed)
+        rows = []
+        eid = 0
+        for user in range(1, 9):
+            for _ in range(rng.randint(0, 6)):
+                eid += 1
+                ts = base + timedelta(minutes=30 * rng.randint(0, 20))
+                rows.append((eid, ts, user, "purchase", round(rng.uniform(1, 200), 2)))
+            for _ in range(rng.randint(0, 4)):
+                eid += 1
+                ts = base + timedelta(minutes=30 * rng.randint(0, 20))
+                rows.append((eid, ts, user, "view", 0.0))
+        df = spark.createDataFrame(
+            [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        dest = tmp_path / f"p{seed}"
+        dest.mkdir()
+        df.coalesce(1).write.mode("overwrite").parquet(str(dest / "events.parquet"))
+
+        # independent brute force
+        purchases = defaultdict(list)
+        views = []
+        for i, ts, u, t, v in rows:
+            if t == "purchase":
+                purchases[u].append((ts, i, v))
+            else:
+                views.append((u, ts))
+        periods = defaultdict(list)  # user -> [(from, to|None, tier)]
+        for u, ps in purchases.items():
+            ps.sort()
+            tiers = []
+            for idx in range(len(ps)):
+                cum = round(sum(v for _, _, v in ps[max(0, idx - 2): idx + 1]), 2)
+                tiers.append(
+                    "gold" if cum >= 220 else "silver" if cum >= 100 else "bronze"
+                )
+            changes = [
+                (ps[i][0], tiers[i])
+                for i in range(len(ps))
+                if i == 0 or tiers[i] != tiers[i - 1]
+            ]
+            for i, (ts, tier) in enumerate(changes):
+                to = changes[i + 1][0] if i + 1 < len(changes) else None
+                periods[u].append((ts, to, tier))
+        agg = defaultdict(lambda: [0, set()])
+        for u, ts in views:
+            tier = "none"
+            for frm, to, t in periods.get(u, []):
+                if ts >= frm and (to is None or ts < to):
+                    tier = t
+                    break
+            key = (ts.replace(hour=0, minute=0), tier)
+            agg[key][0] += 1
+            agg[key][1].add(u)
+        expected = sorted(
+            (d, t, n, len(us)) for (d, t), (n, us) in agg.items()
+        )
+        got = sorted(
+            (r.day, r.tier, r.n_views, r.n_viewers)
+            for r in events_scd2_point_in_time(spark, str(dest)).collect()
+        )
+        assert got == expected, f"seed {seed}"
+
+
 def test_kmeans_tie_breaks_to_smaller_cluster(spark, tmp_path):
     rows = [
         (0, [1.0, 0.0], 0),
