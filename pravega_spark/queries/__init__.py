@@ -103,15 +103,16 @@ _GATE_ORDER = [
     # -- for the three never-gated r11 ops above; their r10 rows are one
     # -- round old and check_parity re-verifies them each round).
     # -- r12 rotation note: front this block next round ------------------
-    # -- ALL FOUR ops below are new in r11 and past-cap (the in-gate 50
+    # -- ALL SIX ops below are new in r11 and past-cap (the in-gate 50
     # -- was fully claimed by the r11 rotation); each is SQL-oracled,
-    # -- judge-verified via check_parity this round, and ALL FOUR front
+    # -- judge-verified via check_parity this round, and ALL SIX front
     # -- in r12 — do not front just the first one.
     "similarity_semantic_dedup",
     "events_interval_overlap",
     "events_interval_overlap_sweepline",
     "events_cdc_scd2_history",
     "events_scd2_point_in_time",
+    "corpus_weighted_sample",
     # -- text_bpe_vocab_scale stays past-cap PERMANENTLY BY DESIGN
     # -- (VERDICT r9 item 2 / r10 item 2): its oracle is pure Python
     # -- (queries/py_oracles.py, judged via check_parity's

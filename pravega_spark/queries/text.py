@@ -3488,6 +3488,111 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------- weighted PPS sample (r11)
+_PPS_K = 20  # target sample size per language stratum
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted systematic PPS sample (Madow 1949): up to K docs
+    per language, selected with probability proportional to document
+    size (n_chars) — the token-budget-aware counterpart of the uniform
+    `corpus_stratified_sample` (when the downstream budget is TOKENS,
+    uniform-by-doc over-represents short docs).
+
+    Every step is INTEGER arithmetic, so both engines agree
+    bit-for-bit with no RNG and no libm: per language, docs ordered by
+    doc_id carry a cumulative weight; stride = ceil(W / K); a doc is
+    selected iff its weight interval (cum-w, cum] crosses a stride
+    boundary — floor(cum/stride) > floor((cum-w)/stride). A doc wider
+    than the stride crosses several boundaries but is selected once
+    (PPS-with-certainty, the standard systematic behavior); selected
+    count = floor(W/stride) <= K exactly. Deterministic across
+    engines, runs, and cluster sizes — resampling a grown corpus
+    shifts selections only where the cumulative prefix changed.
+
+    Scale shape: ONE language-partitioned window cumsum over the doc
+    frame + a broadcast per-language totals join; a hot language is
+    one linear window partition. Nothing floating-point until the
+    final reporting ratio.
+
+    Output per language: docs, sampled docs, total/sampled weight,
+    sampled-weight share (round 6), and sum of sampled doc_ids (an
+    exact selection fingerprint the value hash pins).
+
+    Reference parity: no analogue in pravega (stream store); curation
+    tooling per the build brief."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") + 1).alias("w")
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = d.withColumn("cum", F.sum("w").over(win))
+    totals = d.groupBy("lang").agg(F.sum("w").alias("w_total"))
+    stride = F.expr(f"div(w_total + {_PPS_K - 1}, {_PPS_K})")
+    sel = (
+        cum.join(F.broadcast(totals), "lang")
+        .withColumn("stride", stride)
+        .withColumn(
+            "picked",
+            (
+                F.expr("div(cum, stride)") > F.expr("div(cum - w, stride)")
+            ).cast("int"),
+        )
+    )
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("picked").cast("bigint").alias("n_sampled"),
+            F.max("w_total").cast("bigint").alias("w_total"),
+            F.sum(F.col("picked") * F.col("w")).cast("bigint").alias("w_sampled"),
+            F.round(
+                F.sum(F.col("picked") * F.col("w")) / F.max("w_total"), 6
+            ).alias("w_share"),
+            F.sum(F.col("picked") * F.col("doc_id")).cast("bigint").alias(
+                "id_fingerprint"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars + 1 AS w FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, w,
+         sum(w) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+),
+totals AS (
+  SELECT lang, sum(w) AS w_total FROM d GROUP BY 1
+),
+sel AS (
+  SELECT c.lang, c.doc_id, c.w, t.w_total,
+         CASE WHEN (c.cum // ((t.w_total + {_PPS_K - 1}) // {_PPS_K}))
+                 > ((c.cum - c.w) // ((t.w_total + {_PPS_K - 1}) // {_PPS_K}))
+              THEN 1 ELSE 0 END AS picked
+  FROM cum c JOIN totals t USING (lang)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(picked) AS BIGINT) AS n_sampled,
+       CAST(max(w_total) AS BIGINT) AS w_total,
+       CAST(sum(picked * w) AS BIGINT) AS w_sampled,
+       round(CAST(sum(picked * w) AS DOUBLE) / max(w_total), 6) AS w_share,
+       CAST(sum(picked * doc_id) AS BIGINT) AS id_fingerprint
+FROM sel
+GROUP BY 1
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "pipeline_daily_corpus": pipeline_daily_corpus,
     "pipeline_daily_corpus_streaming": pipeline_daily_corpus_streaming,
@@ -3506,6 +3611,7 @@ QUERIES = {
     "text_bpe_learned_tokenize": text_bpe_learned_tokenize,
     "text_bpe_vocab_scale": text_bpe_vocab_scale,
     "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_weighted_sample": corpus_weighted_sample,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_chunk_windows": corpus_chunk_windows,
     "corpus_token_packing": corpus_token_packing,
@@ -3539,6 +3645,7 @@ ORACLES = {
     "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "text_bpe_learned_tokenize": BPE_LEARNED_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "corpus_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
     "corpus_chunk_windows": CHUNK_WINDOWS_SQL,
     "corpus_token_packing": TOKEN_PACKING_SQL,

@@ -418,6 +418,43 @@ def test_scd2_point_in_time_random_vs_bruteforce(spark, tmp_path):
         assert got == expected, f"seed {seed}"
 
 
+def test_weighted_pps_sample_hand_computed(spark, tmp_path):
+    """Systematic PPS selection, hand-computed (K=20): lang 'xx' has
+    W=200 over 4 docs => stride=10; every doc's weight interval
+    crosses a boundary so all are picked, including the w=151 giant
+    exactly ONCE (PPS-with-certainty); lang 'yy' W=20 over 10 equal
+    docs (w=2 each) => stride=1 < w, all picked; lang 'zz' (W=221,
+    stride=12) has one tiny doc among giants whose interval (120,121]
+    crosses no multiple of 12 => NOT picked."""
+    from pravega_spark.queries.text import corpus_weighted_sample
+
+    rows = []
+    did = 0
+    # xx: n_chars+1 weights 151, 20, 19, 10 -> W=200, stride=10
+    for w in (151, 20, 19, 10):
+        rows.append((did, "t", "xx", "s", w - 1)); did += 1
+    # yy: ten docs of weight 2 -> W=20, stride=1
+    for _ in range(10):
+        rows.append((did, "t", "yy", "s", 1)); did += 1
+    # zz: 120 + 1 + 100 -> W=221, stride=ceil(221/20)=12;
+    # doc2's interval (120,121] contains no multiple of 12 -> skipped
+    for w in (120, 1, 100):
+        rows.append((did, "t", "zz", "s", w - 1)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r.lang: r for r in corpus_weighted_sample(spark, str(tmp_path)).collect()}
+    assert out["xx"].n_sampled == 4 and out["xx"].w_sampled == 200
+    assert out["yy"].n_sampled == 10
+    assert out["zz"].n_sampled == 2
+    assert out["zz"].w_sampled == 220  # giant docs picked, the w=1 doc not
+    # fingerprint pins WHICH zz docs: ids 14 and 16, not the tiny 15
+    assert out["zz"].id_fingerprint == 14 + 16
+
+
 def test_kmeans_tie_breaks_to_smaller_cluster(spark, tmp_path):
     rows = [
         (0, [1.0, 0.0], 0),
