@@ -113,6 +113,9 @@ _GATE_ORDER = [
     "events_cdc_scd2_history",
     "events_scd2_point_in_time",
     "corpus_weighted_sample",
+    "text_tfidf_top_terms",
+    "events_rolling_distinct_users",
+    "events_ewma_smoothed",
     # -- text_bpe_vocab_scale stays past-cap PERMANENTLY BY DESIGN
     # -- (VERDICT r9 item 2 / r10 item 2): its oracle is pure Python
     # -- (queries/py_oracles.py, judged via check_parity's

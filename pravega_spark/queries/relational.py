@@ -2522,6 +2522,160 @@ ORDER BY day, tier
 """
 
 
+# -------------------------------------- rolling distinct users (r11)
+_ROLLING_DAYS = 7
+
+
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users + event volume per activity day —
+    the canonical DAU/WAU engagement rollup.
+
+    Distributed shape: a rolling COUNT(DISTINCT) cannot use a window
+    frame (Spark forbids DISTINCT in windows) and the naive plan is a
+    day×event range join — quadratic in the window width at scale.
+    Instead each (user, day) activity fact is exploded to the <=7
+    trailing report days it contributes to (``sequence`` of day
+    timestamps), then a single groupBy(day) does the distinct count:
+    bounded 7x fan-out, linear in events, and the explode happens on
+    the already-deduped (user, day) frame so the fan-out input is
+    |users x days|, not |events|. Rolling event volume rides the same
+    pattern on the per-day counts frame (25 rows per day). Report days
+    are restricted to days with actual activity via a broadcast
+    semi-join on the tiny day spine.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    days = ev.select("day").distinct()
+    step = f"sequence(day, day + INTERVAL {_ROLLING_DAYS - 1} DAYS, INTERVAL 1 DAY)"
+    user_days = ev.distinct()
+    rolling_users = (
+        user_days.select(F.explode(F.expr(step)).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("rolling_users"))
+    )
+    daily_counts = ev.groupBy("day").agg(F.count("*").alias("n"))
+    rolling_events = (
+        daily_counts.select(F.explode(F.expr(step)).alias("day"), "n")
+        .groupBy("day")
+        .agg(F.sum("n").cast("bigint").alias("rolling_events"))
+    )
+    return (
+        rolling_users.join(rolling_events, "day")
+        .join(F.broadcast(days), "day", "left_semi")
+        .orderBy("day")
+    )
+
+
+ROLLING_DISTINCT_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+),
+d AS (SELECT DISTINCT day FROM ud),
+dd AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+  FROM events GROUP BY 1
+),
+ru AS (
+  SELECT d.day, count(DISTINCT u.user_id) AS rolling_users
+  FROM d JOIN ud u
+    ON u.day BETWEEN d.day - INTERVAL {_ROLLING_DAYS - 1} DAY AND d.day
+  GROUP BY d.day
+),
+re AS (
+  SELECT d.day, CAST(sum(c.n) AS BIGINT) AS rolling_events
+  FROM d JOIN dd c
+    ON c.day BETWEEN d.day - INTERVAL {_ROLLING_DAYS - 1} DAY AND d.day
+  GROUP BY d.day
+)
+SELECT day, rolling_users, rolling_events
+FROM ru JOIN re USING (day)
+ORDER BY day
+"""
+
+
+# -------------------------------------- EWMA-kernel smoothing (r11)
+# 8-tap truncated exponential kernel: 1/2, 1/4, ... 1/128, 1/128 —
+# sums to exactly 1, and every weight is a power of two so each
+# product is an EXACT double operation (scaling the exponent), making
+# the whole pipeline bit-deterministic across engines with no decimal
+# casts and no libm.
+_EWMA_WEIGHTS = [2.0 ** -(k + 1) for k in range(7)] + [2.0 ** -7]
+
+
+def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted value smoothing (truncated
+    8-tap kernel) evaluated at each user's LAST event — the standard
+    time-decay feature for session/engagement models.
+
+    A true EWMA recursion (s_i = a*x_i + (1-a)*s_{i-1}) is sequential
+    state; the distributed form truncates the exponential kernel at 8
+    taps (tail mass folded into the last tap so weights sum to 1
+    exactly) and evaluates it as a fixed dot product over window lags
+    — ONE hash-partition shuffle on user_id, no iteration, no state.
+    Bit-exactness contract: power-of-two weights make each multiply
+    exact in IEEE doubles, and the addition chain is written
+    left-associated so both engines round identically at every step.
+
+    Output: users with >=8 events — event count, last event time,
+    smoothed value, raw last value.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("cnt"),
+        *[F.lag("value", k).over(w).alias(f"x{k}") for k in range(1, 8)],
+    )
+    smoothed = F.col("value") * F.lit(_EWMA_WEIGHTS[0])
+    for k in range(1, 8):
+        smoothed = smoothed + F.col(f"x{k}") * F.lit(_EWMA_WEIGHTS[k])
+    return (
+        lagged.filter((F.col("rn") == F.col("cnt")) & (F.col("cnt") >= 8))
+        .select(
+            "user_id",
+            F.col("cnt").cast("bigint").alias("n_events"),
+            F.col("ts").alias("last_ts"),
+            smoothed.alias("ewma_value"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EWMA_TERMS_SQL = " + ".join(
+    f"{'value' if k == 0 else f'x{k}'} * {w!r}" for k, w in enumerate(_EWMA_WEIGHTS)
+)
+
+EWMA_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt,
+         {", ".join(f"lag(value, {k}) OVER w AS x{k}" for k in range(1, 8))}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(cnt AS BIGINT) AS n_events,
+       ts AS last_ts,
+       {_EWMA_TERMS_SQL} AS ewma_value,
+       value AS last_value
+FROM lagged
+WHERE rn = cnt AND cnt >= 8
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -2570,6 +2724,8 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_asof_purchase": events_asof_purchase,
     "events_running_value": events_running_value,
+    "events_rolling_distinct_users": events_rolling_distinct_users,
+    "events_ewma_smoothed": events_ewma_smoothed,
 }
 
 ORACLES = {
@@ -2620,4 +2776,6 @@ ORACLES = {
     "events_json_extract": JSON_EXTRACT_SQL,
     "events_asof_purchase": ASOF_SQL,
     "events_running_value": RUNNING_SQL,
+    "events_rolling_distinct_users": ROLLING_DISTINCT_SQL,
+    "events_ewma_smoothed": EWMA_SQL,
 }

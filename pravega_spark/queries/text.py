@@ -3593,6 +3593,100 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------- TF-IDF top terms (r11)
+_TFIDF_TOP_K = 5
+_TFIDF_MIN_LEN = 3
+_IDF_SCALE = 1_000_000
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language salient vocabulary: top-K terms by corpus TF-IDF.
+
+    The classic curation signal (Salton & Buckley 1988 weighting) for
+    spotting boilerplate vs. content terms per language stratum. All
+    scoring is INTEGER arithmetic so both engines agree bit-for-bit
+    with no libm: instead of ``tf * ln(N/df)`` the score uses the
+    rational idf ``(N * 1e6) div df`` (a fixed-point 1/df weight —
+    same ordering as log-idf for ranking within a language because it
+    is monotone in 1/df; ties broken by term asc). Stopwords and
+    terms shorter than 3 chars are excluded.
+
+    Scale shape: ONE explode of the token stream into a PERSISTED
+    (doc,term) tf frame — df aggregates from that cache and joins back
+    broadcast, so the wide exploded frame is scanned and shuffled
+    exactly once (without the cache, Catalyst re-derives df from a
+    second explode of the raw corpus). The corpus-size scalar N joins
+    as a 1-row broadcast, not a collect; the final per-language top-K
+    runs as a WindowGroupLimit (rank pushdown), not a full sort.
+
+    Reference parity: no analogue in pravega (stream store); text
+    analysis layer per the build brief."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.groupBy().agg(F.count("*").alias("n"))
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(_tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .filter(
+            (F.length("term") >= _TFIDF_MIN_LEN) & ~F.col("term").isin(*STOPWORDS)
+        )
+    )
+    tf = register_result_cache(
+        tok.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf")).persist()
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("idf", F.expr(f"div(n * {_IDF_SCALE}, df)"))
+        .groupBy("lang", "term")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf")).cast("bigint").alias("score"),
+            F.max("df").cast("bigint").alias("df"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _TFIDF_TOP_K)
+        .select("lang", F.col("rank").cast("bigint").alias("rank"), "term", "score", "df")
+        .orderBy("lang", "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, t.term AS term
+  FROM documents, unnest(string_split_regex(trim(lower(text)), ' +')) AS t(term)
+  WHERE length(t.term) >= {_TFIDF_MIN_LEN} AND t.term NOT IN ({_STOP_SQL})
+),
+tf AS (
+  SELECT doc_id, lang, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.lang, tf.term,
+         CAST(sum(tf.tf * ((n.n * {_IDF_SCALE}) // df.df)) AS BIGINT) AS score,
+         CAST(max(df.df) AS BIGINT) AS df
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, term, score, df,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term, score, df
+FROM ranked WHERE rank <= {_TFIDF_TOP_K}
+ORDER BY lang, rank
+"""
+
+
 QUERIES = {
     "pipeline_daily_corpus": pipeline_daily_corpus,
     "pipeline_daily_corpus_streaming": pipeline_daily_corpus_streaming,
@@ -3612,6 +3706,7 @@ QUERIES = {
     "text_bpe_vocab_scale": text_bpe_vocab_scale,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_weighted_sample": corpus_weighted_sample,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_chunk_windows": corpus_chunk_windows,
     "corpus_token_packing": corpus_token_packing,
@@ -3646,6 +3741,7 @@ ORACLES = {
     "text_bpe_learned_tokenize": BPE_LEARNED_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "text_tfidf_top_terms": TFIDF_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
     "corpus_chunk_windows": CHUNK_WINDOWS_SQL,
     "corpus_token_packing": TOKEN_PACKING_SQL,
