@@ -116,6 +116,9 @@ _GATE_ORDER = [
     "text_tfidf_top_terms",
     "events_rolling_distinct_users",
     "events_ewma_smoothed",
+    "events_countmin_heavy_hitters",
+    "events_anomaly_robust_z",
+    "nation_trade_pagerank",
     # -- text_bpe_vocab_scale stays past-cap PERMANENTLY BY DESIGN
     # -- (VERDICT r9 item 2 / r10 item 2): its oracle is pure Python
     # -- (queries/py_oracles.py, judged via check_parity's

@@ -2676,6 +2676,338 @@ ORDER BY user_id
 """
 
 
+# -------------------------------------- Count-Min heavy hitters (r11)
+_CMS_DEPTH = 4  # independent hash rows
+_CMS_WIDTH = 64  # buckets per row — deliberately small vs ~500 items
+_CMS_TOP_K = 10
+
+
+def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation for per-(event_type, user-bucket) stream items, with
+    the exact counts alongside so the sketch's one-sided error is
+    auditable: est_n >= exact_n always, and the top-K heavy hitters
+    are ranked by the ESTIMATE (what a real sketch consumer sees).
+
+    The width (64) is deliberately undersized against the ~500-item
+    domain so collisions actually occur and the min-over-depth
+    reduction is exercised — an oversized sketch would make the
+    operator a disguised exact count.
+
+    Distributed shape: the ONLY data-sized stage is one map-side-
+    combinable groupBy(item); the sketch itself is the d x w = 256
+    cell frame aggregated from the item counts (never from raw
+    events), and estimate extraction is a broadcast join of items
+    against cells. At 100 TB the sketch stays 256 rows; merging
+    per-partition sketches is exactly what the partial aggregation
+    already does. Hashes are truncated md5 (deterministic, both
+    engines, no RNG).
+
+    Reference parity: no analogue in pravega (stream store);
+    sketch/analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events")
+    item = F.concat(
+        F.col("event_type"), F.lit(":"), (F.col("user_id") % 100).cast("string")
+    )
+    counts = register_result_cache(
+        ev.select(item.alias("item")).groupBy("item").agg(F.count("*").alias("n")).persist()
+    )
+    rows_ = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
+    hashed = counts.crossJoin(F.broadcast(rows_)).withColumn(
+        "col",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cm"), F.col("r").cast("string"), F.lit(":"), F.col("item"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_WIDTH,
+    )
+    cells = hashed.groupBy("r", "col").agg(F.sum("n").alias("cell_n"))
+    est = (
+        hashed.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("item")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    return (
+        counts.join(est, "item")
+        .select(
+            "item",
+            F.col("n").cast("bigint").alias("exact_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+            (F.col("est_n") - F.col("n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("est_n"), "item")
+        .limit(_CMS_TOP_K)
+    )
+
+
+COUNTMIN_SQL = f"""
+WITH counts AS (
+  SELECT event_type || ':' || CAST(user_id % 100 AS VARCHAR) AS item,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+hashed AS (
+  SELECT c.item, c.n, r.r,
+         ('0x' || substr(md5('cm' || r.r || ':' || c.item), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS col
+  FROM counts c CROSS JOIN r
+),
+cells AS (
+  SELECT r, col, sum(n) AS cell_n FROM hashed GROUP BY 1, 2
+),
+est AS (
+  SELECT h.item, min(ce.cell_n) AS est_n
+  FROM hashed h JOIN cells ce ON h.r = ce.r AND h.col = ce.col
+  GROUP BY 1
+)
+SELECT c.item AS item,
+       CAST(c.n AS BIGINT) AS exact_n,
+       CAST(e.est_n AS BIGINT) AS est_n,
+       CAST(e.est_n - c.n AS BIGINT) AS overcount
+FROM counts c JOIN est e USING (item)
+ORDER BY est_n DESC, item
+LIMIT {_CMS_TOP_K}
+"""
+
+
+# -------------------------------------- robust z-score anomalies (r11)
+# threshold = 3 sigma-equivalents on the MAD scale (3 * 1.4826)
+_MAD_K = 4.4478
+
+
+def events_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type anomaly detection via robust z-score (median/MAD — the
+    outlier-resistant alternative to mean/stddev, Iglewicz & Hoaglin
+    1993): events whose |value - median| exceeds 3 sigma-equivalents
+    (3 x 1.4826 x MAD) are flagged.
+
+    Bit-exactness contract: medians use percentile_disc, which PICKS
+    an actual data value instead of interpolating — interpolation
+    formulas differ in ULP between engines ((a+b)/2 vs a+(b-a)/2), a
+    discrete pick cannot. Every downstream op (subtract, abs, one
+    multiply by the literal threshold, compare) is a single IEEE
+    operation on identical operands.
+
+    Distributed shape: robust stats are inherently two-pass (MAD needs
+    the median first) plus a third counting pass; the events
+    projection is persisted so parquet is scanned once, and both join-
+    backs broadcast the 5-row stats frames. Exact per-group medians
+    buffer the group in memory — at 100 TB swap percentile_disc for
+    approx_percentile (the sketch path events_percentile_sketch
+    already demonstrates); semantics stay deterministic, flags near
+    the threshold may differ by the sketch error bound.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    ev = register_result_cache(
+        _t(spark, sf_dir, "events").select("event_type", "value").persist()
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_anom", (F.col("adev") > F.lit(_MAD_K) * F.col("mad")).cast("int")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum("is_anom").cast("bigint").alias("n_anomalies"),
+            F.round(F.sum("is_anom") / F.count("*"), 6).alias("anomaly_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANOMALY_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(d.med), 6) AS med,
+       round(max(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       round(sum(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS anomaly_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# -------------------------------------- trade-graph PageRank (r11)
+_PR_SCALE = 1_000_000_000_000  # rank fixed point (1e12)
+_PR_PPM = 1_000_000  # edge-share fixed point
+_PR_ITERS = 3
+
+
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Page et al. 1999; damping 0.85, 3 iterations) over the
+    supplier-nation -> customer-nation trade graph — the canonical
+    iterative-algorithm-on-Spark shape.
+
+    Integer fixed-point contract: ranks live at 1e12 scale and edge
+    shares at ppm, every update is bigint multiply + floor div, so the
+    sums are order-independent and both engines agree bit-for-bit —
+    no doubles until the final reporting share. Floor-div remainders
+    and dangling-node leakage (a nation with no out-edges keeps only
+    the teleport term) make total mass decay slightly per iteration;
+    that is the documented simplified-PageRank behavior, identical in
+    both engines.
+
+    Distributed shape: the 100 TB stage is building the edge frame —
+    lineitem x supplier (broadcast dim) for the source nation and the
+    lineitem x orders fact-fact equi-join (AQE-planned; the bucketed
+    q18 twin shows the co-located variant) x customer for the
+    destination — collapsed by partial aggregation to <=625 weighted
+    edges. The 3 Lloyd-style iterations then run on that broadcast-
+    small frame: per iteration one groupBy(dst) on 625 rows. Rank
+    state never touches the driver (1-row count frame cross-joined,
+    not collected).
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = register_result_cache(
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nat.withColumnRenamed("n_name", "src")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(
+                nat.withColumnRenamed("n_name", "dst").withColumnRenamed(
+                    "n_nationkey", "c_natkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("c_natkey"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    share = edges.join(outw, "src").select(
+        "src", "dst", F.expr(f"div(w * {_PR_PPM}, outw)").alias("ppm")
+    )
+    v = nat.select(F.col("n_name").alias("nation"))
+    nv = nat.groupBy().agg(F.count("*").alias("n_v"))
+    # base/teleport term and initial rank, carried as columns (no collect)
+    rank = (
+        v.crossJoin(F.broadcast(nv))
+        .select(
+            "nation",
+            F.expr(f"div({_PR_SCALE}, n_v)").alias("rank"),
+            F.expr(f"div(15 * div({_PR_SCALE}, n_v), 100)").alias("base"),
+        )
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            share.join(
+                F.broadcast(rank.select(F.col("nation").alias("src"), "rank")), "src"
+            )
+            .select("dst", F.expr(f"div(rank * ppm, {_PR_PPM})").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c_sum"))
+        )
+        rank = (
+            rank.select("nation", "base")
+            .join(F.broadcast(contrib), rank.nation == contrib.dst, "left")
+            .select(
+                "nation",
+                (
+                    F.col("base")
+                    + F.expr("div(85 * coalesce(c_sum, 0), 100)")
+                ).alias("rank"),
+                "base",
+            )
+        )
+    return (
+        rank.select(
+            "nation",
+            F.col("rank").cast("bigint").alias("rank_scaled"),
+            F.round(F.col("rank") / F.lit(float(_PR_SCALE)), 6).alias("rank_share"),
+        )
+        .orderBy(F.desc("rank_scaled"), "nation")
+    )
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT v.nation,
+         v.base + (85 * coalesce(sum((r.rank * s.ppm) // {_PR_PPM}), 0)) // 100
+           AS rank,
+         v.base AS base
+  FROM r0_base v
+  LEFT JOIN (share s JOIN {prev} r ON r.nation = s.src) ON s.dst = v.nation
+  GROUP BY v.nation, v.base
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH edges AS (
+  SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+share AS (
+  SELECT e.src, e.dst, (e.w * {_PR_PPM}) // o.outw AS ppm
+  FROM edges e JOIN outw o USING (src)
+),
+nv AS (SELECT count(*) AS n_v FROM nation),
+r0_base AS (
+  SELECT n.n_name AS nation,
+         {_PR_SCALE} // nv.n_v AS rank,
+         (15 * ({_PR_SCALE} // nv.n_v)) // 100 AS base
+  FROM nation n CROSS JOIN nv
+),{",".join(_pagerank_iter_sql("r0_base" if i == 0 else f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))}
+SELECT nation,
+       CAST(rank AS BIGINT) AS rank_scaled,
+       round(CAST(rank AS DOUBLE) / {float(_PR_SCALE)!r}, 6) AS rank_share
+FROM r{_PR_ITERS}
+ORDER BY rank_scaled DESC, nation
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -2726,6 +3058,9 @@ QUERIES = {
     "events_running_value": events_running_value,
     "events_rolling_distinct_users": events_rolling_distinct_users,
     "events_ewma_smoothed": events_ewma_smoothed,
+    "events_countmin_heavy_hitters": events_countmin_heavy_hitters,
+    "events_anomaly_robust_z": events_anomaly_robust_z,
+    "nation_trade_pagerank": nation_trade_pagerank,
 }
 
 ORACLES = {
@@ -2778,4 +3113,7 @@ ORACLES = {
     "events_running_value": RUNNING_SQL,
     "events_rolling_distinct_users": ROLLING_DISTINCT_SQL,
     "events_ewma_smoothed": EWMA_SQL,
+    "events_countmin_heavy_hitters": COUNTMIN_SQL,
+    "events_anomaly_robust_z": ANOMALY_SQL,
+    "nation_trade_pagerank": PAGERANK_SQL,
 }

@@ -128,3 +128,111 @@ def test_ewma_exact_kernel_and_ordering(spark, tmp_path):
     assert out[1].last_value == 9.0
     assert out[3].ewma_value == 2.0
     assert out[3].last_ts == ts(7)
+
+
+# ---------------------------------------------------------------- CMS
+def test_countmin_matches_independent_replica(spark, tmp_path):
+    """Pure-Python Count-Min replica (same md5 cell formula, independent
+    code path) must agree with the Spark sketch on every estimate, and
+    the one-sided error bound est >= exact must hold."""
+    import hashlib
+    from pravega_spark.queries.relational import events_countmin_heavy_hitters
+
+    t0 = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # 8 items: type t, users 0..7 -> item "t:<u>", counts 1..8
+    for u in range(8):
+        for _ in range(u + 1):
+            eid += 1
+            rows.append((eid, t0, u, float(u)))
+    df = spark.createDataFrame(
+        [(i, ts, u, "t", v, "{}") for i, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    exact = {f"t:{u}": u + 1 for u in range(8)}
+    cells: dict = {}
+    def col(r, item):
+        return int(hashlib.md5(f"cm{r}:{item}".encode()).hexdigest()[:8], 16) % 64
+    for item, n in exact.items():
+        for r in range(4):
+            cells[(r, col(r, item))] = cells.get((r, col(r, item)), 0) + n
+    expect = {
+        item: min(cells[(r, col(r, item))] for r in range(4)) for item in exact
+    }
+    out = {r.item: r for r in events_countmin_heavy_hitters(spark, str(tmp_path)).collect()}
+    assert set(out) == set(exact)  # 8 items, top-10 covers all
+    for item, r in out.items():
+        assert r.exact_n == exact[item]
+        assert r.est_n == expect[item], (item, r.est_n, expect[item])
+        assert r.est_n >= r.exact_n
+        assert r.overcount == r.est_n - r.exact_n
+
+
+# ------------------------------------------------------------ anomaly
+def test_robust_z_disc_median_and_zero_mad(spark, tmp_path):
+    from pravega_spark.queries.relational import events_anomaly_robust_z
+
+    t0 = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # type "a": values 1..9 + 100 -> disc median = 5 (5th of 10),
+    # adev sorted [0,1,1,2,2,3,3,4,4,95] -> MAD = 2 (5th),
+    # threshold 8.8956 -> only the outlier flags
+    for v in list(range(1, 10)) + [100]:
+        eid += 1
+        rows.append((eid, t0, 1, "a", float(v)))
+    # type "b": constant -> MAD 0, threshold 0, adev 0 NOT > 0 -> none
+    for _ in range(5):
+        eid += 1
+        rows.append((eid, t0, 2, "b", 7.0))
+    # type "c": even count [1,2,3,10] -> disc picks the LOWER middle
+    # (first value with cume_dist >= 0.5): med=2, adev [0,1,1,8],
+    # MAD=1, threshold 4.4478 -> the 10 flags
+    for v in [1.0, 2.0, 3.0, 10.0]:
+        eid += 1
+        rows.append((eid, t0, 3, "c", v))
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in events_anomaly_robust_z(spark, str(tmp_path)).collect()}
+    assert (out["a"].med, out["a"].mad, out["a"].n_anomalies) == (5.0, 2.0, 1)
+    assert (out["b"].med, out["b"].mad, out["b"].n_anomalies) == (7.0, 0.0, 0)
+    assert (out["c"].med, out["c"].mad, out["c"].n_anomalies) == (2.0, 1.0, 1)
+    assert out["a"].anomaly_rate == 0.1
+
+
+# ----------------------------------------------------------- pagerank
+def test_pagerank_hand_computed_with_dangling(spark, tmp_path):
+    """3-nation graph A->{B,C}, B->A; C dangling (no out-edges). All
+    expected ranks hand-derived with the integer fixed-point recurrence
+    (SCALE=1e12, ppm shares, 0.85 damping, 3 iterations)."""
+    from pravega_spark.queries.relational import nation_trade_pagerank
+
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{name}.parquet"))
+
+    w("nation", "n_nationkey long, n_name string", [(0, "A"), (1, "B"), (2, "C")])
+    w("supplier", "s_suppkey long, s_nationkey long", [(10, 0), (11, 1)])
+    w("customer", "c_custkey long, c_nationkey long", [(20, 1), (21, 0), (22, 2)])
+    w("orders", "o_orderkey long, o_custkey long", [(30, 20), (31, 21), (32, 22)])
+    # edges: s10(A)->o30(c20,B); s10(A)->o32(c22,C); s11(B)->o31(c21,A)
+    w("lineitem", "l_suppkey long, l_orderkey long", [(10, 30), (10, 32), (11, 31)])
+
+    out = nation_trade_pagerank(spark, str(tmp_path)).collect()
+    # hand-derived: r0=333333333333, base=49999999999
+    # iter1: A=333333333332, B=C=191666666665
+    # iter2: A=212916666664, B=C=191666666665
+    # iter3: A=212916666664, B=C=140489583331
+    assert [(r.nation, r.rank_scaled) for r in out] == [
+        ("A", 212916666664),
+        ("B", 140489583331),
+        ("C", 140489583331),
+    ]
+    assert out[0].rank_share == 0.212917
