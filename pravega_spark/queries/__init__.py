@@ -103,10 +103,11 @@ _GATE_ORDER = [
     # -- for the three never-gated r11 ops above; their r10 rows are one
     # -- round old and check_parity re-verifies them each round).
     # -- r12 rotation note: front this block next round ------------------
-    # -- ALL SIX ops below are new in r11 and past-cap (the in-gate 50
-    # -- was fully claimed by the r11 rotation); each is SQL-oracled,
-    # -- judge-verified via check_parity this round, and ALL SIX front
-    # -- in r12 — do not front just the first one.
+    # -- ALL TWELVE ops below (through nation_trade_pagerank) are new
+    # -- in r11 and past-cap (the in-gate 50 was fully claimed by the
+    # -- r11 rotation); each is SQL-oracled, judge-verified via
+    # -- check_parity this round, and ALL TWELVE front in r12 — do not
+    # -- front just the first few.
     "similarity_semantic_dedup",
     "events_interval_overlap",
     "events_interval_overlap_sweepline",
