@@ -3008,6 +3008,121 @@ ORDER BY rank_scaled DESC, nation
 """
 
 
+# -------------------------------------- equi-depth binning (r11)
+_N_BINS = 10
+
+
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) binning of event value per type — the
+    feature-engineering discretization step (quantile bucketizer).
+
+    ntile assigns by position in the sorted group, so with the total
+    order pinned on (value, event_id) both engines produce identical
+    bins even across duplicate values — no interpolation, no floats
+    in the binning decision. Output per (type, bin): row count and
+    the bin's [lo, hi] value range.
+
+    Distributed shape: ONE hash shuffle on event_type + an in-
+    partition sort; a hot type is one linear window partition (the
+    salting pattern in corpus_token_packing applies if a single type
+    dominates at 100 TB; exact global ntile is inherently a per-group
+    sort). The aggregation after binning is map-side combinable.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("bin", F.ntile(_N_BINS).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select("event_type", F.col("bin").cast("bigint").alias("bin"), "n", "lo", "hi")
+        .orderBy("event_type", "bin")
+    )
+
+
+DECILES_SQL = f"""
+WITH binned AS (
+  SELECT event_type, value,
+         ntile({_N_BINS}) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS bin
+  FROM events
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS lo, max(value) AS hi
+FROM binned
+GROUP BY 1, 2
+ORDER BY event_type, bin
+"""
+
+
+# -------------------------------------- event-type transitions (r11)
+_TRANS_PPM = 1_000_000
+
+
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioral-model fit (next-action prediction
+    baseline, funnel leak analysis).
+
+    Each user's events ordered by (ts, event_id) yield consecutive
+    (from, to) pairs; the matrix is counts plus a row-normalized
+    transition probability in exact ppm fixed point ((n * 1e6) div
+    row_total) so both engines agree bit-for-bit.
+
+    Distributed shape: ONE user_id shuffle for the lag window, then a
+    tiny (from,to) aggregation with map-side combine; the row totals
+    join back broadcast (<=types^2 rows). Linear at any scale.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("to_type"))
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(f"div(n * {_TRANS_PPM}, row_n)").cast("bigint").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+TRANSITIONS_SQL = f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT from_type, sum(n) AS row_n FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type,
+       CAST(c.n AS BIGINT) AS n,
+       CAST((c.n * {_TRANS_PPM}) // t.row_n AS BIGINT) AS p_ppm
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -3061,6 +3176,8 @@ QUERIES = {
     "events_countmin_heavy_hitters": events_countmin_heavy_hitters,
     "events_anomaly_robust_z": events_anomaly_robust_z,
     "nation_trade_pagerank": nation_trade_pagerank,
+    "events_value_deciles": events_value_deciles,
+    "events_type_transitions": events_type_transitions,
 }
 
 ORACLES = {
@@ -3116,4 +3233,6 @@ ORACLES = {
     "events_countmin_heavy_hitters": COUNTMIN_SQL,
     "events_anomaly_robust_z": ANOMALY_SQL,
     "nation_trade_pagerank": PAGERANK_SQL,
+    "events_value_deciles": DECILES_SQL,
+    "events_type_transitions": TRANSITIONS_SQL,
 }

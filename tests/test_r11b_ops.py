@@ -236,3 +236,58 @@ def test_pagerank_hand_computed_with_dangling(spark, tmp_path):
         ("C", 140489583331),
     ]
     assert out[0].rank_share == 0.212917
+
+
+# ------------------------------------------------------------- binning
+def test_deciles_position_binning_with_duplicates(spark, tmp_path):
+    """ntile over (value, event_id): 10 values into 10 bins of 1; with
+    duplicate values the event_id tiebreak makes the assignment
+    deterministic — the dup pair lands in adjacent bins, each bin's
+    lo == hi == the value."""
+    from pravega_spark.queries.relational import events_value_deciles
+
+    t0 = datetime(2024, 3, 1)
+    vals = [1.0, 2.0, 3.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+    rows = [(i + 1, t0, 1, "a", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_value_deciles(spark, str(tmp_path)).collect()
+    assert [r.bin for r in out] == list(range(1, 11))
+    assert all(r.n == 1 for r in out)
+    assert [r.lo for r in out] == sorted(vals)
+    assert all(r.lo == r.hi for r in out)
+
+
+# --------------------------------------------------------- transitions
+def test_type_transitions_hand_computed(spark, tmp_path):
+    """u1: a->b->a->b (3 transitions), u2: b->b (1). No cross-user
+    pairs. p_ppm is floor((n*1e6)/row_total)."""
+    from pravega_spark.queries.relational import events_type_transitions
+
+    t0 = datetime(2024, 3, 1)
+
+    def ts(m):
+        return t0 + timedelta(minutes=m)
+
+    rows = [
+        (1, ts(0), 1, "a"), (2, ts(1), 1, "b"),
+        (3, ts(2), 1, "a"), (4, ts(3), 1, "b"),
+        (5, ts(0), 2, "b"), (6, ts(1), 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, e, 0.0, "{}") for i, t, u, e in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = [tuple(r) for r in events_type_transitions(spark, str(tmp_path)).collect()]
+    # a: a->b x2 (row total 2 -> 1e6); b: b->a x1, b->b x1 (total 2 -> 5e5 each)
+    assert out == [
+        ("a", "b", 2, 1_000_000),
+        ("b", "a", 1, 500_000),
+        ("b", "b", 1, 500_000),
+    ]
