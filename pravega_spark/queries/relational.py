@@ -3123,6 +3123,105 @@ ORDER BY from_type, to_type
 """
 
 
+# -------------------------------------- distribution drift TVD (r11)
+_DRIFT_PPM = 1_000_000
+
+
+def events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit per event type: total variation
+    distance between the value distributions of the first and second
+    halves of the time range — the monitoring primitive that catches
+    upstream schema/behavior changes before they poison training data.
+
+    Construction is fully deterministic and integer-exact: the time
+    split is the per-type DISCRETE median timestamp (an actual event
+    time, no interpolation); bins are value deciles assigned by ntile
+    over the pinned (value, event_id) total order (positional — the
+    same bin edges for both periods by construction); per-bin period
+    shares are ppm fixed point, and TVD = sum|share_a - share_b| / 2
+    stays in bigint ppm. No floats anywhere.
+
+    Distributed shape: one event_type shuffle serves both the median
+    split and the ntile binning (same partition key); the per-bin
+    count frame is tiny (types x 10) and everything after it is
+    broadcast arithmetic. Parallelism is bounded by the number of
+    types (exact positional binning is a per-group sort — the same
+    contract as events_value_deciles); at 100 TB swap the bin
+    assignment to approx_percentile boundary lookups, which trades
+    the per-group sort for a sketch merge at a bounded bin-edge
+    error (events_percentile_sketch demonstrates the path).
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    # the split point is the discrete median in unix MICROS (bigint):
+    # percentile_disc rejects TIMESTAMP inputs in Spark, and integer
+    # micros compare exactly in both engines anyway
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id", "value"
+    )
+    split = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ts_us)").alias("split_us")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = (
+        ev.withColumn("bin", F.ntile(_N_BINS).over(w))
+        .join(F.broadcast(split), "event_type")
+        .withColumn("period", F.when(F.col("ts_us") <= F.col("split_us"), "a").otherwise("b"))
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    totals = per_bin.groupBy("event_type").agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    return (
+        per_bin.join(F.broadcast(totals), "event_type")
+        .withColumn("sh_a", F.expr(f"div(n_a * {_DRIFT_PPM}, t_a)"))
+        .withColumn("sh_b", F.expr(f"div(n_b * {_DRIFT_PPM}, t_b)"))
+        .groupBy("event_type")
+        .agg(
+            F.max("t_a").cast("bigint").alias("n_first_half"),
+            F.max("t_b").cast("bigint").alias("n_second_half"),
+            F.expr("div(sum(abs(sh_a - sh_b)), 2)").cast("bigint").alias("tvd_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DRIFT_TVD_SQL = f"""
+WITH split AS (
+  SELECT event_type, quantile_disc(epoch_us(ts), 0.5) AS split_us
+  FROM events GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         ntile({_N_BINS}) OVER (PARTITION BY e.event_type
+                                ORDER BY e.value, e.event_id) AS bin,
+         CASE WHEN epoch_us(e.ts) <= s.split_us THEN 'a' ELSE 'b' END AS period
+  FROM events e JOIN split s USING (event_type)
+),
+per_bin AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS n_b
+  FROM binned GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, sum(n_a) AS t_a, sum(n_b) AS t_b
+  FROM per_bin GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(max(t.t_a) AS BIGINT) AS n_first_half,
+       CAST(max(t.t_b) AS BIGINT) AS n_second_half,
+       CAST(sum(abs((p.n_a * {_DRIFT_PPM}) // t.t_a
+                  - (p.n_b * {_DRIFT_PPM}) // t.t_b)) // 2 AS BIGINT) AS tvd_ppm
+FROM per_bin p JOIN totals t USING (event_type)
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -3178,6 +3277,7 @@ QUERIES = {
     "nation_trade_pagerank": nation_trade_pagerank,
     "events_value_deciles": events_value_deciles,
     "events_type_transitions": events_type_transitions,
+    "events_drift_tvd": events_drift_tvd,
 }
 
 ORACLES = {
@@ -3235,4 +3335,5 @@ ORACLES = {
     "nation_trade_pagerank": PAGERANK_SQL,
     "events_value_deciles": DECILES_SQL,
     "events_type_transitions": TRANSITIONS_SQL,
+    "events_drift_tvd": DRIFT_TVD_SQL,
 }

@@ -3687,6 +3687,80 @@ ORDER BY lang, rank
 """
 
 
+# ---------------------------------------------- source concentration (r11)
+_GINI_PPM = 1_000_000
+
+
+def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-concentration audit per language: how unevenly the
+    training volume (n_chars) is spread across sources, as a Gini
+    coefficient — the curation dashboard number that flags a crawl
+    dominated by a handful of domains (mixture-collapse risk).
+
+    Integer fixed point throughout: with per-source weights w_i
+    ranked ascending (ties broken by source name), Gini =
+    sum((2i - n - 1) * w_i) / (n * sum(w)), emitted as ppm via bigint
+    div — both engines agree bit-for-bit, no floats. The top-source
+    share (ppm) rides along as the companion concentration number.
+
+    Distributed shape: the corpus collapses to a (lang, source)
+    weight frame first (map-side combinable), so the ranking window
+    runs on |sources| rows, not |docs|; one small shuffle + one
+    language window. Overflow headroom: the scaled numerator is
+    bounded by n_sources * total_chars * 1e6 — safe through ~9e12
+    char-source products (three decades past sf100); beyond that,
+    promote the fixed point to decimal(38,0) as the sweepline
+    operator does for its epoch-us prefix sums.
+
+    Reference parity: no analogue in pravega (stream store); curation
+    tooling per the build brief."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.groupBy("lang", "source").agg(F.sum("n_chars").alias("w"))
+    win = Window.partitionBy("lang").orderBy("w", "source")
+    ranked = ws.withColumn("i", F.row_number().over(win))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sources"),
+            F.sum("w").cast("bigint").alias("total_chars"),
+            F.max("i").alias("_n"),
+            F.sum(F.col("i") * F.col("w")).alias("_siw"),
+            F.sum("w").alias("_sw"),
+        )
+        .select(
+            "lang",
+            "n_sources",
+            "total_chars",
+            # gini = (2*sum(i*w) - (n+1)*sum(w)) / (n*sum(w)), in ppm
+            F.expr(f"div((2 * _siw - (_n + 1) * _sw) * {_GINI_PPM}, _n * _sw)")
+            .cast("bigint")
+            .alias("gini_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+SOURCE_GINI_SQL = f"""
+WITH ws AS (
+  SELECT lang, source, sum(n_chars) AS w
+  FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, source, w,
+         row_number() OVER (PARTITION BY lang ORDER BY w, source) AS i
+  FROM ws
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(w) AS BIGINT) AS total_chars,
+       CAST(((2 * sum(i * w) - (max(i) + 1) * sum(w)) * {_GINI_PPM})
+            // (max(i) * sum(w)) AS BIGINT) AS gini_ppm
+FROM ranked
+GROUP BY 1
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "pipeline_daily_corpus": pipeline_daily_corpus,
     "pipeline_daily_corpus_streaming": pipeline_daily_corpus_streaming,
@@ -3707,6 +3781,7 @@ QUERIES = {
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_weighted_sample": corpus_weighted_sample,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "corpus_source_gini": corpus_source_gini,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_chunk_windows": corpus_chunk_windows,
     "corpus_token_packing": corpus_token_packing,
@@ -3742,6 +3817,7 @@ ORACLES = {
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
+    "corpus_source_gini": SOURCE_GINI_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
     "corpus_chunk_windows": CHUNK_WINDOWS_SQL,
     "corpus_token_packing": TOKEN_PACKING_SQL,

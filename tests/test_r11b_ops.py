@@ -291,3 +291,55 @@ def test_type_transitions_hand_computed(spark, tmp_path):
         ("b", "a", 1, 500_000),
         ("b", "b", 1, 500_000),
     ]
+
+
+# -------------------------------------------------------------- drift
+def test_drift_tvd_hand_computed(spark, tmp_path):
+    """20 events, values 1..20 in time order -> deciles are value pairs
+    {1,2},{3,4},...; the discrete median ts splits 10/10, so bins 1-5
+    are all period a (share 200000 ppm each) and bins 6-10 all period b
+    -> TVD = (5*2e5 + 5*2e5)/2 = 1e6 ppm (total drift). A second type
+    with values interleaved in time has zero drift."""
+    from pravega_spark.queries.relational import events_drift_tvd
+
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    # type "trend": value increases with time -> total drift
+    for k in range(20):
+        rows.append((k + 1, t0 + timedelta(hours=k), 1, "trend", float(k + 1)))
+    # type "flat": same value distribution in both halves -> zero drift
+    # (values 1..10 in hours 0..9, then 1..10 again in hours 10..19)
+    for k in range(20):
+        rows.append((100 + k, t0 + timedelta(hours=k), 2, "flat", float(k % 10 + 1)))
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in events_drift_tvd(spark, str(tmp_path)).collect()}
+    assert (out["trend"].n_first_half, out["trend"].n_second_half) == (10, 10)
+    assert out["trend"].tvd_ppm == 1_000_000
+    assert out["flat"].tvd_ppm == 0
+
+
+# --------------------------------------------------------------- gini
+def test_source_gini_hand_computed(spark, tmp_path):
+    """en: sources with weights 1,1,1,1 -> gini 0 (after the (n+1)
+    correction: (2*(1+2+3+4) - 5*4)*1e6 // (4*4) = 0). fr: weights
+    [1, 9]: (2*(1*1 + 2*9) - 3*10)*1e6 // (2*10) = (38-30)*1e6//20
+    = 400000."""
+    from pravega_spark.queries.text import corpus_source_gini
+
+    rows = []
+    for i, src in enumerate(["s1", "s2", "s3", "s4"]):
+        rows.append((i + 1, "en", "x", src, 1))
+    rows.append((10, "fr", "x", "a", 1))
+    rows.append((11, "fr", "x", "b", 9))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in corpus_source_gini(spark, str(tmp_path)).collect()}
+    assert (out["en"].n_sources, out["en"].total_chars, out["en"].gini_ppm) == (4, 4, 0)
+    assert (out["fr"].n_sources, out["fr"].total_chars, out["fr"].gini_ppm) == (2, 10, 400_000)
