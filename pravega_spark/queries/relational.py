@@ -2545,10 +2545,13 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Reference parity: no analogue in pravega (stream store);
     analytics layer per the build brief."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    # one parquet scan: the (day, user_id) projection is persisted and
+    # feeds both consumers; the day spine reuses the daily-counts agg
+    ev = register_result_cache(
+        _t(spark, sf_dir, "events")
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .persist()
     )
-    days = ev.select("day").distinct()
     step = f"sequence(day, day + INTERVAL {_ROLLING_DAYS - 1} DAYS, INTERVAL 1 DAY)"
     user_days = ev.distinct()
     rolling_users = (
@@ -2557,6 +2560,7 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("user_id").alias("rolling_users"))
     )
     daily_counts = ev.groupBy("day").agg(F.count("*").alias("n"))
+    days = daily_counts.select("day")
     rolling_events = (
         daily_counts.select(F.explode(F.expr(step)).alias("day"), "n")
         .groupBy("day")
@@ -2604,6 +2608,7 @@ ORDER BY day
 # the whole pipeline bit-deterministic across engines with no decimal
 # casts and no libm.
 _EWMA_WEIGHTS = [2.0 ** -(k + 1) for k in range(7)] + [2.0 ** -7]
+_EWMA_TAPS = len(_EWMA_WEIGHTS)
 
 
 def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2634,13 +2639,13 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.row_number().over(w).alias("rn"),
         F.count("*").over(wall).alias("cnt"),
-        *[F.lag("value", k).over(w).alias(f"x{k}") for k in range(1, 8)],
+        *[F.lag("value", k).over(w).alias(f"x{k}") for k in range(1, _EWMA_TAPS)],
     )
     smoothed = F.col("value") * F.lit(_EWMA_WEIGHTS[0])
-    for k in range(1, 8):
+    for k in range(1, _EWMA_TAPS):
         smoothed = smoothed + F.col(f"x{k}") * F.lit(_EWMA_WEIGHTS[k])
     return (
-        lagged.filter((F.col("rn") == F.col("cnt")) & (F.col("cnt") >= 8))
+        lagged.filter((F.col("rn") == F.col("cnt")) & (F.col("cnt") >= _EWMA_TAPS))
         .select(
             "user_id",
             F.col("cnt").cast("bigint").alias("n_events"),
@@ -2661,7 +2666,7 @@ WITH lagged AS (
   SELECT user_id, ts, value,
          row_number() OVER w AS rn,
          count(*) OVER (PARTITION BY user_id) AS cnt,
-         {", ".join(f"lag(value, {k}) OVER w AS x{k}" for k in range(1, 8))}
+         {", ".join(f"lag(value, {k}) OVER w AS x{k}" for k in range(1, _EWMA_TAPS))}
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
@@ -2671,7 +2676,7 @@ SELECT user_id,
        {_EWMA_TERMS_SQL} AS ewma_value,
        value AS last_value
 FROM lagged
-WHERE rn = cnt AND cnt >= 8
+WHERE rn = cnt AND cnt >= {_EWMA_TAPS}
 ORDER BY user_id
 """
 
@@ -2751,7 +2756,7 @@ WITH counts AS (
          count(*) AS n
   FROM events GROUP BY 1
 ),
-r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+r AS (SELECT * FROM (VALUES {", ".join(f"({r})" for r in range(_CMS_DEPTH))}) AS t(r)),
 hashed AS (
   SELECT c.item, c.n, r.r,
          ('0x' || substr(md5('cm' || r.r || ':' || c.item), 1, 8))::BIGINT
@@ -3139,7 +3144,11 @@ def events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the pinned (value, event_id) total order (positional — the
     same bin edges for both periods by construction); per-bin period
     shares are ppm fixed point, and TVD = sum|share_a - share_b| / 2
-    stays in bigint ppm. No floats anywhere.
+    stays in bigint ppm. No floats anywhere. Degenerate-split
+    contract: when the second half is EMPTY (the median ties with the
+    max timestamp — single-event types, or half the events stacked on
+    the final instant), TVD is defined as the full 1e6 ppm (one
+    sample vs no sample is total drift), not NULL from the 0-div.
 
     Distributed shape: one event_type shuffle serves both the median
     split and the ntile binning (same partition key); the per-bin
@@ -3178,12 +3187,26 @@ def events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_bin.join(F.broadcast(totals), "event_type")
         .withColumn("sh_a", F.expr(f"div(n_a * {_DRIFT_PPM}, t_a)"))
-        .withColumn("sh_b", F.expr(f"div(n_b * {_DRIFT_PPM}, t_b)"))
+        # greatest(t_b, 1): ANSI div-by-zero would throw BEFORE the
+        # t_b = 0 CASE below; n_b is 0 whenever t_b is 0, so the
+        # neutralized divisor never changes a kept value
+        .withColumn("sh_b", F.expr(f"div(n_b * {_DRIFT_PPM}, greatest(t_b, 1))"))
         .groupBy("event_type")
         .agg(
-            F.max("t_a").cast("bigint").alias("n_first_half"),
-            F.max("t_b").cast("bigint").alias("n_second_half"),
-            F.expr("div(sum(abs(sh_a - sh_b)), 2)").cast("bigint").alias("tvd_ppm"),
+            F.max("t_a").cast("bigint").alias("t_a"),
+            F.max("t_b").cast("bigint").alias("t_b"),
+            F.expr("div(sum(abs(sh_a - sh_b)), 2)").alias("tvd_raw"),
+        )
+        .select(
+            "event_type",
+            F.col("t_a").alias("n_first_half"),
+            F.col("t_b").alias("n_second_half"),
+            # empty second half => total drift by contract (the raw
+            # expression is NULL there: div by t_b = 0)
+            F.when(F.col("t_b") == 0, F.lit(_DRIFT_PPM))
+            .otherwise(F.col("tvd_raw"))
+            .cast("bigint")
+            .alias("tvd_ppm"),
         )
         .orderBy("event_type")
     )
@@ -3214,8 +3237,10 @@ totals AS (
 SELECT p.event_type,
        CAST(max(t.t_a) AS BIGINT) AS n_first_half,
        CAST(max(t.t_b) AS BIGINT) AS n_second_half,
-       CAST(sum(abs((p.n_a * {_DRIFT_PPM}) // t.t_a
-                  - (p.n_b * {_DRIFT_PPM}) // t.t_b)) // 2 AS BIGINT) AS tvd_ppm
+       CAST(CASE WHEN max(t.t_b) = 0 THEN {_DRIFT_PPM}
+            ELSE sum(abs((p.n_a * {_DRIFT_PPM}) // t.t_a
+                       - (p.n_b * {_DRIFT_PPM}) // t.t_b)) // 2
+            END AS BIGINT) AS tvd_ppm
 FROM per_bin p JOIN totals t USING (event_type)
 GROUP BY 1
 ORDER BY event_type

@@ -3602,14 +3602,17 @@ _IDF_SCALE = 1_000_000
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language salient vocabulary: top-K terms by corpus TF-IDF.
 
-    The classic curation signal (Salton & Buckley 1988 weighting) for
+    The classic curation signal (after Salton & Buckley 1988) for
     spotting boilerplate vs. content terms per language stratum. All
     scoring is INTEGER arithmetic so both engines agree bit-for-bit
     with no libm: instead of ``tf * ln(N/df)`` the score uses the
-    rational idf ``(N * 1e6) div df`` (a fixed-point 1/df weight —
-    same ordering as log-idf for ranking within a language because it
-    is monotone in 1/df; ties broken by term asc). Stopwords and
-    terms shorter than 3 chars are excluded.
+    rational idf ``(N * 1e6) div df``. Note this is a DEFINED
+    1/df-weighted salience score, not a bit-for-bit log-idf stand-in:
+    each term's idf is monotone in 1/df, but the tf-weighted SUM can
+    order two terms differently than log-idf would (1/df decays
+    faster than ln(N/df), so rare terms weigh relatively heavier
+    here). Ties broken by term asc; stopwords and terms shorter than
+    3 chars excluded.
 
     Scale shape: ONE explode of the token stream into a PERSISTED
     (doc,term) tf frame — df aggregates from that cache and joins back
@@ -3618,6 +3621,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     second explode of the raw corpus). The corpus-size scalar N joins
     as a 1-row broadcast, not a collect; the final per-language top-K
     runs as a WindowGroupLimit (rank pushdown), not a full sort.
+    Overflow headroom: per-term idf approaches N*1e6, so the score
+    sum is accumulated in decimal(38,0) (matching DuckDB's HUGEINT
+    sum) and cast to bigint only at the end — bigint-safe while each
+    (lang, term) score stays under 9.2e18, i.e. through corpora
+    where N x sum(tf of one term in one language) < 9.2e12.
 
     Reference parity: no analogue in pravega (stream store); text
     analysis layer per the build brief."""
@@ -3643,7 +3651,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("idf", F.expr(f"div(n * {_IDF_SCALE}, df)"))
         .groupBy("lang", "term")
         .agg(
-            F.sum(F.col("tf") * F.col("idf")).cast("bigint").alias("score"),
+            F.sum((F.col("tf") * F.col("idf")).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("score"),
             F.max("df").cast("bigint").alias("df"),
         )
     )
@@ -3700,8 +3710,9 @@ def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer fixed point throughout: with per-source weights w_i
     ranked ascending (ties broken by source name), Gini =
     sum((2i - n - 1) * w_i) / (n * sum(w)), emitted as ppm via bigint
-    div — both engines agree bit-for-bit, no floats. The top-source
-    share (ppm) rides along as the companion concentration number.
+    div — both engines agree bit-for-bit, no floats. An all-zero
+    weight vector (every doc in a language has n_chars = 0) is
+    defined as gini 0, not the NULL a raw 0-div would give.
 
     Distributed shape: the corpus collapses to a (lang, source)
     weight frame first (map-side combinable), so the ranking window
@@ -3731,8 +3742,12 @@ def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_sources",
             "total_chars",
-            # gini = (2*sum(i*w) - (n+1)*sum(w)) / (n*sum(w)), in ppm
-            F.expr(f"div((2 * _siw - (_n + 1) * _sw) * {_GINI_PPM}, _n * _sw)")
+            # gini = (2*sum(i*w) - (n+1)*sum(w)) / (n*sum(w)), in ppm;
+            # all-zero weights => 0 by contract (raw div would be NULL)
+            F.when(F.col("_sw") == 0, F.lit(0))
+            .otherwise(
+                F.expr(f"div((2 * _siw - (_n + 1) * _sw) * {_GINI_PPM}, _n * _sw)")
+            )
             .cast("bigint")
             .alias("gini_ppm"),
         )
@@ -3753,8 +3768,10 @@ ranked AS (
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_sources,
        CAST(sum(w) AS BIGINT) AS total_chars,
-       CAST(((2 * sum(i * w) - (max(i) + 1) * sum(w)) * {_GINI_PPM})
-            // (max(i) * sum(w)) AS BIGINT) AS gini_ppm
+       CAST(CASE WHEN sum(w) = 0 THEN 0
+            ELSE ((2 * sum(i * w) - (max(i) + 1) * sum(w)) * {_GINI_PPM})
+                 // (max(i) * sum(w))
+            END AS BIGINT) AS gini_ppm
 FROM ranked
 GROUP BY 1
 ORDER BY lang

@@ -343,3 +343,44 @@ def test_source_gini_hand_computed(spark, tmp_path):
     out = {r.lang: r for r in corpus_source_gini(spark, str(tmp_path)).collect()}
     assert (out["en"].n_sources, out["en"].total_chars, out["en"].gini_ppm) == (4, 4, 0)
     assert (out["fr"].n_sources, out["fr"].total_chars, out["fr"].gini_ppm) == (2, 10, 400_000)
+
+
+def test_drift_tvd_empty_second_half_is_total_drift(spark, tmp_path):
+    """A single-event type (median == max ts) has an empty second half;
+    the contract is tvd_ppm = 1e6, not NULL from the 0-div."""
+    from pravega_spark.queries.relational import events_drift_tvd
+
+    t0 = datetime(2024, 3, 1)
+    rows = [(1, t0, 1, "solo", 5.0)]
+    # a normal type alongside, so the query isn't trivially one group
+    for k in range(10):
+        rows.append((10 + k, t0 + timedelta(hours=k), 2, "norm", float(k)))
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in events_drift_tvd(spark, str(tmp_path)).collect()}
+    assert (out["solo"].n_first_half, out["solo"].n_second_half) == (1, 0)
+    assert out["solo"].tvd_ppm == 1_000_000
+    assert out["norm"].tvd_ppm is not None
+
+
+def test_source_gini_all_zero_weights(spark, tmp_path):
+    """A language whose docs all have n_chars = 0 gets gini 0 by
+    contract (raw integer div would be NULL)."""
+    from pravega_spark.queries.text import corpus_source_gini
+
+    rows = [
+        (1, "zz", "x", "s1", 0),
+        (2, "zz", "x", "s2", 0),
+        (3, "en", "x", "s1", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in corpus_source_gini(spark, str(tmp_path)).collect()}
+    assert (out["zz"].n_sources, out["zz"].total_chars, out["zz"].gini_ppm) == (2, 0, 0)
+    assert out["en"].gini_ppm == 0  # single source is also gini 0

@@ -128,15 +128,18 @@ def test_drift_tvd_random_vs_bruteforce(spark, tmp_path):
                     idx += 1
             t_a = sum(v[0] for v in bins.values())
             t_b = sum(v[1] for v in bins.values())
-            tvd = (
-                sum(
-                    abs(
-                        (v[0] * 1_000_000) // t_a - (v[1] * 1_000_000) // t_b
+            if t_b == 0:  # empty second half => total drift by contract
+                tvd = 1_000_000
+            else:
+                tvd = (
+                    sum(
+                        abs(
+                            (v[0] * 1_000_000) // t_a - (v[1] * 1_000_000) // t_b
+                        )
+                        for v in bins.values()
                     )
-                    for v in bins.values()
+                    // 2
                 )
-                // 2
-            )
             want[t] = (t_a, t_b, tvd)
         got = {
             r.event_type: (r.n_first_half, r.n_second_half, r.tvd_ppm)
