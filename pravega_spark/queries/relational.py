@@ -3247,6 +3247,119 @@ ORDER BY event_type
 """
 
 
+# -------------------------------- Count-Min merge-of-days (r11)
+def events_countmin_merged_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min MERGEABILITY, proven by the oracle hash: the Spark
+    side builds one sketch PER DAY and merges them cell-wise (the
+    operation an incremental pipeline performs when each day's
+    increment ships its own sketch); the DuckDB oracle builds the
+    global sketch DIRECTLY over all events. The driver's value-hash
+    equality between the two is exactly the sketch-merge law
+    (cell-wise sum of per-partition sketches == sketch of the union)
+    — if the day split or merge were wrong, the estimates diverge.
+
+    Output: top-K heavy hitters by merged-sketch estimate, with exact
+    counts, overcount, and the item's active-day count (which forces
+    the per-day grain to be real, not optimized away).
+
+    Distributed shape: the data-sized stage is one combinable
+    groupBy(item, day); the per-day sketches are d x w x days rows
+    and their merge is a second tiny aggregation. This is the 100 TB
+    ingest pattern: daily increments each reduce to a 256-cell
+    sketch, and history-wide frequency queries merge sketches instead
+    of rescanning history.
+
+    Reference parity: no analogue in pravega (stream store);
+    sketch/analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events")
+    item = F.concat(
+        F.col("event_type"), F.lit(":"), (F.col("user_id") % 100).cast("string")
+    )
+    day_counts = register_result_cache(
+        ev.select(item.alias("item"), F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("item", "day")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    counts = day_counts.groupBy("item").agg(
+        F.sum("n").alias("n"), F.countDistinct("day").alias("n_days")
+    )
+    rows_ = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cm"), F.col("r").cast("string"), F.lit(":"), F.col("item"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_WIDTH
+    )
+    # per-day sketches, then the cell-wise merge
+    day_cells = (
+        day_counts.crossJoin(F.broadcast(rows_))
+        .withColumn("col", cell)
+        .groupBy("day", "r", "col")
+        .agg(F.sum("n").alias("cell_n"))
+    )
+    merged = day_cells.groupBy("r", "col").agg(F.sum("cell_n").alias("cell_n"))
+    hashed = counts.crossJoin(F.broadcast(rows_)).withColumn("col", cell)
+    est = (
+        hashed.join(F.broadcast(merged), ["r", "col"])
+        .groupBy("item")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    return (
+        counts.join(est, "item")
+        .select(
+            "item",
+            F.col("n").cast("bigint").alias("exact_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+            (F.col("est_n") - F.col("n")).cast("bigint").alias("overcount"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .orderBy(F.desc("est_n"), "item")
+        .limit(_CMS_TOP_K)
+    )
+
+
+# the oracle builds the GLOBAL sketch directly — hash equality with the
+# Spark side's per-day merge is the mergeability proof
+COUNTMIN_MERGED_SQL = f"""
+WITH counts AS (
+  SELECT event_type || ':' || CAST(user_id % 100 AS VARCHAR) AS item,
+         count(*) AS n,
+         count(DISTINCT date_trunc('day', ts)) AS n_days
+  FROM events GROUP BY 1
+),
+r AS (SELECT * FROM (VALUES {", ".join(f"({r})" for r in range(_CMS_DEPTH))}) AS t(r)),
+hashed AS (
+  SELECT c.item, c.n, c.n_days, r.r,
+         ('0x' || substr(md5('cm' || r.r || ':' || c.item), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS col
+  FROM counts c CROSS JOIN r
+),
+cells AS (
+  SELECT r, col, sum(n) AS cell_n FROM hashed GROUP BY 1, 2
+),
+est AS (
+  SELECT h.item, min(ce.cell_n) AS est_n
+  FROM hashed h JOIN cells ce ON h.r = ce.r AND h.col = ce.col
+  GROUP BY 1
+)
+SELECT c.item AS item,
+       CAST(c.n AS BIGINT) AS exact_n,
+       CAST(e.est_n AS BIGINT) AS est_n,
+       CAST(e.est_n - c.n AS BIGINT) AS overcount,
+       CAST(c.n_days AS BIGINT) AS n_days
+FROM counts c JOIN est e USING (item)
+ORDER BY est_n DESC, item
+LIMIT {_CMS_TOP_K}
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -3298,6 +3411,7 @@ QUERIES = {
     "events_rolling_distinct_users": events_rolling_distinct_users,
     "events_ewma_smoothed": events_ewma_smoothed,
     "events_countmin_heavy_hitters": events_countmin_heavy_hitters,
+    "events_countmin_merged_days": events_countmin_merged_days,
     "events_anomaly_robust_z": events_anomaly_robust_z,
     "nation_trade_pagerank": nation_trade_pagerank,
     "events_value_deciles": events_value_deciles,
@@ -3356,6 +3470,7 @@ ORACLES = {
     "events_rolling_distinct_users": ROLLING_DISTINCT_SQL,
     "events_ewma_smoothed": EWMA_SQL,
     "events_countmin_heavy_hitters": COUNTMIN_SQL,
+    "events_countmin_merged_days": COUNTMIN_MERGED_SQL,
     "events_anomaly_robust_z": ANOMALY_SQL,
     "nation_trade_pagerank": PAGERANK_SQL,
     "events_value_deciles": DECILES_SQL,

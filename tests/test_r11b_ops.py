@@ -384,3 +384,58 @@ def test_source_gini_all_zero_weights(spark, tmp_path):
     out = {r.lang: r for r in corpus_source_gini(spark, str(tmp_path)).collect()}
     assert (out["zz"].n_sources, out["zz"].total_chars, out["zz"].gini_ppm) == (2, 0, 0)
     assert out["en"].gini_ppm == 0  # single source is also gini 0
+
+
+def test_countmin_merged_days_equals_global(spark, tmp_path):
+    """Per-day sketches merged cell-wise must equal the global sketch
+    (Count-Min mergeability) — python replica builds BOTH and asserts
+    they agree with the operator, across items spanning multiple days."""
+    import hashlib
+    from pravega_spark.queries.relational import (
+        events_countmin_heavy_hitters,
+        events_countmin_merged_days,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # 6 items; items 0-2 appear on 2 days, 3-5 on 1 day
+    for u in range(6):
+        for d in range(2 if u < 3 else 1):
+            for _ in range(u + 1):
+                eid += 1
+                rows.append((eid, t0 + timedelta(days=d), u, float(u)))
+    df = spark.createDataFrame(
+        [(i, ts, u, "t", v, "{}") for i, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    def col(r, item):
+        return int(hashlib.md5(f"cm{r}:{item}".encode()).hexdigest()[:8], 16) % 64
+
+    exact, per_day = {}, {0: {}, 1: {}}
+    for eid_, ts, u, v in rows:
+        item = f"t:{u}"
+        exact[item] = exact.get(item, 0) + 1
+        d = (ts - t0).days
+        per_day[d][item] = per_day[d].get(item, 0) + 1
+    # global cells vs merged per-day cells
+    g_cells, m_cells = {}, {}
+    for item, n in exact.items():
+        for r in range(4):
+            g_cells[(r, col(r, item))] = g_cells.get((r, col(r, item)), 0) + n
+    for d, cnts in per_day.items():
+        for item, n in cnts.items():
+            for r in range(4):
+                m_cells[(r, col(r, item))] = m_cells.get((r, col(r, item)), 0) + n
+    assert g_cells == m_cells  # the mergeability law itself
+
+    out = {r.item: r for r in events_countmin_merged_days(spark, str(tmp_path)).collect()}
+    plain = {r.item: r for r in events_countmin_heavy_hitters(spark, str(tmp_path)).collect()}
+    assert set(out) == set(exact)
+    for item, r in out.items():
+        assert r.exact_n == exact[item]
+        assert r.est_n == min(g_cells[(rr, col(rr, item))] for rr in range(4))
+        assert r.est_n == plain[item].est_n  # merged == direct, in-engine
+        assert r.n_days == (2 if int(item.split(":")[1]) < 3 else 1)
