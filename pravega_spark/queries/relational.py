@@ -3360,6 +3360,93 @@ LIMIT {_CMS_TOP_K}
 """
 
 
+# -------------------------------- calendar gap-fill + LOCF (r11)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification with last-observation-carried-forward —
+    the feature-store resampling step that turns sparse per-user event
+    days into a gapless daily series (training frames need aligned
+    time grids; LOCF is the standard fill for state-like features).
+
+    Per user: a daily spine from the user's first to last active day,
+    the observed daily value total on active days, and LOCF fill on
+    gap days. Value math is exact decimal (order-independent sums,
+    double only in the final projection). Output stays user-grain
+    (spine length, observed/filled day counts, and the filled series'
+    total — a value the hash pins to the whole series).
+
+    Distributed shape: ONE user_id shuffle serves the daily rollup,
+    the min/max spine bounds, and the LOCF window (same key); the
+    spine explode is bounded by the user's active span. Gap days
+    carry no events by construction, so the explode output is the
+    final series size — there is no densify-then-filter waste.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.sum("v").alias("day_v"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, INTERVAL 1 DAY)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("locf_v", F.last("day_v", ignorenulls=True).over(w))
+        .withColumn("observed", F.col("day_v").isNotNull().cast("int"))
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("observed").cast("bigint").alias("n_observed"),
+            (F.count("*") - F.sum("observed")).cast("bigint").alias("n_filled"),
+            F.round(F.sum("locf_v"), 2).cast("double").alias("filled_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         sum(CAST(value AS DECIMAL(18,4))) AS day_v
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM daily GROUP BY user_id
+),
+filled AS (
+  SELECT s.user_id, s.day, d.day_v,
+         last_value(d.day_v IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS UNBOUNDED PRECEDING) AS locf_v,
+         CASE WHEN d.day_v IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(observed) AS BIGINT) AS n_observed,
+       CAST(count(*) - sum(observed) AS BIGINT) AS n_filled,
+       CAST(round(sum(locf_v), 2) AS DOUBLE) AS filled_total
+FROM filled
+GROUP BY 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -3412,6 +3499,7 @@ QUERIES = {
     "events_ewma_smoothed": events_ewma_smoothed,
     "events_countmin_heavy_hitters": events_countmin_heavy_hitters,
     "events_countmin_merged_days": events_countmin_merged_days,
+    "events_gap_fill_locf": events_gap_fill_locf,
     "events_anomaly_robust_z": events_anomaly_robust_z,
     "nation_trade_pagerank": nation_trade_pagerank,
     "events_value_deciles": events_value_deciles,
@@ -3471,6 +3559,7 @@ ORACLES = {
     "events_ewma_smoothed": EWMA_SQL,
     "events_countmin_heavy_hitters": COUNTMIN_SQL,
     "events_countmin_merged_days": COUNTMIN_MERGED_SQL,
+    "events_gap_fill_locf": GAP_FILL_SQL,
     "events_anomaly_robust_z": ANOMALY_SQL,
     "nation_trade_pagerank": PAGERANK_SQL,
     "events_value_deciles": DECILES_SQL,

@@ -439,3 +439,22 @@ def test_countmin_merged_days_equals_global(spark, tmp_path):
         assert r.est_n == min(g_cells[(rr, col(rr, item))] for rr in range(4))
         assert r.est_n == plain[item].est_n  # merged == direct, in-engine
         assert r.n_days == (2 if int(item.split(":")[1]) < 3 else 1)
+
+
+def test_gap_fill_locf_hand_computed(spark, tmp_path):
+    """u1 active on D0 (two events summing 1.5) and D3 (2.25): spine is
+    4 days, gaps D1/D2 carry 1.5 forward -> filled_total 6.75. u2 has a
+    single active day -> nothing filled."""
+    from pravega_spark.queries.relational import events_gap_fill_locf
+
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (1, t0, 1, 0.75),
+        (2, t0 + timedelta(hours=2), 1, 0.75),
+        (3, t0 + timedelta(days=3), 1, 2.25),
+        (4, t0, 2, 5.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.user_id: tuple(r)[1:] for r in events_gap_fill_locf(spark, sf).collect()}
+    assert out[1] == (4, 2, 2, 6.75)
+    assert out[2] == (1, 1, 0, 5.0)
