@@ -1246,6 +1246,120 @@ ORDER BY d.vec_id
 """
 
 
+# ------------------------------------------- product quantization (r11)
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (64-d embeddings)
+_PQ_TOP = 20
+
+
+def _l2sq(x, c) -> "F.Column":
+    """Squared L2 distance between two array columns — JVM-side
+    zip_with + sequential fold, same shape as functions.vectors.dot."""
+    return F.aggregate(
+        F.zip_with(
+            x,
+            c,
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def similarity_pq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (Jegou et al. 2011, the FAISS PQ
+    building block): each 64-d embedding is split into 4 subvectors of
+    16 dims; each subvector is assigned to its nearest codeword, and
+    the (c0,c1,c2,c3) code tuple is the vector's compressed cell. The
+    output is the inverted-file cell census — the top cells by
+    population and how many coarse labels each cell cuts across (PQ
+    cells are finer than, and orthogonal to, the IVF label cells).
+
+    Codebooks: the label-centroid quantizer restricted to each
+    subspace (real PQ trains a k-means per subspace; reusing the
+    maintained deterministic quantizer keeps the construction
+    closed-form and oracle-checkable while exercising the exact
+    encode/cell machinery — the k-means twin is
+    similarity_kmeans_refine). Distances round to 6 dp before the
+    argmin and ties break by codeword id, so both engines assign
+    identically; argmin = array_min over (distance, codeword)
+    structs, the same lexicographic trick _km_assign pins.
+
+    Scale shape: the ENCODE IS A PER-ROW CODEGEN EXPRESSION against
+    the k x dim literal — no join, no shuffle, no build side; the
+    corpus is touched once and the only exchange is the final tiny
+    groupBy over code tuples. This is why PQ scales to 100 TB: the
+    compressed code is produced in the scan.
+
+    Reference parity: no analogue in pravega (stream store);
+    similarity layer per the build brief."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = _km_centroids(emb, "label")
+    codes = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB
+        sub_cents = [(cl, vec[lo : lo + _PQ_SUB]) for cl, vec in cents]
+        scored = F.transform(
+            _km_literal(sub_cents),
+            lambda c: F.struct(
+                F.round(
+                    _l2sq(F.slice(F.col("embedding"), lo + 1, _PQ_SUB), c["cv"]), 6
+                ).alias("d"),
+                c["cl"].alias("cl"),
+            ),
+        )
+        codes.append(F.array_min(scored)["cl"].cast("bigint").alias(f"c{s}"))
+    encoded = emb.select("vec_id", "label", *codes)
+    return (
+        encoded.groupBy(*[f"c{s}" for s in range(_PQ_M)])
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+        .orderBy(F.desc("n_vectors"), *[f"c{s}" for s in range(_PQ_M)])
+        .limit(_PQ_TOP)
+    )
+
+
+PQ_CELLS_SQL = f"""
+WITH vals AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, round(avg(v), 6) AS c FROM vals GROUP BY 1, 2
+),
+dist AS (
+  SELECT v.vec_id, (v.pos - 1) // {_PQ_SUB} AS sub, c.label AS cl,
+         round(sum((v.v - c.c) * (v.v - c.c)), 6) AS d
+  FROM vals v JOIN cent c ON c.pos = v.pos
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cl) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT c.vec_id,
+         {", ".join(f"max(CASE WHEN c.sub = {s} THEN c.cl END) AS c{s}" for s in range(_PQ_M))}
+  FROM codes c GROUP BY 1
+)
+SELECT {", ".join(f"CAST(ce.c{s} AS BIGINT) AS c{s}" for s in range(_PQ_M))},
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels
+FROM cells ce JOIN (SELECT vec_id, label FROM embeddings) e USING (vec_id)
+GROUP BY {", ".join(f"ce.c{s}" for s in range(_PQ_M))}
+ORDER BY n_vectors DESC, {", ".join(f"c{s}" for s in range(_PQ_M))}
+LIMIT {_PQ_TOP}
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_lsh_bucketed": similarity_lsh_bucketed,
@@ -1255,6 +1369,7 @@ QUERIES = {
     "similarity_knn_graph": similarity_knn_graph,
     "similarity_kmeans_refine": similarity_kmeans_refine,
     "similarity_semantic_dedup": similarity_semantic_dedup,
+    "similarity_pq_cells": similarity_pq_cells,
     "similarity_incremental_maintained": similarity_incremental_maintained,
     "embedding_near_dup": embedding_near_dup,
 }
@@ -1264,6 +1379,7 @@ ORACLES = {
     "similarity_knn_graph": KNN_GRAPH_SQL,
     "similarity_kmeans_refine": KMEANS_REFINE_SQL,
     "similarity_semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "similarity_pq_cells": PQ_CELLS_SQL,
     "similarity_incremental_maintained": ANN_MAINTAINED_SQL,
     "similarity_topk_bruteforce": TOPK_SQL,
     "similarity_lsh_bucketed": LSH_TOPK_SQL,

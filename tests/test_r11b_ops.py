@@ -458,3 +458,54 @@ def test_gap_fill_locf_hand_computed(spark, tmp_path):
     out = {r.user_id: tuple(r)[1:] for r in events_gap_fill_locf(spark, sf).collect()}
     assert out[1] == (4, 2, 2, 6.75)
     assert out[2] == (1, 1, 0, 5.0)
+
+
+def test_pq_cells_matches_independent_replica(spark, tmp_path):
+    """Seeded random 64-d vectors; a pure-Python PQ replica (rounded
+    per-label centroids -> per-subspace rounded L2 argmin with
+    codeword-asc ties -> cell census) must agree with the operator."""
+    import random
+    from collections import Counter, defaultdict
+    from pravega_spark.queries.similarity import similarity_pq_cells
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(20):
+        vec = [round(rng.uniform(-1, 1), 1) for _ in range(64)]
+        rows.append((vid, vec, vid % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    # replica: centroids = round(avg, 6) per (label, pos) on the FLOAT
+    # values Spark reads back (fp32 storage), then rounded L2 argmin
+    by_label = defaultdict(list)
+    import struct as _s
+    f32 = lambda x: _s.unpack("f", _s.pack("f", x))[0]
+    for vid, vec, lab in rows:
+        by_label[lab].append([f32(x) for x in vec])
+    cents = {
+        lab: [round(sum(v[p] for v in vs) / len(vs), 6) for p in range(64)]
+        for lab, vs in by_label.items()
+    }
+    census = Counter()
+    cell_labels = defaultdict(set)
+    for vid, vec, lab in rows:
+        fv = [f32(x) for x in vec]
+        code = []
+        for s in range(4):
+            lo = s * 16
+            best = min(
+                (round(sum((fv[lo + i] - c[lo + i]) ** 2 for i in range(16)), 6), cl)
+                for cl, c in cents.items()
+            )
+            code.append(best[1])
+        census[tuple(code)] += 1
+        cell_labels[tuple(code)].add(lab)
+    got = {
+        (r.c0, r.c1, r.c2, r.c3): (r.n_vectors, r.n_labels)
+        for r in similarity_pq_cells(spark, str(tmp_path)).collect()
+    }
+    want = {k: (n, len(cell_labels[k])) for k, n in census.items()}
+    # operator returns top-20 cells; 20 vectors -> at most 20 cells
+    assert got == want
