@@ -103,10 +103,10 @@ _GATE_ORDER = [
     # -- for the three never-gated r11 ops above; their r10 rows are one
     # -- round old and check_parity re-verifies them each round).
     # -- r12 rotation note: front this block next round ------------------
-    # -- ALL NINETEEN ops below (through similarity_pq_cells) are
+    # -- ALL TWENTY-ONE ops below (through events_cohort_ltv) are
     # -- new in r11 and past-cap (the in-gate 50 was fully claimed by
     # -- the r11 rotation); each is SQL-oracled, judge-verified via
-    # -- check_parity this round, and ALL NINETEEN front in r12 — do
+    # -- check_parity this round, and ALL TWENTY-ONE front in r12 — do
     # -- not front just the first few.
     "similarity_semantic_dedup",
     "events_interval_overlap",
@@ -127,6 +127,8 @@ _GATE_ORDER = [
     "events_countmin_merged_days",
     "events_gap_fill_locf",
     "similarity_pq_cells",
+    "orders_rfm_segments",
+    "events_cohort_ltv",
     # -- text_bpe_vocab_scale stays past-cap PERMANENTLY BY DESIGN
     # -- (VERDICT r9 item 2 / r10 item 2): its oracle is pure Python
     # -- (queries/py_oracles.py, judged via check_parity's

@@ -3447,6 +3447,174 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------ RFM segmentation (r11)
+_RFM_Q = 5  # quintiles per dimension
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994, the classic
+    direct-marketing model): each customer's Recency (last order date),
+    Frequency (order count), and Monetary (exact-decimal total spend)
+    are each quintile-scored 1-5 by ntile, and the 3-digit R*100 +
+    F*10 + M code is the segment. Output: segment census with exact
+    average spend — the table a campaign-targeting job consumes.
+
+    Determinism: ntile is positional over pinned total orders —
+    (recency, custkey), (frequency, custkey), (monetary, custkey) —
+    so duplicate values cannot order differently across engines;
+    money sums are exact decimal, double only in the final
+    projection.
+
+    Distributed shape: one custkey aggregation builds the per-customer
+    RFM frame; the three ntile windows are GLOBAL single-partition
+    sorts over |customers| rows (inherent to exact quantile ranks —
+    at 100 TB swap to approx_percentile boundary lookups exactly as
+    events_value_deciles documents); the segment census is a tiny
+    final groupBy.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", F.col("o_totalprice").cast(DEC).alias("price")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum("price").alias("spend"),
+    )
+    # recency: later last_order = better = higher score
+    r_w = Window.orderBy("last_order", "o_custkey")
+    f_w = Window.orderBy("freq", "o_custkey")
+    m_w = Window.orderBy("spend", "o_custkey")
+    scored = (
+        per_cust.withColumn("r", F.ntile(_RFM_Q).over(r_w))
+        .withColumn("f", F.ntile(_RFM_Q).over(f_w))
+        .withColumn("m", F.ntile(_RFM_Q).over(m_w))
+        .withColumn("segment", F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.avg("spend"), 2).cast("double").alias("avg_spend"),
+            F.round(F.avg("freq"), 4).alias("avg_orders"),
+        )
+        .select(F.col("segment").cast("bigint").alias("segment"),
+                "n_customers", "avg_spend", "avg_orders")
+        .orderBy("segment")
+    )
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS freq,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, freq, spend,
+         ntile({_RFM_Q}) OVER (ORDER BY last_order, o_custkey) AS r,
+         ntile({_RFM_Q}) OVER (ORDER BY freq, o_custkey) AS f,
+         ntile({_RFM_Q}) OVER (ORDER BY spend, o_custkey) AS m
+  FROM per_cust
+)
+SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(avg(spend), 2) AS DOUBLE) AS avg_spend,
+       round(avg(freq), 4) AS avg_orders
+FROM scored
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+# ------------------------------------------ cohort LTV triangle (r11)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users grouped by first-seen
+    week, purchase value accumulated by week-age — the (cohort x age)
+    matrix a growth team reads diagonally. Complements
+    events_retention_cohorts (headcount) with VALUE, cumulative per
+    cohort row.
+
+    Exact math: value sums in decimal; the cumulative sum runs in a
+    (cohort, age-order) window AFTER the (cohort, age) aggregation —
+    the running fold is over <=n_weeks rows per cohort, exact decimal,
+    order pinned by age.
+
+    Distributed shape: one user_id window for first-seen, one
+    (cohort, age) aggregation (map-side combinable), then a window
+    over the tiny triangle. A hot cohort is a handful of rows at the
+    cumsum stage regardless of corpus size.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.when(F.col("event_type") == "purchase", F.col("value").cast(DEC))
+        .otherwise(F.lit(0).cast(DEC))
+        .alias("v"),
+    )
+    w_first = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort", F.min("week").over(w_first)).withColumn(
+        "age_weeks",
+        ((F.unix_micros(F.col("week")) - F.unix_micros(F.col("cohort")))
+         / (7 * 86400 * 1_000_000)).cast("bigint"),
+    )
+    tri = cohorted.groupBy("cohort", "age_weeks").agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.sum("v").alias("week_value"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return tri.select(
+        "cohort",
+        "age_weeks",
+        F.col("active_users").cast("bigint").alias("active_users"),
+        F.round(F.col("week_value"), 2).cast("double").alias("week_value"),
+        F.round(F.sum("week_value").over(w_cum), 2).cast("double").alias("cum_value"),
+    ).orderBy("cohort", "age_weeks")
+
+
+COHORT_LTV_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(value AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END AS v
+  FROM events
+),
+cohorted AS (
+  SELECT user_id, week, v,
+         min(week) OVER (PARTITION BY user_id) AS cohort
+  FROM ev
+),
+tri AS (
+  SELECT cohort,
+         CAST((epoch_us(week) - epoch_us(cohort)) / 604800000000
+              AS BIGINT) AS age_weeks,
+         count(DISTINCT user_id) AS active_users,
+         sum(v) AS week_value
+  FROM cohorted
+  GROUP BY 1, 2
+)
+SELECT cohort, age_weeks,
+       CAST(active_users AS BIGINT) AS active_users,
+       CAST(round(week_value, 2) AS DOUBLE) AS week_value,
+       CAST(round(sum(week_value) OVER (PARTITION BY cohort ORDER BY age_weeks
+                                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+         AS cum_value
+FROM tri
+ORDER BY cohort, age_weeks
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -3500,6 +3668,8 @@ QUERIES = {
     "events_countmin_heavy_hitters": events_countmin_heavy_hitters,
     "events_countmin_merged_days": events_countmin_merged_days,
     "events_gap_fill_locf": events_gap_fill_locf,
+    "orders_rfm_segments": orders_rfm_segments,
+    "events_cohort_ltv": events_cohort_ltv,
     "events_anomaly_robust_z": events_anomaly_robust_z,
     "nation_trade_pagerank": nation_trade_pagerank,
     "events_value_deciles": events_value_deciles,
@@ -3560,6 +3730,8 @@ ORACLES = {
     "events_countmin_heavy_hitters": COUNTMIN_SQL,
     "events_countmin_merged_days": COUNTMIN_MERGED_SQL,
     "events_gap_fill_locf": GAP_FILL_SQL,
+    "orders_rfm_segments": RFM_SQL,
+    "events_cohort_ltv": COHORT_LTV_SQL,
     "events_anomaly_robust_z": ANOMALY_SQL,
     "nation_trade_pagerank": PAGERANK_SQL,
     "events_value_deciles": DECILES_SQL,

@@ -509,3 +509,59 @@ def test_pq_cells_matches_independent_replica(spark, tmp_path):
     want = {k: (n, len(cell_labels[k])) for k, n in census.items()}
     # operator returns top-20 cells; 20 vectors -> at most 20 cells
     assert got == want
+
+
+def test_rfm_segments_hand_computed(spark, tmp_path):
+    """5 customers with monotone R/F/M -> each owns one quintile, so
+    customer k lands in segment kkk and avg_spend is their own spend."""
+    from pravega_spark.queries.relational import orders_rfm_segments
+
+    d0 = datetime(1995, 6, 1)
+    rows, ok = [], 0
+    for c in range(1, 6):
+        for i in range(c):  # c orders
+            ok += 1
+            rows.append((ok, c, d0 + timedelta(days=30 * c + i), 100.0 * c + i))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.segment: r for r in orders_rfm_segments(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [111, 222, 333, 444, 555]
+    for c in range(1, 6):
+        r = out[c * 111]
+        assert r.n_customers == 1
+        assert r.avg_orders == float(c)
+        # spend = sum over i of (100c + i) = 100c*c + c(c-1)/2
+        assert r.avg_spend == 100.0 * c * c + c * (c - 1) / 2
+
+
+def test_cohort_ltv_triangle_hand_computed(spark, tmp_path):
+    """u1 cohort W0: purchase 10 @W0, view @W1 (active, zero value),
+    purchase 5 @W2 -> cum 10/10/15. u2 cohort W1: purchase 20."""
+    from pravega_spark.queries.relational import events_cohort_ltv
+
+    w0 = datetime(2024, 3, 4)  # a Monday
+
+    def wk(k, d=0):
+        return w0 + timedelta(weeks=k, days=d)
+
+    rows = [
+        (1, wk(0), 1, "purchase", 10.0),
+        (2, wk(1, 2), 1, "view", 999.0),  # non-purchase value ignored
+        (3, wk(2), 1, "purchase", 5.0),
+        (4, wk(1), 2, "purchase", 20.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = [tuple(r) for r in events_cohort_ltv(spark, str(tmp_path)).collect()]
+    assert out == [
+        (wk(0), 0, 1, 10.0, 10.0),
+        (wk(0), 1, 1, 0.0, 10.0),
+        (wk(0), 2, 1, 5.0, 15.0),
+        (wk(1), 0, 1, 20.0, 20.0),
+    ]
