@@ -2687,6 +2687,54 @@ _CMS_WIDTH = 64  # buckets per row — deliberately small vs ~500 items
 _CMS_TOP_K = 10
 
 
+def _cms_item():
+    """The sketched item key: (event_type, user-bucket). ONE definition
+    shared by both Count-Min operators — the merged-days op asserts
+    estimate equality against this op, so the identities must not
+    drift."""
+    return F.concat(
+        F.col("event_type"), F.lit(":"), (F.col("user_id") % 100).cast("string")
+    )
+
+
+def _cms_col():
+    """Cell column for hash row ``r`` and column ``item``: truncated
+    md5, deterministic in both engines. Shared for the same reason as
+    _cms_item."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm"), F.col("r").cast("string"), F.lit(":"), F.col("item")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_WIDTH
+    )
+
+
+# SQL twins of the helpers above — interpolated into BOTH oracles
+_CMS_ITEM_SQL = "event_type || ':' || CAST(user_id % 100 AS VARCHAR)"
+_CMS_ROWS_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({r})" for r in range(_CMS_DEPTH))
+    + ") AS t(r)"
+)
+
+
+def _cms_col_sql(r: str, item: str) -> str:
+    return (
+        f"('0x' || substr(md5('cm' || {r} || ':' || {item}), 1, 8))::BIGINT"
+        f" % {_CMS_WIDTH}"
+    )
+
+
 def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
     estimation for per-(event_type, user-bucket) stream items, with
@@ -2711,26 +2759,14 @@ def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     Reference parity: no analogue in pravega (stream store);
     sketch/analytics layer per the build brief."""
     ev = _t(spark, sf_dir, "events")
-    item = F.concat(
-        F.col("event_type"), F.lit(":"), (F.col("user_id") % 100).cast("string")
-    )
     counts = register_result_cache(
-        ev.select(item.alias("item")).groupBy("item").agg(F.count("*").alias("n")).persist()
+        ev.select(_cms_item().alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .persist()
     )
     rows_ = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
-    hashed = counts.crossJoin(F.broadcast(rows_)).withColumn(
-        "col",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("cm"), F.col("r").cast("string"), F.lit(":"), F.col("item"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _CMS_WIDTH,
-    )
+    hashed = counts.crossJoin(F.broadcast(rows_)).withColumn("col", _cms_col())
     cells = hashed.groupBy("r", "col").agg(F.sum("n").alias("cell_n"))
     est = (
         hashed.join(F.broadcast(cells), ["r", "col"])
@@ -2752,15 +2788,14 @@ def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
 
 COUNTMIN_SQL = f"""
 WITH counts AS (
-  SELECT event_type || ':' || CAST(user_id % 100 AS VARCHAR) AS item,
+  SELECT {_CMS_ITEM_SQL} AS item,
          count(*) AS n
   FROM events GROUP BY 1
 ),
-r AS (SELECT * FROM (VALUES {", ".join(f"({r})" for r in range(_CMS_DEPTH))}) AS t(r)),
+r AS ({_CMS_ROWS_SQL}),
 hashed AS (
   SELECT c.item, c.n, r.r,
-         ('0x' || substr(md5('cm' || r.r || ':' || c.item), 1, 8))::BIGINT
-           % {_CMS_WIDTH} AS col
+         {_cms_col_sql("r.r", "c.item")} AS col
   FROM counts c CROSS JOIN r
 ),
 cells AS (
@@ -3272,11 +3307,8 @@ def events_countmin_merged_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no analogue in pravega (stream store);
     sketch/analytics layer per the build brief."""
     ev = _t(spark, sf_dir, "events")
-    item = F.concat(
-        F.col("event_type"), F.lit(":"), (F.col("user_id") % 100).cast("string")
-    )
     day_counts = register_result_cache(
-        ev.select(item.alias("item"), F.date_trunc("day", F.col("ts")).alias("day"))
+        ev.select(_cms_item().alias("item"), F.date_trunc("day", F.col("ts")).alias("day"))
         .groupBy("item", "day")
         .agg(F.count("*").alias("n"))
         .persist()
@@ -3285,27 +3317,16 @@ def events_countmin_merged_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n"), F.countDistinct("day").alias("n_days")
     )
     rows_ = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
-    cell = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("cm"), F.col("r").cast("string"), F.lit(":"), F.col("item"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _CMS_WIDTH
-    )
-    # per-day sketches, then the cell-wise merge
+    # per-day sketches, then the cell-wise merge (cell identity shared
+    # with events_countmin_heavy_hitters via _cms_col)
     day_cells = (
         day_counts.crossJoin(F.broadcast(rows_))
-        .withColumn("col", cell)
+        .withColumn("col", _cms_col())
         .groupBy("day", "r", "col")
         .agg(F.sum("n").alias("cell_n"))
     )
     merged = day_cells.groupBy("r", "col").agg(F.sum("cell_n").alias("cell_n"))
-    hashed = counts.crossJoin(F.broadcast(rows_)).withColumn("col", cell)
+    hashed = counts.crossJoin(F.broadcast(rows_)).withColumn("col", _cms_col())
     est = (
         hashed.join(F.broadcast(merged), ["r", "col"])
         .groupBy("item")
@@ -3329,16 +3350,15 @@ def events_countmin_merged_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark side's per-day merge is the mergeability proof
 COUNTMIN_MERGED_SQL = f"""
 WITH counts AS (
-  SELECT event_type || ':' || CAST(user_id % 100 AS VARCHAR) AS item,
+  SELECT {_CMS_ITEM_SQL} AS item,
          count(*) AS n,
          count(DISTINCT date_trunc('day', ts)) AS n_days
   FROM events GROUP BY 1
 ),
-r AS (SELECT * FROM (VALUES {", ".join(f"({r})" for r in range(_CMS_DEPTH))}) AS t(r)),
+r AS ({_CMS_ROWS_SQL}),
 hashed AS (
   SELECT c.item, c.n, c.n_days, r.r,
-         ('0x' || substr(md5('cm' || r.r || ':' || c.item), 1, 8))::BIGINT
-           % {_CMS_WIDTH} AS col
+         {_cms_col_sql("r.r", "c.item")} AS col
   FROM counts c CROSS JOIN r
 ),
 cells AS (
@@ -3457,13 +3477,19 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frequency (order count), and Monetary (exact-decimal total spend)
     are each quintile-scored 1-5 by ntile, and the 3-digit R*100 +
     F*10 + M code is the segment. Output: segment census with exact
-    average spend — the table a campaign-targeting job consumes.
+    spend/order totals — the table a campaign-targeting job consumes
+    (averages are the consumer's one division away; emitting them
+    would reintroduce a cross-engine decimal-avg divergence — Spark
+    averages DECIMAL exactly then rounds HALF_UP, DuckDB's
+    avg(DECIMAL) goes through double first, and a .xx5 halfway mean
+    hashes differently — found by an adversarial review probe).
 
     Determinism: ntile is positional over pinned total orders —
     (recency, custkey), (frequency, custkey), (monetary, custkey) —
     so duplicate values cannot order differently across engines;
     money sums are exact decimal, double only in the final
-    projection.
+    projection (the sums carry the data's 2-dp scale, so the
+    decimal-to-double conversion is of identical exact values).
 
     Distributed shape: one custkey aggregation builds the per-customer
     RFM frame; the three ntile windows are GLOBAL single-partition
@@ -3496,11 +3522,11 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("segment")
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
-            F.round(F.avg("spend"), 2).cast("double").alias("avg_spend"),
-            F.round(F.avg("freq"), 4).alias("avg_orders"),
+            F.sum("spend").cast("double").alias("total_spend"),
+            F.sum("freq").cast("bigint").alias("total_orders"),
         )
         .select(F.col("segment").cast("bigint").alias("segment"),
-                "n_customers", "avg_spend", "avg_orders")
+                "n_customers", "total_spend", "total_orders")
         .orderBy("segment")
     )
 
@@ -3522,8 +3548,8 @@ scored AS (
 )
 SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
        CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(round(avg(spend), 2) AS DOUBLE) AS avg_spend,
-       round(avg(freq), 4) AS avg_orders
+       CAST(sum(spend) AS DOUBLE) AS total_spend,
+       CAST(sum(freq) AS BIGINT) AS total_orders
 FROM scored
 GROUP BY 1
 ORDER BY segment
@@ -3557,11 +3583,13 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast(DEC))
         .alias("v"),
     )
+    # age via the repo's established datediff week-offset idiom
+    # (events_retention_cohorts): exact integer day arithmetic, no
+    # epoch-micros constants, no double-division/cast-semantics trap
     w_first = Window.partitionBy("user_id")
     cohorted = ev.withColumn("cohort", F.min("week").over(w_first)).withColumn(
         "age_weeks",
-        ((F.unix_micros(F.col("week")) - F.unix_micros(F.col("cohort")))
-         / (7 * 86400 * 1_000_000)).cast("bigint"),
+        (F.datediff(F.col("week"), F.col("cohort")) / 7).cast("bigint"),
     )
     tri = cohorted.groupBy("cohort", "age_weeks").agg(
         F.countDistinct("user_id").alias("active_users"),
@@ -3597,8 +3625,7 @@ cohorted AS (
 ),
 tri AS (
   SELECT cohort,
-         CAST((epoch_us(week) - epoch_us(cohort)) / 604800000000
-              AS BIGINT) AS age_weeks,
+         CAST(datediff('day', cohort, week) / 7 AS BIGINT) AS age_weeks,
          count(DISTINCT user_id) AS active_users,
          sum(v) AS week_value
   FROM cohorted

@@ -1282,9 +1282,12 @@ def similarity_pq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form and oracle-checkable while exercising the exact
     encode/cell machinery — the k-means twin is
     similarity_kmeans_refine). Distances round to 6 dp before the
-    argmin and ties break by codeword id, so both engines assign
-    identically; argmin = array_min over (distance, codeword)
-    structs, the same lexicographic trick _km_assign pins.
+    argmin and ties break by codeword id — the same mitigation (not
+    a guarantee) the cosine kernels document: the pre-round doubles
+    differ only in summation-order ulps, which a 6-dp round absorbs
+    unless a distance sits within ~1e-15 of a rounding boundary;
+    argmin = array_min over (distance, codeword) structs, the
+    lexicographic trick _km_assign pins.
 
     Scale shape: the ENCODE IS A PER-ROW CODEGEN EXPRESSION against
     the k x dim literal — no join, no shuffle, no build side; the

@@ -531,9 +531,9 @@ def test_rfm_segments_hand_computed(spark, tmp_path):
     for c in range(1, 6):
         r = out[c * 111]
         assert r.n_customers == 1
-        assert r.avg_orders == float(c)
+        assert r.total_orders == c
         # spend = sum over i of (100c + i) = 100c*c + c(c-1)/2
-        assert r.avg_spend == 100.0 * c * c + c * (c - 1) / 2
+        assert r.total_spend == 100.0 * c * c + c * (c - 1) / 2
 
 
 def test_cohort_ltv_triangle_hand_computed(spark, tmp_path):
