@@ -3642,6 +3642,167 @@ ORDER BY cohort, age_weeks
 """
 
 
+# ------------------------------------------ path trigrams (r11)
+_PATH_TOP = 10
+
+
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavior paths: the (t1 -> t2 -> t3) event-type
+    trigrams over per-user sequences — the higher-order companion of
+    events_type_transitions (first-order chains miss patterns like
+    view->click->purchase vs view->click->view).
+
+    Output: top-K trigrams with count and exact ppm share of all
+    trigrams. One user_id window shuffle (two lags ride the same
+    spec), then a tiny path aggregation; the share denominator is a
+    1-row broadcast, not a collect.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("t3"))
+        .withColumn("t1", F.lag("t3", 2).over(w))
+        .withColumn("t2", F.lag("t3", 1).over(w))
+        .filter(F.col("t1").isNotNull())
+    )
+    counts = tri.groupBy("t1", "t2", "t3").agg(F.count("*").alias("n"))
+    total = counts.groupBy().agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(f"div(n * {_TRANS_PPM}, total)").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(_PATH_TOP)
+    )
+
+
+PATH_TRIGRAMS_SQL = f"""
+WITH tri AS (
+  SELECT lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT t1, t2, t3, count(*) AS n
+  FROM tri WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+),
+total AS (SELECT sum(n) AS total FROM counts)
+SELECT t1, t2, t3,
+       CAST(n AS BIGINT) AS n,
+       CAST((n * {_TRANS_PPM}) // total AS BIGINT) AS share_ppm
+FROM counts CROSS JOIN total
+ORDER BY n DESC, t1, t2, t3
+LIMIT {_PATH_TOP}
+"""
+
+
+# ------------------------------------------ basket lift (r11)
+_BASKET_TOP = 15
+_LIFT_PPM = 1_000_000
+
+
+def lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part brands: for brand pairs
+    co-occurring in an order, support and lift (observed co-occurrence
+    over the independence expectation) — the assortment/recommendation
+    primitive (Agrawal & Srikant 1994 association-rule support).
+
+    Integer fixed point: support_ppm = (n_ab * 1e6) div N and
+    lift as the DEFINED two-step floor-div chain
+    ``div(div(n_ab * 1e6, n_a) * N, n_b)`` — associating the divisions
+    this way keeps every intermediate under 2^63 at any SF (a single
+    n_ab*N*1e6 numerator overflows bigint at sf100) and is
+    deterministic in both engines; the contract is the expression,
+    not real-valued lift.
+
+    Distributed shape: the basket frame collapses to DISTINCT
+    (order, brand) BEFORE the pair join — per-order pair fan-out is
+    bounded by brands^2 (25 brands -> <=300 pairs/order) regardless of
+    lineitem count; one orderkey shuffle for the self-join, map-side
+    combinable counts after.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = register_result_cache(
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().groupBy().agg(
+        F.count("*").alias("n_orders")
+    )
+    brand_n = baskets.groupBy("brand").agg(F.count("*").alias("n_brand"))
+    a = baskets.select("l_orderkey", F.col("brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(brand_n.withColumnRenamed("brand", "brand_a").withColumnRenamed("n_brand", "n_a")),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(brand_n.withColumnRenamed("brand", "brand_b").withColumnRenamed("n_brand", "n_b")),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr(f"div(n_ab * {_LIFT_PPM}, n_orders)").cast("bigint").alias("support_ppm"),
+            F.expr(f"div(div(n_ab * {_LIFT_PPM}, n_a) * n_orders, n_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+BASKET_LIFT_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+brand_n AS (SELECT brand, count(*) AS n_brand FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST((p.n_ab * {_LIFT_PPM}) // o.n_orders AS BIGINT) AS support_ppm,
+       CAST((((p.n_ab * {_LIFT_PPM}) // na.n_brand) * o.n_orders) // nb.n_brand
+            AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN brand_n na ON na.brand = p.brand_a
+JOIN brand_n nb ON nb.brand = p.brand_b
+CROSS JOIN n_orders o
+ORDER BY lift_ppm DESC, brand_a, brand_b
+LIMIT {_BASKET_TOP}
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -3697,6 +3858,8 @@ QUERIES = {
     "events_gap_fill_locf": events_gap_fill_locf,
     "orders_rfm_segments": orders_rfm_segments,
     "events_cohort_ltv": events_cohort_ltv,
+    "events_path_trigrams": events_path_trigrams,
+    "lineitem_basket_lift": lineitem_basket_lift,
     "events_anomaly_robust_z": events_anomaly_robust_z,
     "nation_trade_pagerank": nation_trade_pagerank,
     "events_value_deciles": events_value_deciles,
@@ -3759,6 +3922,8 @@ ORACLES = {
     "events_gap_fill_locf": GAP_FILL_SQL,
     "orders_rfm_segments": RFM_SQL,
     "events_cohort_ltv": COHORT_LTV_SQL,
+    "events_path_trigrams": PATH_TRIGRAMS_SQL,
+    "lineitem_basket_lift": BASKET_LIFT_SQL,
     "events_anomaly_robust_z": ANOMALY_SQL,
     "nation_trade_pagerank": PAGERANK_SQL,
     "events_value_deciles": DECILES_SQL,

@@ -3778,6 +3778,134 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------- RAKE keywords (r11)
+_RAKE_TOP = 10
+_RAKE_MIN_LEN = 2  # output phrases of 2..4 words (classic RAKE practice)
+_RAKE_MAX_LEN = 4
+_RAKE_PPM = 1_000_000
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = summed length of phrases containing
+    it, frequency = occurrence count) and a phrase scores the sum of
+    its member word scores. Top-K multi-word phrases corpus-wide —
+    the unsupervised keyword layer of a curation dashboard.
+
+    Integer fixed point: word_score_ppm = (deg * 1e6) div freq;
+    phrase score = bigint sum of member scores — both engines agree
+    exactly. Phrase boundaries come from a per-doc running stopword
+    count over token positions (pure window algebra, no regex
+    stitching), so adjacent stopwords and doc edges fall out
+    naturally.
+
+    Distributed shape: ONE posexplode of the token stream into a
+    persisted non-stop token frame; phrases are a (doc, phrase_id)
+    aggregation of that cache; word stats aggregate the same cache
+    joined to the tiny phrase-length frame; phrase scoring joins the
+    broadcast word-score table back. Every stage is linear; the
+    only wide key is doc_id.
+
+    Reference parity: no analogue in pravega (stream store); text
+    analysis layer per the build brief."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.lower(F.col("text")))).alias("pos", "tok")
+    ).withColumn("is_stop", F.col("tok").isin(*STOPWORDS).cast("int"))
+    wdoc = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    words = register_result_cache(
+        toks.withColumn("pid", F.sum("is_stop").over(wdoc))
+        .filter((F.col("is_stop") == 0) & (F.length("tok") >= 1))
+        .select("doc_id", "pid", "pos", "tok")
+        .persist()
+    )
+    phrases = words.groupBy("doc_id", "pid").agg(
+        F.count("*").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstats = (
+        words.join(phrases.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .withColumn("wscore", F.expr(f"div(deg * {_RAKE_PPM}, freq)"))
+    )
+    pscores = (
+        words.join(F.broadcast(wstats.select("tok", "wscore")), "tok")
+        .groupBy("doc_id", "pid")
+        .agg(F.sum("wscore").alias("score"))
+    )
+    return (
+        phrases.join(pscores, ["doc_id", "pid"])
+        .filter(F.col("plen").between(_RAKE_MIN_LEN, _RAKE_MAX_LEN))
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.max("score").cast("bigint").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(_RAKE_TOP)
+    )
+
+
+RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split_regex(trim(lower(text)), ' +'), 1) AS pos,
+         unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ({_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+  FROM toks
+),
+numbered AS (
+  SELECT doc_id, pos, tok, is_stop,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS pid
+  FROM marked
+),
+words AS (
+  SELECT doc_id, pid, pos, tok FROM numbered
+  WHERE is_stop = 0 AND length(tok) >= 1
+),
+phrases AS (
+  SELECT doc_id, pid, count(*) AS plen,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM words GROUP BY 1, 2
+),
+wstats AS (
+  SELECT w.tok, count(*) AS freq, sum(p.plen) AS deg,
+         (sum(p.plen) * {_RAKE_PPM}) // count(*) AS wscore
+  FROM words w JOIN phrases p USING (doc_id, pid)
+  GROUP BY 1
+),
+pscores AS (
+  SELECT w.doc_id, w.pid, sum(s.wscore) AS score
+  FROM words w JOIN wstats s USING (tok)
+  GROUP BY 1, 2
+)
+SELECT p.phrase,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(max(sc.score) AS BIGINT) AS score
+FROM phrases p JOIN pscores sc USING (doc_id, pid)
+WHERE p.plen BETWEEN {_RAKE_MIN_LEN} AND {_RAKE_MAX_LEN}
+GROUP BY 1
+ORDER BY score DESC, phrase
+LIMIT {_RAKE_TOP}
+"""
+
+
 QUERIES = {
     "pipeline_daily_corpus": pipeline_daily_corpus,
     "pipeline_daily_corpus_streaming": pipeline_daily_corpus_streaming,
@@ -3799,6 +3927,7 @@ QUERIES = {
     "corpus_weighted_sample": corpus_weighted_sample,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_source_gini": corpus_source_gini,
+    "text_rake_keywords": text_rake_keywords,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_chunk_windows": corpus_chunk_windows,
     "corpus_token_packing": corpus_token_packing,
@@ -3835,6 +3964,7 @@ ORACLES = {
     "corpus_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
     "corpus_source_gini": SOURCE_GINI_SQL,
+    "text_rake_keywords": RAKE_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
     "corpus_chunk_windows": CHUNK_WINDOWS_SQL,
     "corpus_token_packing": TOKEN_PACKING_SQL,

@@ -565,3 +565,77 @@ def test_cohort_ltv_triangle_hand_computed(spark, tmp_path):
         (wk(0), 2, 1, 5.0, 15.0),
         (wk(1), 0, 1, 20.0, 20.0),
     ]
+
+
+def test_path_trigrams_hand_computed(spark, tmp_path):
+    """u1: a,b,c,a -> trigrams (a,b,c),(b,c,a); u2 has only 2 events ->
+    none. Shares are exact halves."""
+    from pravega_spark.queries.relational import events_path_trigrams
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (1, t0, 1, "a"), (2, t0 + timedelta(minutes=1), 1, "b"),
+        (3, t0 + timedelta(minutes=2), 1, "c"), (4, t0 + timedelta(minutes=3), 1, "a"),
+        (5, t0, 2, "a"), (6, t0 + timedelta(minutes=1), 2, "a"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = [tuple(r) for r in events_path_trigrams(spark, str(tmp_path)).collect()]
+    assert out == [
+        ("a", "b", "c", 1, 500_000),
+        ("b", "c", "a", 1, 500_000),
+    ]
+
+
+def test_basket_lift_hand_computed(spark, tmp_path):
+    """Baskets {A,B},{A,B},{A,C},{B} (first order holds two A-parts to
+    exercise the distinct collapse). lift is the DOCUMENTED floor-div
+    chain: AB = div(div(2e6,3)*4,3) = 888888; AC = div(div(1e6,3)*4,1)
+    = 1333332 -> AC ranks above AB despite lower support."""
+    from pravega_spark.queries.relational import lineitem_basket_lift
+
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{name}.parquet"))
+
+    w("part", "p_partkey long, p_brand string",
+      [(1, "A"), (2, "A"), (3, "B"), (4, "C")])
+    w("lineitem", "l_orderkey long, l_partkey long",
+      [(10, 1), (10, 2), (10, 3),     # o1: A,A,B -> {A,B}
+       (11, 1), (11, 3),               # o2: {A,B}
+       (12, 2), (12, 4),               # o3: {A,C}
+       (13, 3)])                       # o4: {B}
+    out = [tuple(r) for r in lineitem_basket_lift(spark, str(tmp_path)).collect()]
+    assert out == [
+        ("A", "C", 1, 250_000, 1_333_332),
+        ("A", "B", 2, 500_000, 888_888),
+    ]
+
+
+def test_rake_keywords_hand_computed(spark, tmp_path):
+    """Stopword-delimited phrases with exact RAKE integer scores:
+    'deep' freq 3 / deg 6, 'learning' 2/4, 'models' 1/2 -> all
+    wscore 2e6; single-word phrase 'cat' counts toward word stats
+    but is excluded from the output grain."""
+    from pravega_spark.queries.text import text_rake_keywords
+
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, "en", "deep learning of deep models"),
+            (2, "en", "deep learning"),
+            (3, "en", "cat the cat dog"),
+        ],
+    )
+    out = [tuple(r) for r in text_rake_keywords(spark, sf).collect()]
+    assert out == [
+        ("deep learning", 2, 4_000_000),
+        ("deep models", 1, 4_000_000),
+        ("cat dog", 1, 3_500_000),
+    ]
