@@ -3803,6 +3803,181 @@ LIMIT {_BASKET_TOP}
 """
 
 
+# ------------------------------------------ lead-time profile (r11)
+def lineitem_leadtime_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time SLA profile per supplier nation: exact
+    p50/p90/p99 of (shipdate - orderdate) in days, plus the share of
+    lines shipped within 30 days — the supply-chain health table.
+
+    Everything is integers: datediff days, percentile_disc picks
+    actual day values (no interpolation — the same bit-exactness
+    contract as events_anomaly_robust_z), and the SLA share is ppm
+    floor-div. Shape: one lineitem-orders equi-join (the canonical
+    fact-fact shuffle; bucketed twins show the co-located variant),
+    broadcast supplier/nation dims, then a 25-group aggregation whose
+    percentile buffers are per-nation (exact percentiles group-buffer;
+    the sketch swap is documented in events_percentile_sketch).
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    days = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(F.col("n_name").alias("nation"),
+                F.datediff("l_shipdate", "o_orderdate").alias("d"))
+    )
+    return (
+        days.groupBy("nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").cast("bigint").alias("p50_days"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY d)").cast("bigint").alias("p90_days"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY d)").cast("bigint").alias("p99_days"),
+            F.expr("CAST(div(sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * 1000000, count(*)) AS BIGINT)").alias("sla30_ppm"),
+        )
+        .orderBy("nation")
+    )
+
+
+LEADTIME_SQL = """
+WITH days AS (
+  SELECT n.n_name AS nation,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS d
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(quantile_disc(d, 0.5) AS BIGINT) AS p50_days,
+       CAST(quantile_disc(d, 0.9) AS BIGINT) AS p90_days,
+       CAST(quantile_disc(d, 0.99) AS BIGINT) AS p99_days,
+       CAST((sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS sla30_ppm
+FROM days
+GROUP BY 1
+ORDER BY nation
+"""
+
+
+# ------------------------------------------ inter-arrival stats (r11)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival time profile over per-user sequences:
+    exact p50/p90 of the gap (whole seconds) between a user's
+    consecutive events of the same type, plus burst share (gaps under
+    60 s) — the stream-characterization table a capacity planner and
+    a bot-detection rule both read.
+
+    All integers: gaps in floor seconds (micros div 1e6),
+    percentile_disc picks, ppm floor-div. One (user_id, type) window
+    shuffle, then a 5-group aggregation.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("event_type", F.expr("div(us - prev, 1000000)").alias("gap_s"))
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)").cast("bigint").alias("p50_s"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)").cast("bigint").alias("p90_s"),
+            F.expr("CAST(div(sum(CASE WHEN gap_s < 60 THEN 1 ELSE 0 END) * 1000000, count(*)) AS BIGINT)").alias("burst_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTER_ARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s,
+       CAST((sum(CASE WHEN gap_s < 60 THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS burst_ppm
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------ seasonality index (r11)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue seasonality: each calendar month's index vs the
+    uniform-month expectation (1e6 = exactly average) — the demand
+    planning table. Revenue is summed in exact CENTS (bigint); the
+    index is the DEFINED floor-div chain
+    ``month_cents div (total_cents div 12e6)`` — dividing the total
+    down first keeps every intermediate under 2^63 at any SF (the
+    naive month_cents * 12e6 numerator overflows past ~$77 B/month,
+    which TPC-H totalprice reaches by sf10); the contract is the
+    expression. Floor error is <= 12e6/total relative — sub-ppm
+    beyond tiny corpora.
+
+    Shape: one 12-group aggregation with map-side combine over the
+    orders scan; the total joins back as a 1-row broadcast.
+
+    Reference parity: no analogue in pravega (stream store);
+    analytics layer per the build brief."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").alias("month"),
+        # exact cents: totalprice has 2-dp data; decimal cast then x100
+        (F.col("o_totalprice").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    monthly = orders.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    total = monthly.groupBy().agg(F.sum("cents").alias("total_cents"))
+    return (
+        monthly.crossJoin(F.broadcast(total))
+        .select(
+            F.col("month").cast("bigint").alias("month"),
+            "n_orders",
+            (F.col("cents") / 100).cast("double").alias("revenue"),
+            F.expr("CAST(div(cents, div(total_cents, 12000000)) AS BIGINT)").alias("index_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+SEASONALITY_SQL = """
+WITH monthly AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+         count(*) AS n_orders,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+total AS (SELECT sum(cents) AS total_cents FROM monthly)
+SELECT month,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       CAST(cents // (total_cents // 12000000) AS BIGINT) AS index_ppm
+FROM monthly CROSS JOIN total
+ORDER BY month
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_retention_cohorts": events_retention_cohorts,
@@ -3860,6 +4035,9 @@ QUERIES = {
     "events_cohort_ltv": events_cohort_ltv,
     "events_path_trigrams": events_path_trigrams,
     "lineitem_basket_lift": lineitem_basket_lift,
+    "lineitem_leadtime_profile": lineitem_leadtime_profile,
+    "events_inter_arrival": events_inter_arrival,
+    "orders_seasonality_index": orders_seasonality_index,
     "events_anomaly_robust_z": events_anomaly_robust_z,
     "nation_trade_pagerank": nation_trade_pagerank,
     "events_value_deciles": events_value_deciles,
@@ -3924,6 +4102,9 @@ ORACLES = {
     "events_cohort_ltv": COHORT_LTV_SQL,
     "events_path_trigrams": PATH_TRIGRAMS_SQL,
     "lineitem_basket_lift": BASKET_LIFT_SQL,
+    "lineitem_leadtime_profile": LEADTIME_SQL,
+    "events_inter_arrival": INTER_ARRIVAL_SQL,
+    "orders_seasonality_index": SEASONALITY_SQL,
     "events_anomaly_robust_z": ANOMALY_SQL,
     "nation_trade_pagerank": PAGERANK_SQL,
     "events_value_deciles": DECILES_SQL,

@@ -639,3 +639,72 @@ def test_rake_keywords_hand_computed(spark, tmp_path):
         ("deep models", 1, 4_000_000),
         ("cat dog", 1, 3_500_000),
     ]
+
+
+def test_leadtime_profile_hand_computed(spark, tmp_path):
+    """One nation, lead times [1..9, 40] days: disc p50=5, p90=9,
+    p99=40, SLA30 = 9/10 = 900000 ppm."""
+    from pravega_spark.queries.relational import lineitem_leadtime_profile
+
+    d0 = datetime(1995, 6, 1)
+
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{name}.parquet"))
+
+    w("nation", "n_nationkey long, n_name string", [(0, "A")])
+    w("supplier", "s_suppkey long, s_nationkey long", [(1, 0)])
+    leads = list(range(1, 10)) + [40]
+    w("orders", "o_orderkey long, o_orderdate timestamp",
+      [(10 + i, d0) for i in range(len(leads))])
+    w("lineitem", "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+      [(10 + i, 1, d0 + timedelta(days=d)) for i, d in enumerate(leads)])
+    out = lineitem_leadtime_profile(spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in out] == [("A", 10, 5, 9, 40, 900_000)]
+
+
+def test_inter_arrival_hand_computed(spark, tmp_path):
+    """u1 type a at 0s, 30s, 90s, 390s -> gaps [30, 60, 300]: p50=60
+    (disc, 2nd of 3), p90=300, burst = 1/3 = 333333 ppm. Cross-user
+    and cross-type gaps must NOT mix (u2's early event would otherwise
+    create a negative or tiny gap)."""
+    from pravega_spark.queries.relational import events_inter_arrival
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (1, t0, 1, "a"), (2, t0 + timedelta(seconds=30), 1, "a"),
+        (3, t0 + timedelta(seconds=90), 1, "a"), (4, t0 + timedelta(seconds=390), 1, "a"),
+        (5, t0 + timedelta(seconds=10), 2, "a"),  # single event: no gap
+        (6, t0, 1, "b"), (7, t0 + timedelta(seconds=5), 1, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: tuple(r)[1:] for r in events_inter_arrival(spark, str(tmp_path)).collect()}
+    assert out["a"] == (3, 60, 300, 333_333)
+    assert out["b"] == (1, 5, 5, 1_000_000)
+
+
+def test_seasonality_index_hand_computed(spark, tmp_path):
+    """Two months, revenue 300 and 100 dollars: total 40000 cents,
+    denominator 40000 // 12e6 = 0 -> tiny-corpus guard... use bigger
+    values: 3e6 and 1e6 dollars -> total 4e8 cents, denom = 33,
+    index Jan = 3e8 // 33 = 9090909, Feb = 1e8 // 33 = 3030303."""
+    from pravega_spark.queries.relational import orders_seasonality_index
+
+    def mk(k, month, price):
+        return (k, datetime(1995, month, 15), price)
+
+    rows = [mk(1, 1, 3_000_000.0), mk(2, 2, 1_000_000.0)]
+    df = spark.createDataFrame(
+        [(k, d, p) for k, d, p in rows],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.month: tuple(r)[1:] for r in orders_seasonality_index(spark, str(tmp_path)).collect()}
+    assert out[1] == (1, 3_000_000.0, 300_000_000 // 33)
+    assert out[2] == (1, 1_000_000.0, 100_000_000 // 33)
