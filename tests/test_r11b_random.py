@@ -281,3 +281,164 @@ def test_pagerank_random_vs_integer_replica(spark, tmp_path):
             rank = {v: base + (85 * contrib[v]) // 100 for v in rank}
         got = {r.nation: r.rank_scaled for r in nation_trade_pagerank(spark, str(d)).collect()}
         assert got == rank, seed
+
+
+def test_path_trigrams_random_vs_bruteforce(spark, tmp_path):
+    from pravega_spark.queries.relational import events_path_trigrams
+
+    for seed in SEEDS:
+        rng = random.Random(seed)
+        rows = _rand_events(rng, n_users=5, n_days=3, n_events=60)
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        sf = _write_events(spark, d, rows)
+        seqs = defaultdict(list)
+        for eid, ts, u, t, v, _ in rows:
+            seqs[u].append((ts, eid, t))
+        counts = Counter()
+        for u, evs in seqs.items():
+            evs.sort()
+            types = [t for _, _, t in evs]
+            for i in range(len(types) - 2):
+                counts[tuple(types[i : i + 3])] += 1
+        total = sum(counts.values())
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        want = [
+            (t1, t2, t3, n, (n * 1_000_000) // total)
+            for (t1, t2, t3), n in ranked
+        ]
+        got = [tuple(r) for r in events_path_trigrams(spark, sf).collect()]
+        assert got == want, seed
+
+
+def test_basket_lift_random_vs_bruteforce(spark, tmp_path):
+    from pravega_spark.queries.relational import lineitem_basket_lift
+
+    for seed in SEEDS:
+        rng = random.Random(seed)
+        parts = [(pk, f"B{rng.randint(1, 5)}") for pk in range(1, 13)]
+        lis = [
+            (ok, rng.randint(1, 12))
+            for ok in range(1, 16)
+            for _ in range(rng.randint(1, 5))
+        ]
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        spark.createDataFrame(parts, "p_partkey long, p_brand string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d / "part.parquet"))
+        spark.createDataFrame(lis, "l_orderkey long, l_partkey long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+        pb = dict(parts)
+        baskets = defaultdict(set)
+        for ok, pk in lis:
+            baskets[ok].add(pb[pk])
+        n_orders = len(baskets)
+        brand_n = Counter()
+        pair_n = Counter()
+        for bs in baskets.values():
+            for b in bs:
+                brand_n[b] += 1
+            bl = sorted(bs)
+            for i in range(len(bl)):
+                for j in range(i + 1, len(bl)):
+                    pair_n[(bl[i], bl[j])] += 1
+        scored = []
+        for (a, b), n_ab in pair_n.items():
+            support = (n_ab * 1_000_000) // n_orders
+            lift = (((n_ab * 1_000_000) // brand_n[a]) * n_orders) // brand_n[b]
+            scored.append((a, b, n_ab, support, lift))
+        want = sorted(scored, key=lambda r: (-r[4], r[0], r[1]))[:15]
+        got = [tuple(r) for r in lineitem_basket_lift(spark, str(d)).collect()]
+        assert got == want, seed
+
+
+def test_rake_random_vs_bruteforce(spark, tmp_path):
+    from pravega_spark.queries.text import STOPWORDS, text_rake_keywords
+
+    vocab = ["alpha", "beta", "gamma", "delta", "the", "of", "in", "and"]
+    for seed in SEEDS:
+        rng = random.Random(seed)
+        docs = [
+            (i, "en", " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 14))))
+            for i in range(1, 10)
+        ]
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        spark.createDataFrame(
+            docs, "doc_id long, lang string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+        # replica: phrases = maximal non-stopword runs
+        phrases = []  # (doc, pid, [words])
+        for did, _, text in docs:
+            run, pid = [], 0
+            for tok in text.split():
+                if tok in STOPWORDS:
+                    if run:
+                        phrases.append((did, pid, run))
+                    run, pid = [], pid + 1
+                else:
+                    run = run + [tok]
+            if run:
+                phrases.append((did, pid, run))
+        freq, deg = Counter(), Counter()
+        for _, _, ws in phrases:
+            for w in ws:
+                freq[w] += 1
+                deg[w] += len(ws)
+        wscore = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+        agg = {}
+        for _, _, ws in phrases:
+            if not (2 <= len(ws) <= 4):
+                continue
+            ph = " ".join(ws)
+            sc = sum(wscore[w] for w in ws)
+            n, _ = agg.get(ph, (0, 0))
+            agg[ph] = (n + 1, sc)
+        want = sorted(
+            [(ph, n, sc) for ph, (n, sc) in agg.items()],
+            key=lambda r: (-r[2], r[0]),
+        )[:10]
+        got = [tuple(r) for r in text_rake_keywords(spark, str(d)).collect()]
+        assert got == want, seed
+
+
+def test_inter_arrival_random_vs_bruteforce(spark, tmp_path):
+    from pravega_spark.queries.relational import events_inter_arrival
+
+    for seed in SEEDS:
+        rng = random.Random(seed)
+        rows = _rand_events(rng, n_users=4, n_days=2, n_events=50)
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        sf = _write_events(spark, d, rows)
+        seqs = defaultdict(list)
+        for eid, ts, u, t, v, _ in rows:
+            seqs[(u, t)].append((ts, eid))
+        gaps = defaultdict(list)
+        for (u, t), evs in seqs.items():
+            evs.sort()
+            for (a, _), (b, _) in zip(evs, evs[1:]):
+                gaps[t].append(int((b - a).total_seconds()))
+
+        def disc(xs, q):
+            xs = sorted(xs)
+            import math
+            return xs[max(0, math.ceil(q * len(xs)) - 1)]
+
+        want = {
+            t: (
+                len(g),
+                disc(g, 0.5),
+                disc(g, 0.9),
+                (sum(1 for x in g if x < 60) * 1_000_000) // len(g),
+            )
+            for t, g in gaps.items()
+        }
+        got = {
+            r.event_type: (r.n_gaps, r.p50_s, r.p90_s, r.burst_ppm)
+            for r in events_inter_arrival(spark, sf).collect()
+        }
+        assert got == want, seed
