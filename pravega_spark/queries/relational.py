@@ -3103,7 +3103,10 @@ ORDER BY event_type, bin
 
 
 # -------------------------------------- event-type transitions (r11)
-_TRANS_PPM = 1_000_000
+# ppm fixed-point scale shared by EVERY r11 rate/share/lift expression
+# in this module (transitions, trigrams, drift, basket lift, SLA,
+# burst, seasonality) — one spelling, one audit point
+_PPM = 1_000_000
 
 
 def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3137,7 +3140,7 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "from_type",
             "to_type",
             F.col("n").cast("bigint").alias("n"),
-            F.expr(f"div(n * {_TRANS_PPM}, row_n)").cast("bigint").alias("p_ppm"),
+            F.expr(f"div(n * {_PPM}, row_n)").cast("bigint").alias("p_ppm"),
         )
         .orderBy("from_type", "to_type")
     )
@@ -3157,16 +3160,13 @@ counts AS (
 totals AS (SELECT from_type, sum(n) AS row_n FROM counts GROUP BY 1)
 SELECT c.from_type, c.to_type,
        CAST(c.n AS BIGINT) AS n,
-       CAST((c.n * {_TRANS_PPM}) // t.row_n AS BIGINT) AS p_ppm
+       CAST((c.n * {_PPM}) // t.row_n AS BIGINT) AS p_ppm
 FROM counts c JOIN totals t USING (from_type)
 ORDER BY from_type, to_type
 """
 
 
 # -------------------------------------- distribution drift TVD (r11)
-_DRIFT_PPM = 1_000_000
-
-
 def events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift audit per event type: total variation
     distance between the value distributions of the first and second
@@ -3221,11 +3221,11 @@ def events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_bin.join(F.broadcast(totals), "event_type")
-        .withColumn("sh_a", F.expr(f"div(n_a * {_DRIFT_PPM}, t_a)"))
+        .withColumn("sh_a", F.expr(f"div(n_a * {_PPM}, t_a)"))
         # greatest(t_b, 1): ANSI div-by-zero would throw BEFORE the
         # t_b = 0 CASE below; n_b is 0 whenever t_b is 0, so the
         # neutralized divisor never changes a kept value
-        .withColumn("sh_b", F.expr(f"div(n_b * {_DRIFT_PPM}, greatest(t_b, 1))"))
+        .withColumn("sh_b", F.expr(f"div(n_b * {_PPM}, greatest(t_b, 1))"))
         .groupBy("event_type")
         .agg(
             F.max("t_a").cast("bigint").alias("t_a"),
@@ -3238,7 +3238,7 @@ def events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_b").alias("n_second_half"),
             # empty second half => total drift by contract (the raw
             # expression is NULL there: div by t_b = 0)
-            F.when(F.col("t_b") == 0, F.lit(_DRIFT_PPM))
+            F.when(F.col("t_b") == 0, F.lit(_PPM))
             .otherwise(F.col("tvd_raw"))
             .cast("bigint")
             .alias("tvd_ppm"),
@@ -3272,9 +3272,9 @@ totals AS (
 SELECT p.event_type,
        CAST(max(t.t_a) AS BIGINT) AS n_first_half,
        CAST(max(t.t_b) AS BIGINT) AS n_second_half,
-       CAST(CASE WHEN max(t.t_b) = 0 THEN {_DRIFT_PPM}
-            ELSE sum(abs((p.n_a * {_DRIFT_PPM}) // t.t_a
-                       - (p.n_b * {_DRIFT_PPM}) // t.t_b)) // 2
+       CAST(CASE WHEN max(t.t_b) = 0 THEN {_PPM}
+            ELSE sum(abs((p.n_a * {_PPM}) // t.t_a
+                       - (p.n_b * {_PPM}) // t.t_b)) // 2
             END AS BIGINT) AS tvd_ppm
 FROM per_bin p JOIN totals t USING (event_type)
 GROUP BY 1
@@ -3676,7 +3676,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t2",
             "t3",
             F.col("n").cast("bigint").alias("n"),
-            F.expr(f"div(n * {_TRANS_PPM}, total)").cast("bigint").alias("share_ppm"),
+            F.expr(f"div(n * {_PPM}, total)").cast("bigint").alias("share_ppm"),
         )
         .orderBy(F.desc("n"), "t1", "t2", "t3")
         .limit(_PATH_TOP)
@@ -3698,7 +3698,7 @@ counts AS (
 total AS (SELECT sum(n) AS total FROM counts)
 SELECT t1, t2, t3,
        CAST(n AS BIGINT) AS n,
-       CAST((n * {_TRANS_PPM}) // total AS BIGINT) AS share_ppm
+       CAST((n * {_PPM}) // total AS BIGINT) AS share_ppm
 FROM counts CROSS JOIN total
 ORDER BY n DESC, t1, t2, t3
 LIMIT {_PATH_TOP}
@@ -3707,7 +3707,6 @@ LIMIT {_PATH_TOP}
 
 # ------------------------------------------ basket lift (r11)
 _BASKET_TOP = 15
-_LIFT_PPM = 1_000_000
 
 
 def lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3766,8 +3765,8 @@ def lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             F.col("n_ab").cast("bigint").alias("n_ab"),
-            F.expr(f"div(n_ab * {_LIFT_PPM}, n_orders)").cast("bigint").alias("support_ppm"),
-            F.expr(f"div(div(n_ab * {_LIFT_PPM}, n_a) * n_orders, n_b)")
+            F.expr(f"div(n_ab * {_PPM}, n_orders)").cast("bigint").alias("support_ppm"),
+            F.expr(f"div(div(n_ab * {_PPM}, n_a) * n_orders, n_b)")
             .cast("bigint")
             .alias("lift_ppm"),
         )
@@ -3791,8 +3790,8 @@ pairs AS (
 )
 SELECT p.brand_a, p.brand_b,
        CAST(p.n_ab AS BIGINT) AS n_ab,
-       CAST((p.n_ab * {_LIFT_PPM}) // o.n_orders AS BIGINT) AS support_ppm,
-       CAST((((p.n_ab * {_LIFT_PPM}) // na.n_brand) * o.n_orders) // nb.n_brand
+       CAST((p.n_ab * {_PPM}) // o.n_orders AS BIGINT) AS support_ppm,
+       CAST((((p.n_ab * {_PPM}) // na.n_brand) * o.n_orders) // nb.n_brand
             AS BIGINT) AS lift_ppm
 FROM pairs p
 JOIN brand_n na ON na.brand = p.brand_a
@@ -3838,13 +3837,13 @@ def lineitem_leadtime_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").cast("bigint").alias("p50_days"),
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY d)").cast("bigint").alias("p90_days"),
             F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY d)").cast("bigint").alias("p99_days"),
-            F.expr("CAST(div(sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * 1000000, count(*)) AS BIGINT)").alias("sla30_ppm"),
+            F.expr(f"CAST(div(sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * {_PPM}, count(*)) AS BIGINT)").alias("sla30_ppm"),
         )
         .orderBy("nation")
     )
 
 
-LEADTIME_SQL = """
+LEADTIME_SQL = f"""
 WITH days AS (
   SELECT n.n_name AS nation,
          datediff('day', o.o_orderdate, l.l_shipdate) AS d
@@ -3858,7 +3857,7 @@ SELECT nation,
        CAST(quantile_disc(d, 0.5) AS BIGINT) AS p50_days,
        CAST(quantile_disc(d, 0.9) AS BIGINT) AS p90_days,
        CAST(quantile_disc(d, 0.99) AS BIGINT) AS p99_days,
-       CAST((sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * 1000000) // count(*)
+       CAST((sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * {_PPM}) // count(*)
             AS BIGINT) AS sla30_ppm
 FROM days
 GROUP BY 1
@@ -3895,13 +3894,13 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_gaps"),
             F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)").cast("bigint").alias("p50_s"),
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)").cast("bigint").alias("p90_s"),
-            F.expr("CAST(div(sum(CASE WHEN gap_s < 60 THEN 1 ELSE 0 END) * 1000000, count(*)) AS BIGINT)").alias("burst_ppm"),
+            F.expr(f"CAST(div(sum(CASE WHEN gap_s < 60 THEN 1 ELSE 0 END) * {_PPM}, count(*)) AS BIGINT)").alias("burst_ppm"),
         )
         .orderBy("event_type")
     )
 
 
-INTER_ARRIVAL_SQL = """
+INTER_ARRIVAL_SQL = f"""
 WITH gaps AS (
   SELECT event_type,
          (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s
@@ -3912,7 +3911,7 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
        CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s,
-       CAST((sum(CASE WHEN gap_s < 60 THEN 1 ELSE 0 END) * 1000000) // count(*)
+       CAST((sum(CASE WHEN gap_s < 60 THEN 1 ELSE 0 END) * {_PPM}) // count(*)
             AS BIGINT) AS burst_ppm
 FROM gaps
 WHERE gap_s IS NOT NULL
@@ -3926,13 +3925,15 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue seasonality: each calendar month's index vs the
     uniform-month expectation (1e6 = exactly average) — the demand
     planning table. Revenue is summed in exact CENTS (bigint); the
-    index is the DEFINED floor-div chain
-    ``month_cents div (total_cents div 12e6)`` — dividing the total
-    down first keeps every intermediate under 2^63 at any SF (the
-    naive month_cents * 12e6 numerator overflows past ~$77 B/month,
-    which TPC-H totalprice reaches by sf10); the contract is the
-    expression. Floor error is <= 12e6/total relative — sub-ppm
-    beyond tiny corpora.
+    index is a size-branched integer contract: below 7e11 total cents
+    ($7 B) the exact ``div(month_cents * 12e6, total_cents)`` is
+    overflow-safe and used directly; above it the chain
+    ``div(month_cents, div(total_cents, 12e6))`` takes over, whose
+    denominator is then >= 58333 so the floor error is <= 17 ppm
+    relative. The branch condition compares the same bigint in both
+    engines, so the contract stays deterministic — and there is no
+    tiny-corpus cliff (the naive chain alone returns NULL below
+    $120 k total and near-garbage just above it — review finding).
 
     Shape: one 12-group aggregation with map-side combine over the
     orders scan; the total joins back as a 1-row broadcast.
@@ -3955,7 +3956,11 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("month").cast("bigint").alias("month"),
             "n_orders",
             (F.col("cents") / 100).cast("double").alias("revenue"),
-            F.expr("CAST(div(cents, div(total_cents, 12000000)) AS BIGINT)").alias("index_ppm"),
+            F.expr(
+                "CAST(CASE WHEN total_cents < 700000000000 "
+                "THEN div(cents * 12000000, total_cents) "
+                "ELSE div(cents, div(total_cents, 12000000)) END AS BIGINT)"
+            ).alias("index_ppm"),
         )
         .orderBy("month")
     )
@@ -3972,7 +3977,10 @@ total AS (SELECT sum(cents) AS total_cents FROM monthly)
 SELECT month,
        CAST(n_orders AS BIGINT) AS n_orders,
        CAST(cents AS DOUBLE) / 100 AS revenue,
-       CAST(cents // (total_cents // 12000000) AS BIGINT) AS index_ppm
+       CAST(CASE WHEN total_cents < 700000000000
+            THEN (cents * 12000000) // total_cents
+            ELSE cents // (total_cents // 12000000)
+            END AS BIGINT) AS index_ppm
 FROM monthly CROSS JOIN total
 ORDER BY month
 """

@@ -3596,7 +3596,9 @@ ORDER BY lang
 # ---------------------------------------------- TF-IDF top terms (r11)
 _TFIDF_TOP_K = 5
 _TFIDF_MIN_LEN = 3
-_IDF_SCALE = 1_000_000
+# ppm fixed-point scale shared by the r11 text ops (idf, gini, RAKE)
+_PPM = 1_000_000
+_IDF_SCALE = _PPM
 
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3698,7 +3700,7 @@ ORDER BY lang, rank
 
 
 # ---------------------------------------------- source concentration (r11)
-_GINI_PPM = 1_000_000
+_GINI_PPM = _PPM
 
 
 def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3782,7 +3784,7 @@ ORDER BY lang
 _RAKE_TOP = 10
 _RAKE_MIN_LEN = 2  # output phrases of 2..4 words (classic RAKE practice)
 _RAKE_MAX_LEN = 4
-_RAKE_PPM = 1_000_000
+_RAKE_PPM = _PPM
 
 
 def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:

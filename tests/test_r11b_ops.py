@@ -690,21 +690,27 @@ def test_inter_arrival_hand_computed(spark, tmp_path):
 
 
 def test_seasonality_index_hand_computed(spark, tmp_path):
-    """Two months, revenue 300 and 100 dollars: total 40000 cents,
-    denominator 40000 // 12e6 = 0 -> tiny-corpus guard... use bigger
-    values: 3e6 and 1e6 dollars -> total 4e8 cents, denom = 33,
-    index Jan = 3e8 // 33 = 9090909, Feb = 1e8 // 33 = 3030303."""
+    """Below the $7B branch point the EXACT formula runs: revenue
+    3e6/1e6 dollars -> indices exactly 9e6 and 3e6 ppm. A tiny corpus
+    (300/100 dollars total) — which the naive floor-div chain NULLed
+    (review finding) — now gets the same exact values."""
     from pravega_spark.queries.relational import orders_seasonality_index
 
-    def mk(k, month, price):
-        return (k, datetime(1995, month, 15), price)
-
-    rows = [mk(1, 1, 3_000_000.0), mk(2, 2, 1_000_000.0)]
-    df = spark.createDataFrame(
-        [(k, d, p) for k, d, p in rows],
-        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
-    )
-    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
-    out = {r.month: tuple(r)[1:] for r in orders_seasonality_index(spark, str(tmp_path)).collect()}
-    assert out[1] == (1, 3_000_000.0, 300_000_000 // 33)
-    assert out[2] == (1, 1_000_000.0, 100_000_000 // 33)
+    for scale in (1.0, 10_000.0):
+        rows = [
+            (1, datetime(1995, 1, 15), 300.0 * scale),
+            (2, datetime(1995, 2, 15), 100.0 * scale),
+        ]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+        )
+        d = tmp_path / f"s{int(scale)}"
+        d.mkdir()
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+        out = {
+            r.month: (r.n_orders, r.index_ppm)
+            for r in orders_seasonality_index(spark, str(d)).collect()
+        }
+        # month1 = 3/4 of revenue -> 0.75 * 12e6 = 9e6; month2 -> 3e6
+        assert out[1] == (1, 9_000_000), scale
+        assert out[2] == (1, 3_000_000), scale
