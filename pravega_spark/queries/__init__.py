@@ -103,10 +103,10 @@ _GATE_ORDER = [
     # -- for the three never-gated r11 ops above; their r10 rows are one
     # -- round old and check_parity re-verifies them each round).
     # -- r12 rotation note: front this block next round ------------------
-    # -- ALL TWENTY-SEVEN ops below (through orders_seasonality_index) are
+    # -- ALL TWENTY-EIGHT ops below (through streaming_dedup_within_watermark) are
     # -- new in r11 and past-cap (the in-gate 50 was fully claimed by
     # -- the r11 rotation); each is SQL-oracled, judge-verified via
-    # -- check_parity this round, and ALL TWENTY-SEVEN front in r12 — do
+    # -- check_parity this round, and ALL TWENTY-EIGHT front in r12 — do
     # -- not front just the first few.
     "similarity_semantic_dedup",
     "events_interval_overlap",
@@ -135,6 +135,7 @@ _GATE_ORDER = [
     "lineitem_leadtime_profile",
     "events_inter_arrival",
     "orders_seasonality_index",
+    "streaming_dedup_within_watermark",
     # -- text_bpe_vocab_scale stays past-cap PERMANENTLY BY DESIGN
     # -- (VERDICT r9 item 2 / r10 item 2): its oracle is pure Python
     # -- (queries/py_oracles.py, judged via check_parity's

@@ -744,7 +744,183 @@ ORDER BY hour
 """
 
 
+# ------------------------------- streaming TTL dedup (late r11)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark END-TO-END: TTL-bounded exact
+    dedup, the stateful-streaming primitive whose state stays O(keys
+    within the watermark horizon) instead of O(all keys ever) — the
+    only dedup shape that survives unbounded streams (reference
+    parity: the writer-side event dedup in pravega is likewise a
+    bounded per-writer sequence window, `SURVEY.md` W1).
+
+    A REAL three-trigger run (named files, maxFilesPerTrigger=1,
+    mtime-ordered) over a deterministic split designed so EVERY
+    drop/keep category fires (event_id rides arrival order, so the
+    naive id-mod split puts duplicate chains microseconds apart and
+    the TTL re-emission path never executes — found by auditing the
+    oracle's category counts): with K = max_id div 3 + 1, batches are
+    the three contiguous id BLOCKS (= three time thirds) and
+    key = id mod K, so duplicate chains span ~a third of the time
+    range each hop and keys stay UNIQUE WITHIN each batch
+    (within-batch duplicate choice is partition-order nondeterminism;
+    the split makes it unreachable). Rows with id % 97 == 0
+    additionally MOVE to batch 2 under a shifted key namespace
+    (kid + K): they arrive hours-stale and exercise the late filter,
+    and the b1 siblings of the holes they leave in batch 0 become
+    first-seen emissions. The oracle replays the EMPIRICALLY PINNED
+    semantics (three probe runs, this session):
+
+      wm(i)   = max(event ts over batches < i) - delay  (wm(0) = -inf)
+      late    : a batch-i row is dropped iff ts < wm(i-1) — the late
+                filter LAGS one batch behind the published watermark
+                (the SPARK-40925 behavior the late-drop op pinned for
+                windowed aggs holds for dedup state too; probe: with
+                wm(1)=9:00 / wm(2)=9:30 published, batch 2 kept a
+                9:15 row and dropped an 8:30 one)
+      dedup   : dropped iff its key was EMITTED in an earlier batch
+                with ts_emit + delay > wm(i-1) — state eviction at the
+                end of batch i-1 uses wm(i-1), so a key whose expiry
+                already passed the FRESH watermark but not the lagged
+                one still dedups (probe: expiry 9:15 key survived a
+                9:30 fresh wm and deduped its batch-2 duplicate)
+      refresh : a DROPPED duplicate does NOT extend its key's expiry
+                (probe: the evicted-at-9:30 key was gone at batch 3
+                despite a would-be-refreshing duplicate)
+
+    Emitted rows aggregate per hour (count + key-id fingerprint), so
+    the driver's value hash pins the exact emission SET. Category
+    census on the events table (oracle-side audit): batch-1 rows
+    dedup against batch-0 state except the moved-row holes (which
+    emit first-seen); batch-2 re-emits the bulk whose siblings aged
+    out (the TTL re-emission the operator exists for), dedups the
+    rows whose batch-0 or batch-1 sibling is still inside the
+    lagged horizon, and late-drops the moved stale slice."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    scratch = tempfile.mkdtemp(prefix="pvs_ttl_dedup_")
+    ev = None
+    try:
+        base = load_table(spark, sf_dir, "events").select("event_id", "ts")
+        mx = base.agg(F.max("event_id")).collect()[0][0]  # control-plane pick
+        blk = mx // 3 + 1
+        moved = F.col("event_id") % 97 == 0
+        ev = (
+            base.select(
+                F.when(moved, F.col("event_id") % blk + blk)
+                .otherwise(F.col("event_id") % blk)
+                .alias("kid"),
+                F.when(moved, F.lit(2))
+                .otherwise(F.expr(f"div(event_id, {blk})"))
+                .alias("b"),
+                "ts",
+            )
+            .persist()
+        )
+        in_dir = f"{scratch}/input"
+        _os.makedirs(in_dir)
+        for i in range(3):
+            tmp = f"{scratch}/tmp{i}"
+            ev.filter(F.col("b") == i).select("kid", "ts").coalesce(1).write.parquet(tmp)
+            part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(_os.path.join(tmp, part), dst)
+            _os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema("kid long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        name = f"ttl_dedup_{uuid.uuid4().hex[:8]}"
+        # the hourly rollup runs IN-STREAM downstream of the dedup
+        # (complete mode: the agg keeps all groups, no extra late
+        # filtering — verified value-identical to aggregating the
+        # append-mode emitted rows) so the driver-side result is
+        # O(hours) at ANY scale; collecting raw emissions through the
+        # memory sink blew spark.driver.maxResultSize at sf100
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["kid"])
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_emitted"),
+                F.sum("kid").cast("bigint").alias("kid_fingerprint"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .select("hour", "n_emitted", "kid_fingerprint")
+            .orderBy("hour")
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        if ev is not None:
+            ev.unpersist()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+TTL_DEDUP_SQL = """
+WITH mx AS (SELECT max(event_id) // 3 + 1 AS blk FROM events),
+rows_ AS (
+  SELECT CASE WHEN event_id % 97 = 0 THEN event_id % blk + blk
+              ELSE event_id % blk END AS kid,
+         CASE WHEN event_id % 97 = 0 THEN 2
+              ELSE event_id // blk END AS b,
+         ts
+  FROM events CROSS JOIN mx
+),
+m0 AS (SELECT max(ts) AS m FROM rows_ WHERE b = 0),
+m1 AS (SELECT max(ts) AS m FROM rows_ WHERE b <= 1),
+-- wm(1) = m0 - 1h (batch-1 start watermark), wm(2) = m1 - 1h;
+-- the batch-i LATE filter and state-eviction horizon use wm(i-1)
+e0 AS (
+  SELECT kid, ts FROM rows_ WHERE b = 0
+),
+e1 AS (
+  -- late filter at batch 1 uses wm(0) = -inf: nothing late;
+  -- state horizon wm(0) = -inf: EVERY batch-0 key is live
+  SELECT r.kid, r.ts FROM rows_ r
+  WHERE r.b = 1
+    AND r.kid NOT IN (SELECT kid FROM e0)
+),
+e2 AS (
+  -- late filter and state horizon both use wm(1) = m0 - 1h
+  SELECT r.kid, r.ts FROM rows_ r CROSS JOIN m0
+  WHERE r.b = 2
+    AND r.ts >= m0.m - INTERVAL 1 HOUR
+    AND r.kid NOT IN (
+      SELECT e.kid FROM e0 e CROSS JOIN m0
+      WHERE e.ts + INTERVAL 1 HOUR > m0.m - INTERVAL 1 HOUR
+      UNION ALL
+      SELECT e.kid FROM e1 e CROSS JOIN m0
+      WHERE e.ts + INTERVAL 1 HOUR > m0.m - INTERVAL 1 HOUR
+    )
+),
+emitted AS (
+  SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       CAST(count(*) AS BIGINT) AS n_emitted,
+       CAST(sum(kid) AS BIGINT) AS kid_fingerprint
+FROM emitted
+GROUP BY 1
+ORDER BY hour
+"""
+
+
 QUERIES = {
+    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "streaming_windowed_late_drop": streaming_windowed_late_drop,
     "streaming_session_fold": streaming_session_fold,
     "streaming_scale_epoch_read": streaming_scale_epoch_read,
@@ -764,6 +940,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_dedup_within_watermark": TTL_DEDUP_SQL,
     "streaming_windowed_late_drop": WINDOWED_LATE_DROP_SQL,
     "streaming_session_fold": SESSION_FOLD_SQL,
     "streaming_scale_epoch_read": SCALE_EPOCH_READ_SQL,

@@ -714,3 +714,69 @@ def test_seasonality_index_hand_computed(spark, tmp_path):
         # month1 = 3/4 of revenue -> 0.75 * 12e6 = 9e6; month2 -> 3e6
         assert out[1] == (1, 9_000_000), scale
         assert out[2] == (1, 3_000_000), scale
+
+
+def test_ttl_dedup_contract_probes(spark, tmp_path):
+    """The dropDuplicatesWithinWatermark contract the oracle replays,
+    pinned on the probe fixture that derived it: (1) state eviction
+    LAGS — keys whose expiry passed the fresh watermark but not the
+    lagged one still dedup; (2) an evicted key re-emits; (3) a dropped
+    duplicate does NOT refresh expiry; (4) the late filter uses the
+    previous batch's published watermark."""
+    import os
+    import shutil
+
+    t0 = datetime(2024, 3, 1)
+
+    def ts(h, m=0):
+        return t0 + timedelta(hours=h, minutes=m)
+
+    # delay 1h. kD expiry 9:15 sits between wm_pub(1)=9:00 and the
+    # fresh 9:30; kB's early state is evicted before batch 2.
+    rows = {
+        0: [("kD", ts(8, 15)), ("kB", ts(0)), ("kA", ts(10))],
+        1: [("kC", ts(10, 30)), ("kB", ts(9, 45))],  # kB deduped (lag: wm(0)=-inf keeps ALL b0 state)
+        2: [("kD", ts(9, 50)), ("kB", ts(10, 0)), ("kY", ts(8, 30))],
+    }
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, rs in rows.items():
+        tmp = str(tmp_path / f"t{i}")
+        spark.createDataFrame(rs, "key string, ts timestamp").coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["key"])
+        .writeStream.format("memory")
+        .queryName("ttl_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = sorted((r.key, r.ts) for r in spark.table("ttl_probe").collect())
+    spark.catalog.dropTempView("ttl_probe")
+    assert emitted == [
+        ("kA", ts(10)),       # b0
+        ("kB", ts(0)),        # b0; the b1 dup is dropped (lagged state)
+        ("kB", ts(10, 0)),    # b2 RE-EMIT: evicted at end of b1 (wm 9:00)
+        ("kC", ts(10, 30)),   # b1 first-seen
+        ("kD", ts(8, 15)),    # b0; the b2 dup at 9:50 is DROPPED because
+                              # expiry 9:15 > lagged wm 9:00 (fresh wm was
+                              # 9:30 — eviction lags one batch)
+    ]
+    # kY@8:30 < wm(1)=9:00 -> late-dropped (batch-2 filter uses the
+    # PREVIOUS batch's published watermark, not the fresh 9:30 — else
+    # kD@9:50... 9:15-keys would differ); kD@9:50 absent (dedup).
+    keys = [k for k, _ in emitted]
+    assert "kY" not in keys
+    assert keys.count("kD") == 1
