@@ -667,15 +667,7 @@ def streaming_windowed_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter((F.col("event_id") % 2 == 1) & ~advance),
         )
         in_dir = f"{scratch}/input"
-        _os.makedirs(in_dir)
-        for i, df in enumerate(batches):
-            tmp = f"{scratch}/tmp{i}"
-            df.coalesce(1).write.parquet(tmp)
-            part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
-            dst = f"{in_dir}/b{i}.parquet"
-            shutil.move(_os.path.join(tmp, part), dst)
-            # FileStreamSource orders by (mtime, path): pin BOTH
-            _os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        _write_mtime_ordered_batches(in_dir, batches)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -744,6 +736,30 @@ ORDER BY hour
 """
 
 
+
+
+def _write_mtime_ordered_batches(in_dir: str, frames) -> None:
+    """Write each frame as ONE parquet file named b<i>.parquet with a
+    pinned, increasing mtime. FileStreamSource orders files by
+    (mtime, path), so pinning BOTH makes maxFilesPerTrigger=1 replay
+    the frames as deterministic micro-batches — the scaffolding every
+    multi-trigger streaming query here shares."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    _os.makedirs(in_dir, exist_ok=True)
+    for i, df in enumerate(frames):
+        tmp = _tempfile.mkdtemp(prefix="pvs_batch_", dir=_os.path.dirname(in_dir))
+        sub = _os.path.join(tmp, "out")
+        df.coalesce(1).write.parquet(sub)
+        part = [f for f in _os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = _os.path.join(in_dir, f"b{i}.parquet")
+        _shutil.move(_os.path.join(sub, part), dst)
+        _os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------- streaming TTL dedup (late r11)
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark END-TO-END: TTL-bounded exact
@@ -771,7 +787,9 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     semantics (three probe runs, this session):
 
       wm(i)   = max(event ts over batches < i) - delay  (wm(0) = -inf)
-      late    : a batch-i row is dropped iff ts < wm(i-1) — the late
+      late    : a batch-i row is dropped iff ts <= wm(i-1) — INCLUSIVE
+                at the boundary (a review repro caught the oracle
+                keeping an exactly-at-watermark row Spark drops) — the late
                 filter LAGS one batch behind the published watermark
                 (the SPARK-40925 behavior the late-drop op pinned for
                 windowed aggs holds for dedup state too; probe: with
@@ -801,15 +819,21 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     import uuid
 
     scratch = tempfile.mkdtemp(prefix="pvs_ttl_dedup_")
-    ev = None
+    base = None
     try:
-        base = load_table(spark, sf_dir, "events").select("event_id", "ts")
-        mx = base.agg(F.max("event_id")).collect()[0][0]  # control-plane pick
+        base = load_table(spark, sf_dir, "events").select("event_id", "ts").persist()
+        # control-plane pick off the cache: one source scan, not two
+        mx = base.agg(F.max("event_id")).collect()[0][0]
         blk = mx // 3 + 1
         moved = F.col("event_id") % 97 == 0
         ev = (
             base.select(
-                F.when(moved, F.col("event_id") % blk + blk)
+                # moved rows take kid = blk + id//97: unique per moved
+                # row and disjoint from the natural [0, blk) namespace
+                # REGARDLESS of blk (kid = id % blk + blk collides
+                # within batch 2 whenever blk % 97 == 0 — found by a
+                # review repro at max_id = 288)
+                F.when(moved, F.lit(blk) + F.expr("div(event_id, 97)"))
                 .otherwise(F.col("event_id") % blk)
                 .alias("kid"),
                 F.when(moved, F.lit(2))
@@ -817,17 +841,12 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
                 .alias("b"),
                 "ts",
             )
-            .persist()
         )
         in_dir = f"{scratch}/input"
-        _os.makedirs(in_dir)
-        for i in range(3):
-            tmp = f"{scratch}/tmp{i}"
-            ev.filter(F.col("b") == i).select("kid", "ts").coalesce(1).write.parquet(tmp)
-            part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
-            dst = f"{in_dir}/b{i}.parquet"
-            shutil.move(_os.path.join(tmp, part), dst)
-            _os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        _write_mtime_ordered_batches(
+            in_dir,
+            [ev.filter(F.col("b") == i).select("kid", "ts") for i in range(3)],
+        )
         stream = (
             spark.readStream.schema("kid long, ts timestamp")
             .option("maxFilesPerTrigger", 1)
@@ -865,15 +884,15 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         spark.catalog.dropTempView(name)
         return out
     finally:
-        if ev is not None:
-            ev.unpersist()
+        if base is not None:
+            base.unpersist()
         shutil.rmtree(scratch, ignore_errors=True)
 
 
 TTL_DEDUP_SQL = """
 WITH mx AS (SELECT max(event_id) // 3 + 1 AS blk FROM events),
 rows_ AS (
-  SELECT CASE WHEN event_id % 97 = 0 THEN event_id % blk + blk
+  SELECT CASE WHEN event_id % 97 = 0 THEN blk + event_id // 97
               ELSE event_id % blk END AS kid,
          CASE WHEN event_id % 97 = 0 THEN 2
               ELSE event_id // blk END AS b,
@@ -881,9 +900,9 @@ rows_ AS (
   FROM events CROSS JOIN mx
 ),
 m0 AS (SELECT max(ts) AS m FROM rows_ WHERE b = 0),
-m1 AS (SELECT max(ts) AS m FROM rows_ WHERE b <= 1),
--- wm(1) = m0 - 1h (batch-1 start watermark), wm(2) = m1 - 1h;
--- the batch-i LATE filter and state-eviction horizon use wm(i-1)
+-- wm(1) = m0 - 1h (the batch-1 start watermark); the batch-i LATE
+-- filter and state-eviction horizon use wm(i-1), and batch 2 is the
+-- last batch so no later horizon is ever applied
 e0 AS (
   SELECT kid, ts FROM rows_ WHERE b = 0
 ),
@@ -898,7 +917,7 @@ e2 AS (
   -- late filter and state horizon both use wm(1) = m0 - 1h
   SELECT r.kid, r.ts FROM rows_ r CROSS JOIN m0
   WHERE r.b = 2
-    AND r.ts >= m0.m - INTERVAL 1 HOUR
+    AND r.ts > m0.m - INTERVAL 1 HOUR
     AND r.kid NOT IN (
       SELECT e.kid FROM e0 e CROSS JOIN m0
       WHERE e.ts + INTERVAL 1 HOUR > m0.m - INTERVAL 1 HOUR

@@ -736,7 +736,8 @@ def test_ttl_dedup_contract_probes(spark, tmp_path):
     rows = {
         0: [("kD", ts(8, 15)), ("kB", ts(0)), ("kA", ts(10))],
         1: [("kC", ts(10, 30)), ("kB", ts(9, 45))],  # kB deduped (lag: wm(0)=-inf keeps ALL b0 state)
-        2: [("kD", ts(9, 50)), ("kB", ts(10, 0)), ("kY", ts(8, 30))],
+        2: [("kD", ts(9, 50)), ("kB", ts(10, 0)), ("kY", ts(8, 30)),
+            ("kZ", ts(9, 0))],  # EXACTLY at wm(1): boundary is inclusive-drop
     }
     in_dir = str(tmp_path / "input")
     os.makedirs(in_dir)
@@ -776,7 +777,11 @@ def test_ttl_dedup_contract_probes(spark, tmp_path):
     ]
     # kY@8:30 < wm(1)=9:00 -> late-dropped (batch-2 filter uses the
     # PREVIOUS batch's published watermark, not the fresh 9:30 — else
-    # kD@9:50... 9:15-keys would differ); kD@9:50 absent (dedup).
+    # kD@9:50... 9:15-keys would differ); kD@9:50 absent (dedup);
+    # kZ@9:00 EXACTLY at the lagged watermark is ALSO dropped — the
+    # boundary is inclusive (ts <= wm), which the oracle's strict
+    # `ts > wm` keep-filter mirrors (review repro finding).
     keys = [k for k, _ in emitted]
     assert "kY" not in keys
+    assert "kZ" not in keys
     assert keys.count("kD") == 1
