@@ -739,20 +739,23 @@ def _km_centroids(df: DataFrame, by: str) -> list[tuple[int, list[float]]]:
     rounding is what makes the next iteration's assignments identical
     across engines (raw avg doubles differ in summation order). The
     k×dim result is driver-collected: the canonical Lloyd sync point,
-    kilobytes at any corpus scale."""
+    kilobytes at any corpus scale.
+
+    The (cluster, pos, c) rows are collected directly and assembled
+    into per-cluster arrays driver-side: the former second groupBy
+    (collect_list into arrays) was one more full Exchange + stage per
+    call purely to reshape k×dim scalar rows the driver is about to
+    flatten anyway (guide §2.4 — remove shuffles outright)."""
     rows = (
         df.select(by, F.posexplode("embedding").alias("pos", "v"))
         .groupBy(by, "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
-        .groupBy(by)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("centroid")
-        )
         .collect()
     )
-    return sorted((r[0], list(r["centroid"])) for r in rows)
+    acc: dict[int, dict[int, float]] = {}
+    for r in rows:
+        acc.setdefault(r[0], {})[r[1]] = r[2]
+    return sorted((cl, [d[p] for p in sorted(d)]) for cl, d in acc.items())
 
 
 def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,8 +794,18 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     c0 = _km_centroids(emb, "label")
+    # persist each NON-FINAL assignment: the next iteration's centroid
+    # collect and its re-assignment both consume it, and without the
+    # cache each consumer re-runs the corpus scan plus every
+    # accumulated k×dim cosine-assignment pass from scratch (assignment
+    # is narrow, so nothing else materializes it) — one corpus pass per
+    # iteration instead of a growing recompute chain (guide §5). The
+    # final assignment has a single consumer (the rollup) and is left
+    # unpersisted.
     a = _km_assign(emb, c0)
     for _ in range(_KM_ITERS - 1):
+        a = a.persist()
+        register_result_cache(a)
         c1 = _km_centroids(a, "cluster")
         a = _km_assign(a.drop("cluster", "cos"), c1)
     return (
@@ -901,7 +914,13 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = emb.groupBy("embedding").agg(
         F.min("vec_id").alias("rep"), F.count("*").alias("nm")
     )
-    assigned = _km_assign(reps, c0).drop("cos")
+    # persist: THREE consumers (both pair-join sides + the final
+    # rollup) each re-ran the corpus scan, the exact-collapse shuffle
+    # and the k×dim assignment pass — the plan held three copies of
+    # the Scan→HashAggregate→Exchange subtree (guide §5; plan diff in
+    # plans/r11/similarity_semantic_dedup_{before,after}.txt)
+    assigned = _km_assign(reps, c0).drop("cos").persist()
+    register_result_cache(assigned)
     a = assigned.select(
         "cluster", F.col("rep").alias("a_rep"), F.col("embedding").alias("a_vec")
     )

@@ -927,6 +927,15 @@ def text_bpe_learned_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = sample_freq.select(
         "w", "freq", F.regexp_replace("w", "(.)", r"($1)").alias("repr")
     ).persist()
+    # every per-step frame stays persisted until training ends: each
+    # step's one-row collect materializes its own cache as a side
+    # effect, so the former eager nxt.count() + eager cur.unpersist()
+    # per step was one extra vocabulary-pass job per merge (6 jobs of
+    # pure re-materialization at any scale — guide §1.2 "don't compute
+    # things you throw away"). The chain is a shrinking SAMPLE
+    # vocabulary (kB-MB), so holding 1+_BPE_STEPS cached copies is
+    # noise next to one corpus scan.
+    chain = [cur]
     merges: list[tuple[str, str, int]] = []
     try:
         for _step in range(_BPE_STEPS):
@@ -955,11 +964,11 @@ def text_bpe_learned_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt = cur.withColumn(
                 "repr", F.expr(f"replace(repr, '({pa})({pb})', '({pa}{pb})')")
             ).persist()
-            nxt.count()
-            cur.unpersist()
+            chain.append(nxt)
             cur = nxt
     finally:
-        cur.unpersist()
+        for df in chain:
+            df.unpersist()
     # corpus-wide application: nested codegen replaces, then per-lang
     # token counts (token count = '(' count in the merged repr)
     expr = "regexp_replace(w, '(.)', '($1)')"
