@@ -2799,8 +2799,10 @@ def pipeline_daily_corpus_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     write → scale → read live, not as a day-end batch): the exact
     ``pipeline_daily_corpus`` chain driven through the engine's OWN
     streaming plane. The two daily increments are written as events
-    into an engine stream and drained by a ReaderGroup across THREE
-    real triggers (day 1 split over two drains, day 2 in the third);
+    into an engine stream and drained by ONE long-lived ReaderGroup
+    query across THREE real triggers (day 1 split over two feeds, day 2
+    in the third; each feed's atomic manifest flip lands it in its own
+    micro-batch);
     every micro-batch runs the shared clean + classify stages against
     the standing index snapshot and stages its classified rows to
     parquet (batch-id-keyed overwrite = retry-safe); the maintained
@@ -2907,15 +2909,20 @@ def pipeline_daily_corpus_streaming(spark: SparkSession, sf_dir: str) -> DataFra
                 cleaned.unpersist()
 
         rg = ReaderGroup(store, "q", "docs", "rg_pdaily")
-        # three REAL triggers: day 1 split across two drains, then day 2
-        # (day-1 ids are all ≡ 1 mod 4 — the namespace offset is a
-        # multiple of 4 — so the halving key is mod 8: {1} vs {5})
-        store.write_events("q", "docs", _env(d1.filter(F.col("doc_id") % 8 == 1)))
-        rg.drain(handle)
-        store.write_events("q", "docs", _env(d1.filter(F.col("doc_id") % 8 == 5)))
-        rg.drain(handle)
-        store.write_events("q", "docs", _env(d2))
-        rg.drain(handle)
+        # three REAL triggers through ONE long-lived reader-group query
+        # (rg.pumping — each atomically-committed feed lands in its own
+        # micro-batch; three back-to-back drain() calls computed the
+        # identical batch sequence but paid a streaming-query start/stop
+        # per feed). Day 1 split across two feeds: day-1 ids are all
+        # ≡ 1 mod 4 — the namespace offset is a multiple of 4 — so the
+        # halving key is mod 8: {1} vs {5}.
+        with rg.pumping(handle) as wait_drained:
+            store.write_events("q", "docs", _env(d1.filter(F.col("doc_id") % 8 == 1)))
+            wait_drained()
+            store.write_events("q", "docs", _env(d1.filter(F.col("doc_id") % 8 == 5)))
+            wait_drained()
+            store.write_events("q", "docs", _env(d2))
+            wait_drained()
         if state["batches"] < 3:
             raise AssertionError(
                 f"streaming run produced {state['batches']} triggers, expected >= 3"

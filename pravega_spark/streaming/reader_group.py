@@ -77,6 +77,82 @@ class ReaderGroup:
             q = q.trigger(availableNow=True)
         return q.start()
 
+    def _drain_target(self) -> StreamCut:
+        """The positions a bounded drain must reach: the tail observed
+        NOW, capped at the group's end cut when one is configured — an
+        uncapped target would make the wait spin for the full timeout
+        and report a meaningless pending count. Uses the source's own
+        epoch-aware bounding so post-cut successor segments count as
+        fully drained, not pending."""
+        target = self.store.tail_stream_cut(self.scope, self.stream)
+        if self.config.end_cut is not None:
+            from pravega_spark.streaming.datasource import bound_tails_by_cut
+
+            end = StreamCut.of(self.config.end_cut)
+            target = StreamCut.of(
+                bound_tails_by_cut(
+                    self.store.root, self.scope, self.stream,
+                    dict(target.positions), end.positions,
+                )
+            )
+        return target
+
+    def pumping(self, sink_fn, timeout_s: float = 300.0, poll_s: float = 0.05):
+        """ONE long-lived drain query serving several bounded feeds —
+        the multi-drain optimization: back-to-back ``drain()`` calls pay
+        a full streaming-query start/stop each (plan analysis +
+        checkpoint setup + Python-source init) when the caller only
+        wants "write, wait until consumed, write the next". Context
+        manager; yields a ``wait_drained()`` callable that blocks until
+        the query's committed positions reach the tail observed at THAT
+        call (re-raising the query's failure if it dies first). Each
+        atomically-committed feed lands in its own micro-batch: the
+        manifest flip publishes a write all-at-once and a trigger plans
+        everything between the last committed cut and the current tail,
+        so N feeds with a wait between them still mean ≥N real data
+        triggers — empty triggers plan no batch and never invoke the
+        sink. Same checkpoint, same exactly-once semantics as the
+        equivalent ``drain()`` sequence."""
+        import contextlib
+        import time
+
+        @contextlib.contextmanager
+        def _ctx():
+            q = (
+                self.read_stream()
+                .writeStream.foreachBatch(sink_fn)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .queryName(f"rg-{self.name}-pump")
+                .trigger(processingTime=f"{poll_s} seconds")
+                .start()
+            )
+
+            def wait_drained() -> None:
+                target = self._drain_target()
+                deadline = time.time() + timeout_s
+                while time.time() < deadline:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    pos = self.committed_positions()
+                    if all(
+                        pos.offset_for(sid, 0) >= off
+                        for sid, off in target.positions.items()
+                    ):
+                        return
+                    time.sleep(poll_s)
+                raise TimeoutError(
+                    f"reader group {self.name} did not reach "
+                    f"{target.positions} within {timeout_s}s"
+                )
+
+            try:
+                yield wait_drained
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+
+        return _ctx()
+
     def drain(self, sink_fn, timeout_s: float = 300.0, poll_s: float = 0.05):
         """Process everything currently in the stream, then stop — exact
         bounded-drain semantics (the reference's readNextEvent-until-
@@ -89,22 +165,7 @@ class ReaderGroup:
         number of events that were pending at start."""
         import time
 
-        target = self.store.tail_stream_cut(self.scope, self.stream)
-        if self.config.end_cut is not None:
-            # a bounded group can never advance past its end cut — an
-            # uncapped target would make drain spin for the full
-            # timeout and return a meaningless pending count. Uses the
-            # source's own epoch-aware bounding so post-cut successor
-            # segments count as fully drained, not pending.
-            from pravega_spark.streaming.datasource import bound_tails_by_cut
-
-            end = StreamCut.of(self.config.end_cut)
-            target = StreamCut.of(
-                bound_tails_by_cut(
-                    self.store.root, self.scope, self.stream,
-                    dict(target.positions), end.positions,
-                )
-            )
+        target = self._drain_target()
         pending = self.committed_positions().distance_to(target)
         q = (
             self.read_stream()
