@@ -743,21 +743,53 @@ def _write_mtime_ordered_batches(in_dir: str, frames) -> None:
     pinned, increasing mtime. FileStreamSource orders files by
     (mtime, path), so pinning BOTH makes maxFilesPerTrigger=1 replay
     the frames as deterministic micro-batches — the scaffolding every
-    multi-trigger streaming query here shares."""
+    multi-trigger streaming query here shares.
+
+    All frames are written in ONE single-task Spark job (tag + union +
+    coalesce(1) + partitionBy on the tag): the former one-job-per-frame
+    loop paid a full action per micro-batch file for KB-sized fixture
+    frames (guide §2.4 — the frames share one source scan). coalesce(1)
+    keeps a single writer task, so each tag directory holds exactly one
+    file. ROW ORDER within a file is NOT contract (Spark sorts the task
+    by the partition key before a dynamic-partition write, and that
+    sort need not be stable): every consumer here is order-insensitive
+    within a batch — per-trigger aggregations, or dedup keys unique
+    within each batch by fixture construction. A frame that is EMPTY
+    produces no tag directory under partitionBy; the loop below then
+    falls back to writing that frame alone (empty single file) so the
+    trigger count — one file per frame, data or not — is preserved."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
+    from pyspark.sql import functions as _F
+
     _os.makedirs(in_dir, exist_ok=True)
+    frames = list(frames)
+    tagged = None
     for i, df in enumerate(frames):
-        tmp = _tempfile.mkdtemp(prefix="pvs_batch_", dir=_os.path.dirname(in_dir))
-        sub = _os.path.join(tmp, "out")
-        df.coalesce(1).write.parquet(sub)
-        part = [f for f in _os.listdir(sub) if f.endswith(".parquet")][0]
+        t = df.withColumn("_b", _F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tmp = _tempfile.mkdtemp(prefix="pvs_batch_", dir=_os.path.dirname(in_dir))
+    sub = _os.path.join(tmp, "out")
+    tagged.coalesce(1).write.partitionBy("_b").parquet(sub)
+    for i, df in enumerate(frames):
         dst = _os.path.join(in_dir, f"b{i}.parquet")
-        _shutil.move(_os.path.join(sub, part), dst)
+        part_dir = _os.path.join(sub, f"_b={i}")
+        parts = (
+            [f for f in _os.listdir(part_dir) if f.endswith(".parquet")]
+            if _os.path.isdir(part_dir)
+            else []
+        )
+        if parts:
+            _shutil.move(_os.path.join(part_dir, parts[0]), dst)
+        else:  # empty frame: keep its (empty) trigger file
+            esub = _os.path.join(tmp, f"empty{i}")
+            df.coalesce(1).write.parquet(esub)
+            part = [f for f in _os.listdir(esub) if f.endswith(".parquet")][0]
+            _shutil.move(_os.path.join(esub, part), dst)
         _os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
-        _shutil.rmtree(tmp, ignore_errors=True)
+    _shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ------------------------------- streaming TTL dedup (late r11)
