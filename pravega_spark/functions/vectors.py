@@ -36,6 +36,28 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def norm2(a: Column | str) -> Column:
+    """Squared L2 norm — ``dot(a, a)``. Compute it ONCE per row before a
+    pair join and feed it to ``cosine_pre``: a pair join recomputes each
+    side's norm per PAIR otherwise (cosine() is three dot passes), and
+    candidate multiplicity makes that the dominant per-task work in the
+    bucketed kernels (guide §1.2)."""
+    return dot(a, a)
+
+
+def cosine_pre(a: Column | str, b: Column | str,
+               a_n2: Column | str, b_n2: Column | str) -> Column:
+    """``cosine(a, b)`` with both sides' squared norms precomputed (see
+    ``norm2``) and carried through the join. Arithmetic is IDENTICAL to
+    ``cosine`` bit for bit: dot(x, x) yields the same double wherever it
+    is evaluated, and the ``a_n2 * b_n2`` multiply keeps cosine's
+    dot(a,a)·dot(b,b) operand order — only the number of evaluations
+    changes (one dot per pair instead of three)."""
+    a_n2 = F.col(a_n2) if isinstance(a_n2, str) else a_n2
+    b_n2 = F.col(b_n2) if isinstance(b_n2, str) else b_n2
+    return dot(a, b) / F.nullif(F.sqrt(a_n2 * b_n2), F.lit(0.0))
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     # sqrt(|a|² · |b|²) rather than sqrt(|a|²)·sqrt(|b|²): one rounding
     # step instead of two, and bit-compatible with the SQL oracles'
@@ -73,12 +95,16 @@ def cosine_topk(
     while a parity oracle ranks rounded values would let a rounded tie
     order differently at a rank boundary and emit different rows.
     """
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("_qn2", norm2("q_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("_cn2", norm2("c_vec"))
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
-    cos = cosine("q_vec", "c_vec")
+    cos = cosine_pre("q_vec", "c_vec", "_qn2", "_cn2")
     if round_to is not None:
         cos = F.round(cos, round_to)
     sims = pairs.select("q_id", "c_id", cos.alias("cosine"))
@@ -221,15 +247,21 @@ def embedding_near_dup_lsh(
             F.min(id_col).alias("rep"),
             F.array_sort(F.collect_list(id_col)).alias("members"),
         )
+        # squared norm once per distinct vector; every pair downstream
+        # reuses it instead of recomputing per candidate (norm2 contract)
+        .withColumn("_n2", norm2("vec"))
         .persist()
     )
     intra = member_pairs(
-        g.withColumn("cosine", cosine("vec", "vec")).filter(F.col("cosine") >= threshold),
+        g.withColumn("cosine", cosine_pre("vec", "vec", "_n2", "_n2")).filter(
+            F.col("cosine") >= threshold
+        ),
         carry=("cosine",),
     ).select("id_a", "id_b", "cosine")
     with_buckets = g.select(
         F.col("rep").alias("id"),
         "vec",
+        "_n2",
         F.explode(
             F.array(
                 *[
@@ -239,14 +271,20 @@ def embedding_near_dup_lsh(
             )
         ).alias("bucket"),
     )
-    a = with_buckets.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    b = with_buckets.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    a = with_buckets.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("_n2").alias("_n2a"), "bucket",
+    )
+    b = with_buckets.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("_n2").alias("_n2b"), "bucket",
+    )
     rep_pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
-        .distinct()  # a pair may collide in several bands
-        .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cosine"))
+        .select("id_a", "id_b", "vec_a", "vec_b", "_n2a", "_n2b")
+        .distinct()  # a pair may collide in several bands (_n2 is vec-derived)
+        .select("id_a", "id_b", cosine_pre("vec_a", "vec_b", "_n2a", "_n2b").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
     # duplicate ids in the INPUT (same vec_id twice) can reach here as

@@ -145,7 +145,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic growth in the cell's duplicate mass. round(·, 6) absorbs
     the ≤1-ulp x/sqrt(x·x) wobble, so the intra-pair 1.0 is exactly
     what both engines compute for identical vectors."""
-    from pravega_spark.functions.vectors import cosine as v_cosine
+    from pravega_spark.functions.vectors import cosine_pre, norm2
 
     emb = load_table(spark, sf_dir, "embeddings")
     g = (
@@ -160,6 +160,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # A content-derived key is unique by construction (= the group
         # key) and deterministic across re-evaluation.
         .withColumn("gkey", F.md5(F.to_json(F.struct("label", "embedding"))))
+        # squared norm once per distinct (label, vec) — every in-cell
+        # pair reuses it (norm2/cosine_pre: identical arithmetic, one
+        # dot per pair instead of three)
+        .withColumn("_n2", norm2("embedding"))
         .persist()
     )
     # the intra-pair cosine is the group's SELF-cosine, computed through
@@ -172,22 +176,31 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pravega_spark.functions.dedup import expand_pairs, member_pairs
 
     intra = member_pairs(
-        g.withColumn("cosine", F.round(v_cosine("embedding", "embedding"), 6)).filter(
-            F.col("cosine") >= 0.35
-        ),
+        g.withColumn(
+            "cosine", F.round(cosine_pre("embedding", "embedding", "_n2", "_n2"), 6)
+        ).filter(F.col("cosine") >= 0.35),
         a_name="a_id",
         b_name="b_id",
         carry=("label", "cosine"),
     ).select("label", "a_id", "b_id", "cosine")
-    a = g.select(F.col("gkey").alias("a_id"), "label", F.col("embedding").alias("vec_a"))
-    b = g.select(F.col("gkey").alias("b_id"), "label", F.col("embedding").alias("vec_b"))
+    a = g.select(
+        F.col("gkey").alias("a_id"), "label", F.col("embedding").alias("vec_a"),
+        F.col("_n2").alias("_an2"),
+    )
+    b = g.select(
+        F.col("gkey").alias("b_id"), "label", F.col("embedding").alias("vec_b"),
+        F.col("_n2").alias("_bn2"),
+    )
     rep_pairs = (
         a.join(b, "label")
         # strict key order dedupes the two join directions, exactly as
         # rep-id order did; the emitted MEMBER ids come from the
         # expansion, so output is unchanged
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("label", "a_id", "b_id", F.round(v_cosine("vec_a", "vec_b"), 6).alias("cosine"))
+        .select(
+            "label", "a_id", "b_id",
+            F.round(cosine_pre("vec_a", "vec_b", "_an2", "_bn2"), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= 0.35)
     )
     # expand across both groups' members (groups are disjoint within a
@@ -252,22 +265,29 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented LSH trade."""
     emb = load_table(spark, sf_dir, "embeddings")
     bucket = _lsh_bucket()
-    from pravega_spark.functions.vectors import cosine as v_cosine
+    from pravega_spark.functions.vectors import cosine_pre, norm2
 
     with_b = emb.select("vec_id", "embedding", bucket)
     queries_df = with_b.filter(F.col("vec_id") < _N_QUERIES)
+    # squared norms once per SIDE row (norm2/cosine_pre: identical
+    # arithmetic, one dot per candidate pair instead of three)
     q = queries_df.select(
-        F.col("vec_id").alias("q_id"), "bucket", F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"), "bucket", F.col("embedding").alias("q_vec"),
+        norm2("embedding").alias("_qn2"),
     )
     c = with_b.select(
-        F.col("vec_id").alias("c_id"), "bucket", F.col("embedding").alias("c_vec")
+        F.col("vec_id").alias("c_id"), "bucket", F.col("embedding").alias("c_vec"),
+        norm2("embedding").alias("_cn2"),
     )
     # broadcast the query side: the corpus streams through its bucket
     # filter + vectorized cosine without ever shuffling
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("bucket", "q_id", "c_id", F.round(v_cosine("q_vec", "c_vec"), 6).alias("cosine"))
+        .select(
+            "bucket", "q_id", "c_id",
+            F.round(cosine_pre("q_vec", "c_vec", "_qn2", "_cn2"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -362,27 +382,37 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole search at sf10 (~2.3 s of a ~9 s run, paid twice through the
     broadcast lineage). Values are identical either way (one Spark
     aggregation, materialized), so the oracle is unchanged."""
-    from pravega_spark.functions.vectors import cosine as v_cosine
+    from pravega_spark.functions.vectors import cosine_pre, norm2
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = _ivf_quantizer(spark, sf_dir, emb)
+    cent = _ivf_quantizer(spark, sf_dir, emb).withColumn("_ctn2", norm2("centroid"))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        norm2("embedding").alias("_qn2"),
     )
     # rank cells per query by centroid cosine (rounded so both engines
     # rank identically), probe the nearest _N_PROBE cells
     cell_rank = Window.partitionBy("q_id").orderBy(F.desc("cell_cos"), F.asc("label"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .select("q_id", "q_vec", "label", F.round(v_cosine("q_vec", "centroid"), 6).alias("cell_cos"))
+        .select(
+            "q_id", "q_vec", "_qn2", "label",
+            F.round(cosine_pre("q_vec", "centroid", "_qn2", "_ctn2"), 6).alias("cell_cos"),
+        )
         .withColumn("cell_rk", F.row_number().over(cell_rank))
         .filter(F.col("cell_rk") <= _N_PROBE)
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), "label", F.col("embedding").alias("c_vec"))
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), "label", F.col("embedding").alias("c_vec"),
+        norm2("embedding").alias("_cn2"),
+    )
     sims = (
         c.join(F.broadcast(probes), "label")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "label", "c_id", F.round(v_cosine("q_vec", "c_vec"), 6).alias("cosine"))
+        .select(
+            "q_id", "label", "c_id",
+            F.round(cosine_pre("q_vec", "c_vec", "_qn2", "_cn2"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -456,7 +486,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     × |bucket| rows. Reference parity: the reference ships no ANN —
     this evaluates the repo's own scale-path indexes the way FAISS-
     style recall sweeps do (a published, standard methodology)."""
-    from pravega_spark.functions.vectors import cosine as v_cosine, cosine_topk
+    from pravega_spark.functions.vectors import cosine_pre, cosine_topk, norm2
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
@@ -465,34 +495,52 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
     )
 
-    # ---- LSH candidates: the query's sign-plane bucket
+    # ---- LSH candidates: the query's sign-plane bucket (side norms
+    # once per row — norm2/cosine_pre, identical arithmetic)
     bucket = _lsh_bucket()
     with_b = emb.select("vec_id", "embedding", bucket)
     q_b = with_b.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "bucket", F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"), "bucket", F.col("embedding").alias("q_vec"),
+        norm2("embedding").alias("_qn2"),
     )
     lsh_cand = (
-        with_b.select(F.col("vec_id").alias("c_id"), "bucket", F.col("embedding").alias("c_vec"))
+        with_b.select(
+            F.col("vec_id").alias("c_id"), "bucket", F.col("embedding").alias("c_vec"),
+            norm2("embedding").alias("_cn2"),
+        )
         .join(F.broadcast(q_b), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(v_cosine("q_vec", "c_vec"), 6).alias("cosine"))
+        .select(
+            "q_id", "c_id",
+            F.round(cosine_pre("q_vec", "c_vec", "_qn2", "_cn2"), 6).alias("cosine"),
+        )
     )
 
     # ---- IVF candidates: the nprobe nearest cells by centroid cosine
-    cent = _ivf_quantizer(spark, sf_dir, emb)
+    cent = _ivf_quantizer(spark, sf_dir, emb).withColumn("_ctn2", norm2("centroid"))
     q_v = queries_df.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    q_n = q_v.withColumn("_qn2", norm2("q_vec"))
     cell_rank = Window.partitionBy("q_id").orderBy(F.desc("cell_cos"), F.asc("label"))
     probes = (
-        q_v.crossJoin(F.broadcast(cent))
-        .select("q_id", "q_vec", "label", F.round(v_cosine("q_vec", "centroid"), 6).alias("cell_cos"))
+        q_n.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id", "q_vec", "_qn2", "label",
+            F.round(cosine_pre("q_vec", "centroid", "_qn2", "_ctn2"), 6).alias("cell_cos"),
+        )
         .withColumn("cell_rk", F.row_number().over(cell_rank))
         .filter(F.col("cell_rk") <= _N_PROBE)
     )
     ivf_cand = (
-        emb.select(F.col("vec_id").alias("c_id"), "label", F.col("embedding").alias("c_vec"))
+        emb.select(
+            F.col("vec_id").alias("c_id"), "label", F.col("embedding").alias("c_vec"),
+            norm2("embedding").alias("_cn2"),
+        )
         .join(F.broadcast(probes), "label")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(v_cosine("q_vec", "c_vec"), 6).alias("cosine"))
+        .select(
+            "q_id", "c_id",
+            F.round(cosine_pre("q_vec", "c_vec", "_qn2", "_cn2"), 6).alias("cosine"),
+        )
     )
 
     def _stats(cand: DataFrame, method: str) -> DataFrame:
@@ -630,27 +678,36 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned at any scale. Approximate by construction —
     cross-bucket edges are unseen, the documented LSH trade
     (similarity_ann_recall measures exactly that loss)."""
-    from pravega_spark.functions.vectors import cosine as v_cosine
+    from pravega_spark.functions.vectors import cosine_pre, norm2
 
     emb = load_table(spark, sf_dir, "embeddings")
     reps = emb.groupBy("embedding").agg(
         F.min("vec_id").alias("rep_id"), F.count("*").alias("n_members")
     )
     bucket = _lsh_bucket()
-    with_b = reps.select("rep_id", "n_members", "embedding", bucket)
+    # persist: BOTH pair-join sides consume this frame — unpersisted,
+    # each side re-ran the corpus scan + exact-collapse shuffle. The
+    # squared norm rides each rep row once (norm2/cosine_pre: identical
+    # arithmetic, one dot per candidate pair instead of three across
+    # the n²/16-per-bucket pair stage).
+    with_b = reps.select(
+        "rep_id", "n_members", "embedding", bucket, norm2("embedding").alias("_n2")
+    ).persist()
+    register_result_cache(with_b)
     a = with_b.select(
         F.col("rep_id").alias("src"), "n_members", "bucket",
-        F.col("embedding").alias("a_vec"),
+        F.col("embedding").alias("a_vec"), F.col("_n2").alias("_an2"),
     )
     c = with_b.select(
-        F.col("rep_id").alias("dst"), "bucket", F.col("embedding").alias("c_vec")
+        F.col("rep_id").alias("dst"), "bucket", F.col("embedding").alias("c_vec"),
+        F.col("_n2").alias("_cn2"),
     )
     sims = (
         a.join(c, "bucket")
         .filter(F.col("src") != F.col("dst"))
         .select(
             "src", "n_members", "dst",
-            F.round(v_cosine("a_vec", "c_vec"), 6).alias("cosine"),
+            F.round(cosine_pre("a_vec", "c_vec", "_an2", "_cn2"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
@@ -699,15 +756,32 @@ ORDER BY src, rk
 _KM_ITERS = 2  # unrolled Lloyd iterations (the oracle unrolls the same 2)
 
 
+def _py_norm2(vec: list[float]) -> float:
+    """Driver-side twin of ``norm2`` (dot(v, v)) for a collected
+    centroid: a plain left fold of ``acc + x*x`` over IEEE doubles — the
+    exact operation sequence Spark's zip_with+aggregate performs — so
+    the folded-in literal is bit-identical to evaluating dot(cv, cv)
+    per row (which the old assignment did k times per row)."""
+    n2 = 0.0
+    for x in vec:
+        x = float(x)
+        n2 += x * x
+    return n2
+
+
 def _km_literal(cents: list[tuple[int, list[float]]]):
-    """The collected (cluster, centroid) list as ONE literal array-of-
-    structs column — assignment against it is a per-row codegen
-    expression, cheaper than even a broadcast join (no build side)."""
+    """The collected (cluster, centroid, |centroid|²) list as ONE
+    literal array-of-structs column — assignment against it is a
+    per-row codegen expression, cheaper than even a broadcast join (no
+    build side). The squared norm is folded in driver-side
+    (``_py_norm2``) so scoring evaluates one dot per (row, centroid)
+    instead of three."""
     return F.array(
         *[
             F.struct(
                 F.lit(int(cl)).alias("cl"),
                 F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+                F.lit(_py_norm2(vec)).alias("cn2"),
             )
             for cl, vec in cents
         ]
@@ -718,19 +792,26 @@ def _km_assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame
     """argmax-cosine assignment vs literal centroids: best = array_max
     over (rounded cosine, -cluster) structs — lexicographic struct
     ordering IS the (cosine DESC, cluster ASC) tie-break the oracle's
-    row_number uses."""
-    from pravega_spark.functions.vectors import cosine as v_cosine
+    row_number uses. The row's squared norm is computed ONCE per row
+    (norm2) rather than once per centroid — identical arithmetic
+    (cosine_pre keeps cosine's operand order), k× fewer dot passes."""
+    from pravega_spark.functions.vectors import cosine_pre, norm2
 
     scored = F.transform(
         _km_literal(cents),
         lambda s: F.struct(
-            F.round(v_cosine(F.col("embedding"), s["cv"]), 6).alias("cos"),
+            F.round(
+                cosine_pre(F.col("embedding"), s["cv"], F.col("_kmn2"), s["cn2"]), 6
+            ).alias("cos"),
             (-s["cl"]).alias("ncl"),
         ),
     )
     best = F.array_max(scored)
-    return df.withColumn("cluster", (-best["ncl"]).cast("bigint")).withColumn(
-        "cos", best["cos"]
+    return (
+        df.withColumn("_kmn2", norm2("embedding"))
+        .withColumn("cluster", (-best["ncl"]).cast("bigint"))
+        .withColumn("cos", best["cos"])
+        .drop("_kmn2")
     )
 
 
@@ -905,8 +986,6 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: no analogue in pravega (stream store); pipeline
     tooling per the build brief."""
-    from pravega_spark.functions.vectors import cosine as v_cosine
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
@@ -918,19 +997,27 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup) each re-ran the corpus scan, the exact-collapse shuffle
     # and the k×dim assignment pass — the plan held three copies of
     # the Scan→HashAggregate→Exchange subtree (guide §5; plan diff in
-    # plans/r11/similarity_semantic_dedup_{before,after}.txt)
-    assigned = _km_assign(reps, c0).drop("cos").persist()
+    # plans/r11/similarity_semantic_dedup_{before,after}.txt). The
+    # squared norm rides each cached rep row once (norm2/cosine_pre:
+    # identical arithmetic, one dot per in-cell pair instead of three).
+    from pravega_spark.functions.vectors import cosine_pre, norm2
+
+    assigned = (
+        _km_assign(reps, c0).drop("cos").withColumn("_n2", norm2("embedding")).persist()
+    )
     register_result_cache(assigned)
     a = assigned.select(
-        "cluster", F.col("rep").alias("a_rep"), F.col("embedding").alias("a_vec")
+        "cluster", F.col("rep").alias("a_rep"), F.col("embedding").alias("a_vec"),
+        F.col("_n2").alias("_an2"),
     )
     b = assigned.select(
-        "cluster", F.col("rep").alias("b_rep"), F.col("embedding").alias("b_vec")
+        "cluster", F.col("rep").alias("b_rep"), F.col("embedding").alias("b_vec"),
+        F.col("_n2").alias("_bn2"),
     )
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("a_rep") < F.col("b_rep"))
-        .filter(F.round(v_cosine("a_vec", "b_vec"), 6) >= _SEM_THRESHOLD)
+        .filter(F.round(cosine_pre("a_vec", "b_vec", "_an2", "_bn2"), 6) >= _SEM_THRESHOLD)
         .select(F.col("b_rep").alias("rep"))
         .distinct()
         .withColumn("is_dropped", F.lit(1))
@@ -1070,12 +1157,15 @@ def _ann_classify(inc: DataFrame, index_df: DataFrame) -> DataFrame:
     """Best match per increment vector against the standing bucket
     index: bucket-join candidates → vectorized cosine ≥ threshold →
     max cosine, ties to the smallest index id."""
-    from pravega_spark.functions.vectors import cosine as v_cosine
+    from pravega_spark.functions.vectors import cosine_pre, norm2
 
-    i = inc.withColumn("bucket", _ann_bucket("vec"))
+    # squared norms once per SIDE row, below the bucket join — the join
+    # multiplies rows (candidates per bucket), the norms don't change
+    # (norm2/cosine_pre: identical arithmetic, one dot per candidate)
+    i = inc.withColumn("bucket", _ann_bucket("vec")).withColumn("_qn2", norm2("vec"))
     sims = (
-        i.join(index_df, "bucket")
-        .withColumn("cosine", F.round(v_cosine("vec", "c_vec"), 6))
+        i.join(index_df.withColumn("_cn2", norm2("c_vec")), "bucket")
+        .withColumn("cosine", F.round(cosine_pre("vec", "c_vec", "_qn2", "_cn2"), 6))
         .filter(F.col("cosine") >= _ANN_THRESHOLD)
         .select("vec_id", "c_id", "cosine")
     )
