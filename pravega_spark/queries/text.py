@@ -3133,9 +3133,19 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_unique"))
         .withColumnRenamed("owner", "doc_id")
     )
+    # per-doc distinct-shingle counts WITHOUT a second explode: the
+    # count is size(array_distinct(...)) — a doc-grain scalar — so the
+    # former explode + map-side-combined groupBy of the full exploded
+    # frame (a second pass over every corpus token, plus its shuffle)
+    # reduces to a narrow per-row expression on the doc scan
+    # (guide §2.4/§1.2; identical values — same hashed-shingle array,
+    # same distinct count)
     per_doc = (
-        sh.groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("n_sh"))
+        docs.filter(F.size("w") >= _NOV_N)
+        .select(
+            "doc_id", "lang",
+            F.size(F.array_distinct(F.expr(_NOV_SHINGLE))).alias("n_sh"),
+        )
         .join(uniq, "doc_id", "left")
         .withColumn("n_unique", F.coalesce("n_unique", F.lit(0)))
     )
