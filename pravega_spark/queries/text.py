@@ -2875,8 +2875,12 @@ def pipeline_daily_corpus_streaming(spark: SparkSession, sf_dir: str) -> DataFra
             return spark.read.option("recursiveFileLookup", "true").parquet(stage_dir)
 
         def _rollover(day_no: int) -> None:
+            # read only the completed day's staged dirs (names end in
+            # _d<day>): the rollover needs O(day) files, not O(all days)
+            # — the day filter stays as a guard but prunes at the
+            # listing, not post-scan
             surv = (
-                _staged()
+                spark.read.parquet(f"{stage_dir}/b*_d{day_no}")
                 .filter((F.col("day") == day_no) & F.col("final"))
                 .select(F.col("doc_id").alias("corpus_doc"), "fp")
             )
