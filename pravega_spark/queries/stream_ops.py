@@ -30,6 +30,38 @@ DEC = "decimal(18,4)"
 _DUCK_SEG = f"CAST(floor({hash_to_range_duckdb('user_id')} * {N_SEGMENTS}) AS BIGINT)"
 
 
+import contextlib
+import os as _os_mod
+
+
+@contextlib.contextmanager
+def _bounded_state_partitions(spark: SparkSession, n: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` down for a stateful
+    streaming query whose state keyspace is BOUNDED BY DESIGN (e.g. a
+    windowed aggregation keyed only by the hourly window: state is
+    O(open windows) at ANY data scale). Structured Streaming pins the
+    state-store partition count to shuffle.partitions at first
+    checkpoint, so the default (= cpus) runs cpus state-store tasks per
+    trigger against a handful of keys — pure per-trigger fixed cost.
+
+    Scale argument (why this is not a local-only tune): the pre-shuffle
+    partial aggregation bounds each map task's output at O(open
+    windows) rows, so the reduce side receives O(map_tasks x windows)
+    rows regardless of SF — a small fixed partition count stays correct
+    at 100 TB event rates. Queries whose state keyspace GROWS with the
+    data (dedup by event id, per-user sessions) must NOT use this.
+    """
+    n = n if n is not None else int(
+        _os_mod.environ.get("SPARK_GRAFT_WINDOW_STATE_PARTITIONS", "8")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _enveloped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → engine envelope: segment_id via the real routing operator,
     offset via the real per-segment assignment window."""
@@ -674,19 +706,23 @@ def streaming_windowed_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(in_dir)
         )
         name = f"late_drop_{uuid.uuid4().hex[:8]}"
-        q = (
-            stream.withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "1 hour").alias("w"))
-            .agg(F.count("*").alias("n_events"), F.sum("cents").alias("cents"))
-            .select(F.col("w.start").alias("hour"), "n_events", "cents")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{scratch}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # state keyed ONLY by the hourly window — O(open windows) at any
+        # scale — so the state-store partition count is sized to the
+        # keyspace, not to cpus (see _bounded_state_partitions)
+        with _bounded_state_partitions(spark):
+            q = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count("*").alias("n_events"), F.sum("cents").alias("cents"))
+                .select(F.col("w.start").alias("hour"), "n_events", "cents")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = (
             spark.table(name)
             .select("hour", "n_events", "cents")
