@@ -91,3 +91,45 @@ def test_pumping_reraises_sink_failure(spark, store):
             store.write_events("s", "src", _feed(spark, 0, 10))
             wait_drained()
     assert "boom" in str(ei.value)
+
+
+def test_bounded_state_partitions_scopes_and_sizes_state(spark, tmp_path):
+    """The keyspace-sized state-partition override (1) actually pins the
+    state-store partition count of a windowed aggregation run inside it,
+    and (2) restores spark.sql.shuffle.partitions on exit — including
+    exceptional exit — so no later query inherits the bound."""
+    from pravega_spark.queries.stream_ops import _bounded_state_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 100).select(
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0, id % 7, 0)")
+        .alias("ts"),
+        F.col("id").alias("v"),
+    )
+    df.coalesce(1).write.parquet(src)
+    with _bounded_state_partitions(spark, 4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        q = (
+            spark.readStream.schema("ts timestamp, v long").parquet(src)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 minute"))
+            .count()
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    import os
+    state_parts = [d for d in os.listdir(os.path.join(ckpt, "state", "0"))
+                   if d.isdigit()]
+    assert len(state_parts) == 4, state_parts
+    # exceptional exit restores too
+    with pytest.raises(RuntimeError):
+        with _bounded_state_partitions(spark, 3):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
