@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
+from pravega_spark.session import autosize_shuffle_partitions
+
 TABLES = (
     "region",
     "nation",
@@ -83,6 +85,11 @@ def _footer_ts_cols(path: str) -> frozenset[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # size AQE's initial shuffle-partition count to THIS data dir's
+    # actual bytes (guide §2.1/§6): every registered query's first data
+    # touch comes through here, so each query plans with input-derived
+    # sizing instead of the former constant 1024 (VERDICT r11 item 1)
+    autosize_shuffle_partitions(spark, sf_dir)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     ts_cols = _footer_ts_cols(path)

@@ -309,24 +309,50 @@ def test_streaming_daily_pipeline_equals_batch(spark):
 
 def test_session_autosizes_reduce_partitions(spark):
     """Pin the data-driven shuffle sizing contract end-to-end on the
-    live session: AQE coalescing starts from an oversized
-    initialPartitionNum (>= 32x cpus) with a 64 MB advisory target, the
-    cached-plan fragment exception is disabled (without
+    live session. r12 made AQE's initialPartitionNum INPUT-DERIVED
+    (VERDICT r11 item 1): `autosize_shuffle_partitions` (called from
+    load_table, i.e. every query's first data touch) sets it to
+    est_input_bytes/advisory clamped to [cpus, 1024] — tiny bench dirs
+    plan at ~cpus (the r10 plan shape), sf100-scale inputs land in the
+    256..1024 band proven linear by SWEEP_r11, and inputs beyond ~64 GB
+    reproduce the r11 constant. The 64 MB advisory target, the
+    cached-plan fragment exception (without
     canChangeCachedPlanOutputPartitioning=true every persist()-
-    populating stage would run all ~1024 reduce tasks), and the
-    non-adaptive `spark.sql.shuffle.partitions` stays = cpus for the
-    Structured Streaming state-store paths. A regression in any of
-    these reintroduces the sf100 superlinear pair (q18 198 s / novelty
-    514 s) the r11 auto-sizing removed."""
+    populating stage would run all initial reduce tasks), and the
+    non-adaptive `spark.sql.shuffle.partitions` = cpus for the
+    Structured Streaming state-store paths are unchanged. A regression
+    here reintroduces either the sf100 superlinear pair (q18 198 s /
+    novelty 514 s, undersized) or the uniform small-SF fixed-overhead
+    inflation (PERF_r11 geomean 0.846, oversized)."""
     import os
+
+    from pravega_spark.session import (
+        _DIR_BYTES,
+        autosize_shuffle_partitions,
+    )
 
     conf = spark.conf
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     assert conf.get("spark.sql.adaptive.enabled") == "true"
     assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
-    assert int(
-        conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-    ) >= max(1024, cpus * 32)
+    if not os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        # tiny input -> the cpus floor (the pre-r11 plan shape the
+        # driver's sf0.1 bench grades)
+        assert autosize_shuffle_partitions(spark, "/root/testdata/sf0.001") == cpus
+        assert int(conf.get(key)) == cpus
+        # sf100-scale input (~17 GB) -> inside the proven-linear band
+        fake = os.path.abspath("/fake_sf100_dir")
+        _DIR_BYTES[fake] = 17 * 1024**3
+        try:
+            n = autosize_shuffle_partitions(spark, fake)
+            assert 256 <= n <= 1024 and int(conf.get(key)) == n
+            # >= 64 GB of input reproduces the r11 constant (1024 cap)
+            _DIR_BYTES[fake] = 80 * 1024**3
+            assert autosize_shuffle_partitions(spark, fake) == 1024
+        finally:
+            _DIR_BYTES.pop(fake, None)
+            autosize_shuffle_partitions(spark, "/root/testdata/sf0.001")
     assert (
         int(conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
         == 64 * 1024 * 1024
