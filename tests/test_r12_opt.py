@@ -1,0 +1,128 @@
+"""Optimization-round-12 pins.
+
+Covers the two r11-VERDICT concurrency footguns (state-partition bound
+scoped to a cloned session — tested in test_r11_opt — and loop-internal
+persists exempted from the shared result-cache registry) plus the r12
+optimizations' own invariants as they land.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_deep_loop_is_registry_free_and_frees_its_chain(spark, monkeypatch):
+    """A 12-iteration Lloyd run (deeper than the registry's eviction
+    cap) must not register loop-internal persists in the shared
+    result-cache registry — at one registration per iteration the cap
+    would evict mid-training and silently re-trigger the growing
+    recompute chain (VERDICT r11 item 7) — and must free every chain
+    cache before returning (the rollup is localCheckpoint'ed first, so
+    consumers never recompute)."""
+    import pravega_spark.caching as caching
+    import pravega_spark.queries.similarity as sim
+
+    monkeypatch.setattr(sim, "_KM_ITERS", 12)
+    caching.release_result_caches()
+    spark.catalog.clearCache()
+
+    before_registry = len(caching._RESULT_CACHES)
+    out = sim.similarity_kmeans_refine(spark, SF)
+    rows = out.collect()
+    assert rows and all(r["n_members"] > 0 for r in rows)
+    # loop persists never touched the shared registry
+    assert len(caching._RESULT_CACHES) == before_registry
+    # and the function freed its own chain: the only cached block left
+    # is the k-row localCheckpoint of the rollup itself (single tiny
+    # partition) — never a corpus-scale chain assignment
+    infos = spark._jsc.sc().getRDDStorageInfo()
+    leaked = [i.toString() for i in infos if i.numCachedPartitions() > 0
+              and not (i.numPartitions() == 1 and i.memSize() < 1 << 20)]
+    assert not leaked, leaked
+
+
+def test_bpe_driver_training_matches_spark_loop(spark):
+    """The driver-side BPE merge loop (_bpe_train_merges) must produce
+    the EXACT merges list of the former per-step Spark aggregation loop
+    — BPE is order-dependent, so one divergent selection changes every
+    downstream token count (VERDICT r12 item 4: 'lives or dies by the
+    oracle'). This replays the old loop verbatim on the live session
+    and compares."""
+    from pyspark.sql import functions as F
+
+    from pravega_spark.queries.text import (
+        _BPE_SAMPLE_MOD,
+        _BPE_STEPS,
+        _bpe_train_merges,
+    )
+    from pravega_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    words_all = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " +")).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    sample_freq = (
+        words_all.filter(F.col("doc_id") % _BPE_SAMPLE_MOD == 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+    # --- the r11 Spark loop, replayed verbatim ---
+    cur = sample_freq.select(
+        "w", "freq", F.regexp_replace("w", "(.)", r"($1)").alias("repr")
+    ).persist()
+    chain = [cur]
+    spark_merges: list[tuple[str, str, int]] = []
+    try:
+        for _step in range(_BPE_STEPS):
+            pairs = (
+                cur.withColumn(
+                    "s", F.expr(r"split(substring(repr, 2, length(repr)-2), '\\)\\(')")
+                )
+                .filter(F.size("s") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(s)-1), "
+                            "i -> struct(s[i-1] AS pa, s[i] AS pb))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.pa", "p.pb")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+            )
+            best = pairs.orderBy(F.desc("cnt"), "pa", "pb").limit(1).collect()
+            if not best:
+                break
+            pa, pb, cnt = best[0]["pa"], best[0]["pb"], int(best[0]["cnt"])
+            spark_merges.append((pa, pb, cnt))
+            nxt = cur.withColumn(
+                "repr", F.expr(f"replace(repr, '({pa})({pb})', '({pa}{pb})')")
+            ).persist()
+            chain.append(nxt)
+            cur = nxt
+    finally:
+        for df in chain:
+            df.unpersist()
+
+    driver_merges = _bpe_train_merges(
+        [(r[0], int(r[1])) for r in sample_freq.collect()]
+    )
+    assert driver_merges == spark_merges
+    assert len(driver_merges) == _BPE_STEPS  # sf0.001 trains all steps
+
+
+def test_kmeans_default_iters_matches_previous_shape(spark):
+    """The eviction-proofing must not change what the query computes:
+    the default-depth run still returns the per-cluster rollup, ordered
+    by cluster, non-empty (value parity vs the DuckDB oracle is pinned
+    by check_parity / the driver's gate)."""
+    from pravega_spark.queries.similarity import similarity_kmeans_refine
+
+    rows = similarity_kmeans_refine(spark, SF).collect()
+    assert rows == sorted(rows, key=lambda r: r["cluster"])
+    assert all(set(r.asDict()) == {"cluster", "n_members", "n_moved", "avg_cos"}
+               for r in rows)
