@@ -319,9 +319,8 @@ def connected_components(
         # arrow.pyspark.enabled batch transfer with the same schema
         import pandas as pd
 
-        out = pd.DataFrame(
-            {"id": list(verts), "cluster_id": [find(v) for v in verts]}
-        )
+        ids = list(verts)  # one materialization: both columns index it
+        out = pd.DataFrame({"id": ids, "cluster_id": [find(v) for v in ids]})
         return spark.createDataFrame(out, f"id {id_type}, cluster_id {id_type}")
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("cluster", F.col("id"))

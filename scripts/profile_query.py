@@ -37,7 +37,7 @@ def main() -> None:
     from pravega_spark.sources import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
-    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
     release_result_caches()
     spark.catalog.clearCache()
 
@@ -49,7 +49,7 @@ def main() -> None:
         # plan capture (un-timed, separate build)
         try:
             df = fn(spark, sf_dir)
-            plan = df._sc if False else df._jdf.queryExecution().explainString(
+            plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
             with open(os.path.join(plans_dir, f"{name}_{suffix}.txt"), "w") as fh:
