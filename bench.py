@@ -684,7 +684,22 @@ def main() -> None:
         errors["write_latency"] = _err_str(e)
         print(f"# write_latency: ERROR {errors['write_latency']}", file=sys.stderr)
     try:
-        timings["stream_write_events"], timings["stream_read_events"] = _bench_stream_write(spark, sf_dir)
+        # 3-rep median like every other headline row (VERDICT r11 item
+        # 6a: the single-shot cold-first measurement was the one
+        # high-variance outlier — builder reps 4.04/1.99/1.14/1.09 s).
+        # Each rep writes into its OWN throwaway store root, so the
+        # exactly-once (writer_id, batch_seq) markers never dedup a
+        # later rep's ingest.
+        sw_reps: list[float] = []
+        sr_reps: list[float] = []
+        for _ in range(3):
+            w_s, r_s = _bench_stream_write(spark, sf_dir)
+            sw_reps.append(w_s)
+            sr_reps.append(r_s)
+        timings["stream_write_events"] = sorted(sw_reps)[1]
+        timings["stream_read_events"] = sorted(sr_reps)[1]
+        rep_times["stream_write_events"] = sw_reps
+        rep_times["stream_read_events"] = sr_reps
     except Exception as e:
         errors["stream_write_events"] = _err_str(e)
         print(f"# stream_write_events: ERROR {errors['stream_write_events']}", file=sys.stderr)
@@ -864,6 +879,28 @@ def main() -> None:
     if len(line) > 3500:  # stay safely inside the 4 kB tail window
         compact.pop("queries", None)
         line = json.dumps(compact, separators=(",", ":"))
+    # Rep-level samples in the driver-preserved tail (VERDICT r11 item
+    # 6b): its OWN line right before the compact one, so the record that
+    # grades the round carries enough data to separate a host transient
+    # (one bad rep) from a real regression (all reps moved). Sized so
+    # reps line + compact line stay inside the ~4 kB tail window: 2 dp,
+    # and if that still overflows, keep reps for the SLOWEST queries
+    # only (the ones where a regression matters) — count noted so a
+    # truncation is visible, never silent.
+    reps_budget = 3900 - len(line)
+    reps_out = {k: [round(x, 2) for x in v] for k, v in rep_times.items()}
+    dropped = 0
+    by_time = sorted(reps_out, key=lambda k: timings.get(k, 0.0))
+    while reps_out and len(
+        json.dumps({"metric": "query_reps", "query_reps": reps_out,
+                    "reps_omitted_for_size": dropped},
+                   separators=(",", ":"))
+    ) > reps_budget:
+        reps_out.pop(by_time[dropped], None)
+        dropped += 1
+    print(json.dumps({"metric": "query_reps", "query_reps": reps_out,
+                      "reps_omitted_for_size": dropped},
+                     separators=(",", ":")))
     print(line)
 
 
