@@ -885,21 +885,68 @@ _BPE_SAMPLE_MOD = 5  # training sample: docs with doc_id % MOD == 0
 _BPE_NOPAIR = "~~"
 
 
+def _bpe_train_merges(vocab: list[tuple[str, int]]) -> list[tuple[str, str, int]]:
+    """Driver-side replica of the former per-merge Spark aggregation
+    loop of ``text_bpe_learned_tokenize`` — value-identical by
+    construction, argued step for step:
+
+    - pair counting: the old step split each word's ``(s1)(s2)...``
+      repr on ``)(`` and summed ``freq`` per adjacent (pa, pb); here the
+      repr IS a symbol list and the same adjacent pairs accumulate the
+      same long sums (Python ints are exact).
+    - selection: ``orderBy(desc(cnt), pa, pb).limit(1)`` ==
+      ``min(..., key=(-cnt, pa, pb))``. Symbols are concatenations of
+      ``[a-z]`` only, where Java and Python string orderings agree
+      code point for code point.
+    - merge application: ``replace(repr, '(pa)(pb)', '(papb)')`` on the
+      flattened string equals a left-to-right non-overlapping merge of
+      the symbol list (``_bpe2_merge_seq``): ``(`` occurs exactly at
+      symbol starts and symbols contain no parens, so every string
+      match is parenthesis-aligned, and both scans advance past a match
+      (non-overlapping) in the same order.
+    - termination: stop after _BPE_STEPS merges or when NO pair exists
+      (single-symbol words only) — the old ``if not best: break``;
+      count-1 pairs still merge, exactly as before.
+    """
+    syms = [list(w) for w, _ in vocab]
+    freqs = [f for _, f in vocab]
+    merges: list[tuple[str, str, int]] = []
+    for _step in range(_BPE_STEPS):
+        cnt: dict[tuple[str, str], int] = {}
+        for s, f in zip(syms, freqs):
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:
+            break
+        (pa, pb), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((pa, pb, c))
+        syms = [
+            _bpe2_merge_seq(s, pa, pb) if pa in s else s
+            for s in syms
+        ]
+    return merges
+
+
 def text_bpe_learned_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEARNED byte-pair-encoding tokenization — the real-pipeline
     upgrade over text_bpe_token_stats' fixed regex proxy: merge rules
     are TRAINED from the corpus itself and then applied corpus-wide.
 
-    Training is the textbook BPE loop run as a driver-side loop of
-    distributed aggregations (exactly how BPE trains at scale): from a
-    deterministic doc sample, count adjacent symbol pairs weighted by
-    word frequency, pick the most frequent pair (ties: lexicographic),
-    merge it everywhere, repeat. Words are represented as
-    '(h)(e)(l)(l)(o)' symbol strings, so one ``replace`` per merge
-    rewrites every occurrence left-to-right with no boundary overlap —
-    deterministic, and expressible identically in DuckDB, which lets
-    the ORACLE unroll the same six training steps as CTEs and derive
-    the same merge table from the same data (no constants smuggled in).
+    Training is the textbook BPE loop: from a deterministic doc
+    sample, count adjacent symbol pairs weighted by word frequency,
+    pick the most frequent pair (ties: lexicographic), merge it
+    everywhere, repeat. One distributed aggregation builds the sample
+    word-frequency vocabulary; the merge loop itself runs DRIVER-SIDE
+    over that collected vocabulary (_bpe_train_merges — it is
+    O(vocabulary), not O(corpus), and a Spark round-trip per merge was
+    pure scheduling overhead; the helper's docstring argues bit-
+    equivalence with the former per-step aggregations). The merge rule
+    — '(h)(e)(l)(l)(o)' symbol strings, one ``replace`` per merge,
+    left-to-right with no boundary overlap — is deterministic and
+    expressible identically in DuckDB, which lets the ORACLE unroll the
+    same six training steps as CTEs and derive the same merge table
+    from the same data (no constants smuggled in).
 
     Application is pure whole-stage-codegen string expressions (one
     regexp_replace + six replaces + a length difference), linear over
@@ -909,9 +956,9 @@ def text_bpe_learned_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts pin the merge table transitively, merge rows pin it
     directly.
 
-    Scale shape: training touches only the sample's distinct words
-    (a vocabulary, shrinking each step); each of the 6 steps is one
-    map-side-combined aggregation + a one-row collect (control plane).
+    Scale shape: training touches only the sample's distinct words (a
+    vocabulary, shrinking each step) — one map-side-combined
+    aggregation + one O(vocabulary) collect, then driver-side steps.
     Application adds zero shuffles beyond the final per-lang rollup."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     words_all = docs.select(
@@ -924,51 +971,22 @@ def text_bpe_learned_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    cur = sample_freq.select(
-        "w", "freq", F.regexp_replace("w", "(.)", r"($1)").alias("repr")
-    ).persist()
-    # every per-step frame stays persisted until training ends: each
-    # step's one-row collect materializes its own cache as a side
-    # effect, so the former eager nxt.count() + eager cur.unpersist()
-    # per step was one extra vocabulary-pass job per merge (6 jobs of
-    # pure re-materialization at any scale — guide §1.2 "don't compute
-    # things you throw away"). The chain is a shrinking SAMPLE
-    # vocabulary (kB-MB), so holding 1+_BPE_STEPS cached copies is
-    # noise next to one corpus scan.
-    chain = [cur]
-    merges: list[tuple[str, str, int]] = []
-    try:
-        for _step in range(_BPE_STEPS):
-            pairs = (
-                cur.withColumn(
-                    "s", F.expr(r"split(substring(repr, 2, length(repr)-2), '\\)\\(')")
-                )
-                .filter(F.size("s") >= 2)
-                .select(
-                    "freq",
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(1, size(s)-1), "
-                            "i -> struct(s[i-1] AS pa, s[i] AS pb))"
-                        )
-                    ).alias("p"),
-                )
-                .groupBy("p.pa", "p.pb")
-                .agg(F.sum("freq").cast("long").alias("cnt"))
-            )
-            best = pairs.orderBy(F.desc("cnt"), "pa", "pb").limit(1).collect()
-            if not best:
-                break
-            pa, pb, cnt = best[0]["pa"], best[0]["pb"], int(best[0]["cnt"])
-            merges.append((pa, pb, cnt))
-            nxt = cur.withColumn(
-                "repr", F.expr(f"replace(repr, '({pa})({pb})', '({pa}{pb})')")
-            ).persist()
-            chain.append(nxt)
-            cur = nxt
-    finally:
-        for df in chain:
-            df.unpersist()
+    # The merge loop is driver-bound, not data-bound (guide §4): each
+    # step used to be one distributed aggregation + one-row collect over
+    # the SAMPLE VOCABULARY — a kB–MB frame that only shrinks as merges
+    # land — so _BPE_STEPS Spark round-trips (plus a persist chain) paid
+    # per-job scheduling for work a single core finishes in
+    # microseconds. Collect the vocabulary ONCE and train in pure
+    # Python; _bpe_train_merges replicates the former per-step
+    # aggregation bit for bit (see its docstring for the equivalence
+    # argument; tests/test_r12_opt pins the merges list against an
+    # in-test replica of the old Spark loop). Corpus-wide APPLICATION —
+    # the data-bound part — still runs distributed below, unchanged.
+    # Scale shape: the collect is O(distinct sample words), a
+    # vocabulary, not a corpus — it plateaus while the corpus grows.
+    merges = _bpe_train_merges(
+        [(r[0], int(r[1])) for r in sample_freq.collect()]
+    )
     # corpus-wide application: nested codegen replaces, then per-lang
     # token counts (token count = '(' count in the merged repr)
     expr = "regexp_replace(w, '(.)', '($1)')"
@@ -2878,9 +2896,20 @@ def pipeline_daily_corpus_streaming(spark: SparkSession, sf_dir: str) -> DataFra
             # read only the completed day's staged dirs (names end in
             # _d<day>): the rollover needs O(day) files, not O(all days)
             # — the day filter stays as a guard but prunes at the
-            # listing, not post-scan
+            # listing, not post-scan. A day with ZERO staged dirs is
+            # unreachable today (rollover fires only for observed days)
+            # but the glob would raise PATH_NOT_FOUND; fall back to the
+            # full staged read, where the guard filter does the pruning.
+            import glob as _glob
+
+            day_glob = f"{stage_dir}/b*_d{day_no}"
+            src_read = (
+                spark.read.parquet(day_glob)
+                if _glob.glob(day_glob)
+                else _staged()
+            )
             surv = (
-                spark.read.parquet(f"{stage_dir}/b*_d{day_no}")
+                src_read
                 .filter((F.col("day") == day_no) & F.col("final"))
                 .select(F.col("doc_id").alias("corpus_doc"), "fp")
             )
