@@ -1223,7 +1223,11 @@ def similarity_incremental_maintained(spark: SparkSession, sf_dir: str) -> DataF
     engine's similarity layer (SURVEY §6) with the daily-ingest ANN
     shape the r8 verdict's dedup loop established for text."""
     from pravega_spark.sources.bucketed import _source_fingerprint
-    from pravega_spark.sources.bucketing import append_bucketed_index, ensure_bucketed_index
+    from pravega_spark.sources.bucketing import (
+        append_bucketed_index,
+        ensure_bucketed_index,
+        increment_applied,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
@@ -1243,18 +1247,25 @@ def similarity_incremental_maintained(spark: SparkSession, sf_dir: str) -> DataF
     )
     base = spark.table(tbl) if indexed else _ann_index_rows(corpus_reps, vec_expr=_ANN_IDENT)
 
-    day1 = _ann_day1(emb)
-    day1_reps = day1.groupBy("vec").agg(F.min("vec_id").alias("vec_id")).persist()
-    day1_cls = _ann_classify(day1_reps, base)
-    survivors = day1_reps.join(
-        day1_cls.filter(~F.col("is_near_dup")).select("vec_id"), "vec_id"
-    )
-    surv_rows = _ann_index_rows(survivors)
-    if indexed:
-        append_bucketed_index(spark, tbl, surv_rows, ["bucket"], 16, increment_id="day1")
+    day1_reps = None
+    if indexed and increment_applied(spark, tbl, "day1"):
+        # rerun: day-1 survivors already merged into the standing index
+        # — the classify-day-1 lineage's only consumer is the append
+        # (which would marker-no-op), so skip building it (guide §1.2)
         maintained = spark.table(tbl)
     else:
-        maintained = base.unionByName(surv_rows)
+        day1 = _ann_day1(emb)
+        day1_reps = day1.groupBy("vec").agg(F.min("vec_id").alias("vec_id")).persist()
+        day1_cls = _ann_classify(day1_reps, base)
+        survivors = day1_reps.join(
+            day1_cls.filter(~F.col("is_near_dup")).select("vec_id"), "vec_id"
+        )
+        surv_rows = _ann_index_rows(survivors)
+        if indexed:
+            append_bucketed_index(spark, tbl, surv_rows, ["bucket"], 16, increment_id="day1")
+            maintained = spark.table(tbl)
+        else:
+            maintained = base.unionByName(surv_rows)
 
     day2 = _ann_day2(emb)
     day2_reps = day2.groupBy("vec").agg(F.min("vec_id").alias("vec_id")).persist()
@@ -1282,7 +1293,8 @@ def similarity_incremental_maintained(spark: SparkSession, sf_dir: str) -> DataF
     )
     out = register_result_cache(out.persist())
     out.count()
-    day1_reps.unpersist()
+    if day1_reps is not None:
+        day1_reps.unpersist()
     day2_reps.unpersist()
     return out
 

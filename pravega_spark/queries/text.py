@@ -1637,7 +1637,10 @@ def corpus_dedup_incremental_maintained(spark: SparkSession, sf_dir: str) -> Dat
     (pvs_fpmaint_v1_*): the shared corpus_dedup_incremental_indexed
     index stays append-free so that query's results cannot drift."""
     from pravega_spark.sources.bucketed import _source_fingerprint
-    from pravega_spark.sources.bucketing import append_bucketed_index
+    from pravega_spark.sources.bucketing import (
+        append_bucketed_index,
+        increment_applied,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
@@ -1648,21 +1651,28 @@ def corpus_dedup_incremental_maintained(spark: SparkSession, sf_dir: str) -> Dat
     )
     base = spark.table(tbl) if indexed else _corpus_fingerprints(docs)
 
-    day1 = _fp_day1_docs(docs)
-    day1_fp = day1.select("doc_id", F.md5("text").alias("fp"))
-    d1_matched = (
-        day1_fp.join(base, "fp", "left")
-        .groupBy("doc_id")
-        .agg(F.min("corpus_doc").alias("matched_doc"))
-    )
-    survivors_fp = day1_fp.join(
-        d1_matched.filter(F.col("matched_doc").isNull()).select("doc_id"), "doc_id"
-    ).select(F.col("doc_id").alias("corpus_doc"), "fp")
-    if indexed:
-        append_bucketed_index(spark, tbl, survivors_fp, ["fp"], 16, increment_id="day1")
+    if indexed and increment_applied(spark, tbl, "day1"):
+        # rerun: day-1 survivors already merged — the classify-day-1
+        # lineage's only consumer is the append, skip building it
         maintained = spark.table(tbl)
     else:
-        maintained = base.unionByName(survivors_fp)
+        day1 = _fp_day1_docs(docs)
+        day1_fp = day1.select("doc_id", F.md5("text").alias("fp"))
+        d1_matched = (
+            day1_fp.join(base, "fp", "left")
+            .groupBy("doc_id")
+            .agg(F.min("corpus_doc").alias("matched_doc"))
+        )
+        survivors_fp = day1_fp.join(
+            d1_matched.filter(F.col("matched_doc").isNull()).select("doc_id"), "doc_id"
+        ).select(F.col("doc_id").alias("corpus_doc"), "fp")
+        if indexed:
+            append_bucketed_index(
+                spark, tbl, survivors_fp, ["fp"], 16, increment_id="day1"
+            )
+            maintained = spark.table(tbl)
+        else:
+            maintained = base.unionByName(survivors_fp)
 
     day2_fp = _fp_day2_docs(docs).select("doc_id", F.md5("text").alias("fp"))
     out = (
@@ -2101,7 +2111,10 @@ def dedup_minhash_incremental_maintained(spark: SparkSession, sf_dir: str) -> Da
     operational loop VERDICT r8 named as the last missing piece of the
     daily-ingest dedup shape (SURVEY §6)."""
     from pravega_spark.sources.bucketed import _source_fingerprint
-    from pravega_spark.sources.bucketing import append_bucketed_index
+    from pravega_spark.sources.bucketing import (
+        append_bucketed_index,
+        increment_applied,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
@@ -2117,17 +2130,28 @@ def dedup_minhash_incremental_maintained(spark: SparkSession, sf_dir: str) -> Da
 
     # ---- day 1: classify vs the base index, append the survivors ----
     day1 = _day1_docs(docs).persist()
-    day1_cls, h1 = _classify_vs_bands(day1, base_bands, docs)
-    survivors = day1.join(
-        day1_cls.filter(~F.col("is_near_dup")).select("doc_id"), "doc_id"
-    )
-    surv_bands = _corpus_band_index(survivors)
-    if indexed:
-        append_bucketed_index(spark, tbl, surv_bands, ["band"], 16, increment_id="day1")
+    h1: list[DataFrame] = []
+    if indexed and increment_applied(spark, tbl, "day1"):
+        # rerun: the standing index already carries day-1's survivor
+        # postings, so the whole classify-day-1 lineage is dead (its
+        # only consumer is the append, which would marker-no-op) —
+        # skip building it (guide §1.2); the maintained table is
+        # byte-identical either way
         maintained = spark.table(tbl)
     else:
-        # unwritable warehouse: in-flight union twin, same math
-        maintained = base_bands.unionByName(surv_bands)
+        day1_cls, h1 = _classify_vs_bands(day1, base_bands, docs)
+        survivors = day1.join(
+            day1_cls.filter(~F.col("is_near_dup")).select("doc_id"), "doc_id"
+        )
+        surv_bands = _corpus_band_index(survivors)
+        if indexed:
+            append_bucketed_index(
+                spark, tbl, surv_bands, ["band"], 16, increment_id="day1"
+            )
+            maintained = spark.table(tbl)
+        else:
+            # unwritable warehouse: in-flight union twin, same math
+            maintained = base_bands.unionByName(surv_bands)
 
     # ---- day 2: classify vs the MAINTAINED index ----
     day2 = _day2_docs(docs)
@@ -2909,6 +2933,13 @@ def pipeline_daily_corpus_streaming(spark: SparkSession, sf_dir: str) -> DataFra
             # full staged read, where the guard filter does the pruning.
             import glob as _glob
 
+            from pravega_spark.sources.bucketing import increment_applied
+
+            if indexed and increment_applied(spark, tbl, f"pipes_day{day_no}"):
+                # rerun: this day's survivors are already in the index;
+                # the append would marker-no-op, so don't build its
+                # input read at all (guide §1.2)
+                return
             day_glob = f"{stage_dir}/b*_d{day_no}"
             src_read = (
                 spark.read.parquet(day_glob)

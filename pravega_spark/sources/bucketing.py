@@ -238,6 +238,23 @@ def _table_location(spark: SparkSession, tbl: str) -> str | None:
         return None
 
 
+def increment_applied(spark: SparkSession, tbl: str, increment_id: str) -> bool:
+    """True if ``append_bucketed_index(tbl, ..., increment_id)`` already
+    ran — i.e. the standing index ALREADY CONTAINS that increment's rows
+    and a rerun's append would be a marker no-op.
+
+    Lets a maintained-loop rerun skip building the whole
+    classify-the-increment lineage whose only consumer is the append
+    (guide §1.2 "don't compute things you throw away": on a rerun that
+    tree is dead — ~0.7 s of driver-side plan construction per call in
+    the two-day dedup queries, never a job). Lock-free read is safe: the
+    marker lands via write-temp + atomic rename, so a concurrent
+    appender is seen either not-yet-applied (caller proceeds to
+    append_bucketed_index, which re-checks under the cross-process
+    lock — exactly-once holds) or applied (skip, identical table)."""
+    return increment_id in applied_increments(spark, tbl)
+
+
 def append_bucketed_index(
     spark: SparkSession,
     tbl: str,

@@ -115,6 +115,26 @@ def test_bpe_driver_training_matches_spark_loop(spark):
     assert len(driver_merges) == _BPE_STEPS  # sf0.001 trains all steps
 
 
+def test_increment_applied_gates_the_dead_day1_build(spark):
+    """The maintained-loop rerun fast path (r12): increment_applied is
+    False for a missing table and before any append, True exactly after
+    append_bucketed_index merged that increment id — the predicate the
+    three maintained queries use to skip building the day-1 classify
+    lineage on reruns (whose only consumer is the marker-no-op append).
+    Output identity first-run vs rerun is pinned separately by the
+    test_r9_fixes *_no_rebuild_or_reappend_on_rerun trio."""
+    from pravega_spark.queries.text import corpus_dedup_incremental_maintained
+    from pravega_spark.sources.bucketing import increment_applied
+
+    assert increment_applied(spark, "pvs_no_such_table_xyz", "day1") is False
+    corpus_dedup_incremental_maintained(spark, SF)
+    tbl = next(
+        t.name for t in spark.catalog.listTables() if t.name.startswith("pvs_fpmaint_")
+    )
+    assert increment_applied(spark, tbl, "day1") is True
+    assert increment_applied(spark, tbl, "day2") is False
+
+
 def test_kmeans_default_iters_matches_previous_shape(spark):
     """The eviction-proofing must not change what the query computes:
     the default-depth run still returns the per-cluster rollup, ordered
