@@ -3733,21 +3733,45 @@ def lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics layer per the build brief."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ONE full-width exchange for the whole query (guide §2.4/§1.2):
+    # collapse straight to one row per order carrying its SORTED brand
+    # set (collect_set partially aggregates map-side exactly like the
+    # old distinct did), then derive every consumer from that frame —
+    # n_orders is a plain count, brand_n a bounded explode, and the
+    # brand pairs come from an in-row combinations expression over the
+    # sorted set instead of the former orderkey SELF-JOIN (which cost
+    # two more full-width exchanges + sorts of the basket frame; the
+    # cached frame's partitioning can't be reused across the cache
+    # boundary under canChangeCachedPlanOutputPartitioning). Per-order
+    # work is bounded by brands^2 (25 -> <=300 pairs) at any SF, and
+    # array_sort pins the set order so brand_a < brand_b pairs are
+    # reproduced exactly.
     baskets = register_result_cache(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("bs"))
         .persist()
     )
-    n_orders = baskets.select("l_orderkey").distinct().groupBy().agg(
-        F.count("*").alias("n_orders")
+    n_orders = baskets.groupBy().agg(F.count("*").alias("n_orders"))
+    brand_n = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("n_brand"))
     )
-    brand_n = baskets.groupBy("brand").agg(F.count("*").alias("n_brand"))
-    a = baskets.select("l_orderkey", F.col("brand").alias("brand_a"))
-    b = baskets.select("l_orderkey", F.col("brand").alias("brand_b"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(bs, (x, i) -> transform("
+                        "slice(bs, i + 2, size(bs)), "
+                        "y -> named_struct('brand_a', x, 'brand_b', y)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_ab"))
     )
