@@ -3471,6 +3471,83 @@ ORDER BY user_id
 _RFM_Q = 5  # quintiles per dimension
 
 
+def _exact_global_ntile(
+    df: DataFrame, sort_cols: list, q: int, out: str, chain: list
+) -> DataFrame:
+    """``ntile(q) OVER (ORDER BY sort_cols)`` — bit-identical to the
+    window function, WITHOUT its single-partition global sort (guide
+    §2.5/§2.6: one task sorting |rows| while the cluster idles).
+
+    Shape: range-partition + sort locally (parallel), reconstruct each
+    row's GLOBAL row number from ``monotonically_increasing_id`` — its
+    documented layout is ``partition_index << 33 + arrival_order``, and
+    arrival order above the local sort IS the sorted order — plus a
+    broadcast of the per-partition row counts (≤ shuffle.partitions
+    rows; ``min(_mid)`` per partition anchors the local index without
+    relying on the low bits starting at 0). Spark's NTile bucket
+    arithmetic is then replicated exactly: with n rows, the first
+    ``n % q`` buckets hold ``n div q + 1`` rows, the rest ``n div q``.
+
+    Correctness notes: ``sort_cols`` must be a TOTAL order (the callers
+    tiebreak on the key column), so every row has one well-defined
+    global rank regardless of how the range sampler draws partition
+    boundaries. The id-stamped frame is PERSISTED, and the persist is
+    CORRECTNESS-critical, not a speedup: its two consumers — the row
+    side and the per-partition counts side — must see the SAME ids, and
+    without the pin AQE is free to give each consumer stage a different
+    read plan of the range exchange (e.g. a map-local read), which
+    renumbers partitions and was measured to scramble ranks
+    nondeterministically. For the same reason the persist is FUNCTION-
+    LOCAL (appended to ``chain``, freed by the caller after an eager
+    localCheckpoint of its small output) rather than result-cache
+    registered: the shared registry's eviction cap may unpersist a
+    registered frame while this query is still building, silently
+    reintroducing the recompute (the kmeans discipline — VERDICT r11
+    item 7). The ``n div q = 0`` branch (fewer rows than buckets) never
+    divides by zero because the CASE arm guarding it is then always
+    taken.
+    """
+    spark = df.sparkSession
+    p = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    d = (
+        df.repartitionByRange(p, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    chain.append(d)
+    counts = d.groupBy(F.shiftrightunsigned("_mid", 33).alias("_pid")).agg(
+        F.count("*").alias("_c"), F.min("_mid").alias("_base")
+    )
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = counts.select(
+        "_pid",
+        "_base",
+        F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    return (
+        d.join(
+            F.broadcast(off),
+            F.shiftrightunsigned(F.col("_mid"), 33) == F.col("_pid"),
+        )
+        .withColumn("_rn", F.col("_mid") - F.col("_base") + F.lit(1) + F.col("_off"))
+        .withColumn(
+            out,
+            F.expr(
+                f"CASE WHEN _rn <= (_n % {q}) * (_n div {q} + 1) "
+                f"THEN (_rn - 1) div (_n div {q} + 1) + 1 "
+                f"ELSE (_n % {q}) + (_rn - 1 - (_n % {q}) * (_n div {q} + 1)) "
+                f"div (_n div {q}) + 1 END"
+            ).cast("int"),
+        )
+        .drop("_mid", "_pid", "_base", "_off", "_n", "_rn")
+    )
+
+
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (Hughes 1994, the classic
     direct-marketing model): each customer's Recency (last order date),
@@ -3508,27 +3585,39 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("freq"),
         F.sum("price").alias("spend"),
     )
-    # recency: later last_order = better = higher score
-    r_w = Window.orderBy("last_order", "o_custkey")
-    f_w = Window.orderBy("freq", "o_custkey")
-    m_w = Window.orderBy("spend", "o_custkey")
-    scored = (
-        per_cust.withColumn("r", F.ntile(_RFM_Q).over(r_w))
-        .withColumn("f", F.ntile(_RFM_Q).over(f_w))
-        .withColumn("m", F.ntile(_RFM_Q).over(m_w))
-        .withColumn("segment", F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
-    )
-    return (
-        scored.groupBy("segment")
-        .agg(
-            F.count("*").cast("bigint").alias("n_customers"),
-            F.sum("spend").cast("double").alias("total_spend"),
-            F.sum("freq").cast("bigint").alias("total_orders"),
+    # recency: later last_order = better = higher score. Each quintile
+    # score is the EXACT global ntile, computed distributed (range
+    # partition + local sort + reconstructed global rank) instead of
+    # the former ntile window whose SinglePartition exchange pushed all
+    # |customers| rows through ONE task three times (guide §2.5/§2.6;
+    # bit-identical buckets — see _exact_global_ntile). The tiny
+    # segment census is eagerly localCheckpoint'ed so the chain's
+    # correctness-critical persists can be freed at any depth.
+    chain: list = []
+    try:
+        scored = per_cust
+        for key, score in (("last_order", "r"), ("freq", "f"), ("spend", "m")):
+            scored = _exact_global_ntile(
+                scored, [key, "o_custkey"], _RFM_Q, score, chain
+            )
+        scored = scored.withColumn(
+            "segment", F.col("r") * 100 + F.col("f") * 10 + F.col("m")
         )
-        .select(F.col("segment").cast("bigint").alias("segment"),
-                "n_customers", "total_spend", "total_orders")
-        .orderBy("segment")
-    )
+        return (
+            scored.groupBy("segment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_customers"),
+                F.sum("spend").cast("double").alias("total_spend"),
+                F.sum("freq").cast("bigint").alias("total_orders"),
+            )
+            .select(F.col("segment").cast("bigint").alias("segment"),
+                    "n_customers", "total_spend", "total_orders")
+            .orderBy("segment")
+            .localCheckpoint()
+        )
+    finally:
+        for c in chain:
+            c.unpersist()
 
 
 RFM_SQL = f"""

@@ -146,3 +146,40 @@ def test_kmeans_default_iters_matches_previous_shape(spark):
     assert rows == sorted(rows, key=lambda r: r["cluster"])
     assert all(set(r.asDict()) == {"cluster", "n_members", "n_moved", "avg_cos"}
                for r in rows)
+
+
+def test_exact_global_ntile_matches_window_ntile(spark):
+    """The distributed exact-rank ntile (r12: replaces the RFM windows'
+    SinglePartition global sorts) must replicate F.ntile BIT-EXACTLY —
+    including the unbalanced-bucket arithmetic (first n%q buckets get
+    one extra row), n < q (every row its own bucket), and duplicate
+    metric values broken by the id tiebreak — and must be DETERMINISTIC
+    across actions (the mid-stamped persist pins the rank source; an
+    unpinned build was measured to scramble ranks run-to-run)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pravega_spark.queries.relational import _exact_global_ntile
+
+    rng = random.Random(7)
+    for n, q in [(1, 5), (3, 5), (5, 5), (7, 5), (12, 5), (13, 4), (97, 5), (1000, 5)]:
+        rows = [(i, rng.randint(0, max(1, n // 3))) for i in range(1, n + 1)]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(q).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        chain: list = []
+        try:
+            got_df = _exact_global_ntile(df, ["v", "id"], q, "b", chain)
+            got1 = {r["id"]: r["b"] for r in got_df.collect()}
+            got2 = {r["id"]: r["b"] for r in got_df.collect()}
+        finally:
+            for c in chain:
+                c.unpersist()
+        assert got1 == want, (n, q)
+        assert got2 == got1, (n, q)
