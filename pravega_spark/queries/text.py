@@ -3938,35 +3938,48 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.unboundedPreceding, 0
         )
     )
-    words = register_result_cache(
+    # The cache sits at PHRASE grain, and the phrase string itself IS
+    # its token multiset (tokens are space-free by construction, joined
+    # by single spaces in pos order, so split(phrase, ' ') reproduces
+    # the exact word rows of that phrase). That removes two whole joins
+    # the old shape paid (guide §2.4): words⋈phrases at TOKEN grain
+    # just to attach plen (plen now rides the phrase row into the
+    # word-stat explode), and the final phrases⋈pscores re-join (plen
+    # and phrase ride the pscores groupBy as functional keys). It also
+    # shrinks the persisted frame from one row per token occurrence to
+    # one row per phrase.
+    phrases = register_result_cache(
         toks.withColumn("pid", F.sum("is_stop").over(wdoc))
         .filter((F.col("is_stop") == 0) & (F.length("tok") >= 1))
-        .select("doc_id", "pid", "pos", "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.count("*").alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
         .persist()
     )
-    phrases = words.groupBy("doc_id", "pid").agg(
-        F.count("*").alias("plen"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
-            ),
-            " ",
-        ).alias("phrase"),
+    ptoks = phrases.select(
+        "doc_id", "pid", "plen", "phrase",
+        F.explode(F.split("phrase", " ")).alias("tok"),
     )
     wstats = (
-        words.join(phrases.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
-        .groupBy("tok")
+        ptoks.groupBy("tok")
         .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
         .withColumn("wscore", F.expr(f"div(deg * {_RAKE_PPM}, freq)"))
     )
     pscores = (
-        words.join(F.broadcast(wstats.select("tok", "wscore")), "tok")
-        .groupBy("doc_id", "pid")
+        ptoks.join(F.broadcast(wstats.select("tok", "wscore")), "tok")
+        .groupBy("doc_id", "pid", "plen", "phrase")
         .agg(F.sum("wscore").alias("score"))
     )
     return (
-        phrases.join(pscores, ["doc_id", "pid"])
-        .filter(F.col("plen").between(_RAKE_MIN_LEN, _RAKE_MAX_LEN))
+        pscores.filter(F.col("plen").between(_RAKE_MIN_LEN, _RAKE_MAX_LEN))
         .groupBy("phrase")
         .agg(
             F.count("*").cast("bigint").alias("n_occurrences"),
