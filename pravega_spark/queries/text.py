@@ -1136,7 +1136,14 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     through map-side; the aggregation counts distinct overlapping
     shingles per contaminated doc. Nothing is quadratic: the join is
     per-shingle, the fan-out is bounded by the benchmark's shingle
-    count."""
+    count.
+
+    The distinct count is computed as a plain count(*): train shingles
+    are per-doc distinct by construction (array_distinct before the
+    explode) and the broadcast bench side is distinct, so the inner
+    equi-join can never duplicate a (doc, shingle) row — count(*) ==
+    count(DISTINCT shingle), with one map-combined doc-grain shuffle
+    instead of a pairs-grain dedup shuffle plus a doc-grain one."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.withColumn("w", _tokens(F.col("text")))
     sh = tok.select(
@@ -1149,7 +1156,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         train.join(F.broadcast(bench), train.shingle == bench.b_shingle)
         .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").alias("n_overlap"))
+        .agg(F.count("*").alias("n_overlap"))
         .orderBy("doc_id")
     )
 
@@ -3734,13 +3741,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     here). Ties broken by term asc; stopwords and terms shorter than
     3 chars excluded.
 
-    Scale shape: ONE explode of the token stream into a PERSISTED
-    (doc,term) tf frame — df aggregates from that cache and joins back
-    broadcast, so the wide exploded frame is scanned and shuffled
-    exactly once (without the cache, Catalyst re-derives df from a
-    second explode of the raw corpus). The corpus-size scalar N joins
-    as a 1-row broadcast, not a collect; the final per-language top-K
-    runs as a WindowGroupLimit (rank pushdown), not a full sort.
+    Scale shape: ONE explode of the token stream, collapsed by a
+    cascade of SHRINKING aggregations — (doc,term) tf with map-side
+    combine, then straight to the (lang,term) grain carrying both
+    sum(tf) and the per-(lang,term) doc count. Because idf is constant
+    per term, the score distributes over the sum (sum(tf*idf) ==
+    idf*sum(tf), exact integer identity), and because each doc has
+    exactly one lang, df == the sum of those per-lang doc counts — so
+    df derives from the tiny (lang,term) frame and joins back at
+    VOCABULARY grain. Nothing doc-grain is ever persisted, joined or
+    re-scanned (the former shape cached the (doc,term) frame and
+    pushed every tf row through a df join). The corpus-size scalar N
+    joins as a 1-row broadcast, not a collect; the final per-language
+    top-K runs as a WindowGroupLimit (rank pushdown), not a full sort.
     Overflow headroom: per-term idf approaches N*1e6, so the score
     sum is accumulated in decimal(38,0) (matching DuckDB's HUGEINT
     sum) and cast to bigint only at the end — bigint-safe while each
@@ -3761,20 +3774,30 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("term") >= _TFIDF_MIN_LEN) & ~F.col("term").isin(*STOPWORDS)
         )
     )
-    tf = register_result_cache(
-        tok.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf")).persist()
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    # (lang,term) grain: sum of tf plus the number of docs (nd) — each
+    # doc has exactly one lang, so sum(nd) over langs == per-term df.
+    # Persisted at vocabulary grain (kB–MB), never at doc grain.
+    lt = register_result_cache(
+        tf.groupBy("lang", "term")
+        .agg(F.sum("tf").alias("tfsum"), F.count("*").alias("nd"))
+        .persist()
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    df_ = lt.groupBy("term").agg(F.sum("nd").alias("df"))
     scored = (
-        tf.join(df_, "term")
+        lt.join(df_, "term")
         .join(F.broadcast(n_docs))
         .withColumn("idf", F.expr(f"div(n * {_IDF_SCALE}, df)"))
-        .groupBy("lang", "term")
-        .agg(
-            F.sum((F.col("tf") * F.col("idf")).cast("decimal(38,0)"))
+        .select(
+            "lang",
+            "term",
+            # == sum(tf*idf): idf is constant per term and every product
+            # is non-negative, so the distributed form is bit-identical
+            # inside the documented bigint headroom
+            (F.col("tfsum").cast("decimal(38,0)") * F.col("idf"))
             .cast("bigint")
             .alias("score"),
-            F.max("df").cast("bigint").alias("df"),
+            F.col("df").cast("bigint").alias("df"),
         )
     )
     win = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
