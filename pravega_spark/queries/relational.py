@@ -3313,8 +3313,11 @@ def events_countmin_merged_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .persist()
     )
+    # day_counts is keyed by (item, day), so each item's rows carry
+    # distinct days by construction: count(*) == count(DISTINCT day),
+    # without the Expand a mixed distinct+sum aggregation would plan
     counts = day_counts.groupBy("item").agg(
-        F.sum("n").alias("n"), F.countDistinct("day").alias("n_days")
+        F.sum("n").alias("n"), F.count("*").alias("n_days")
     )
     rows_ = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
     # per-day sketches, then the cell-wise merge (cell identity shared
