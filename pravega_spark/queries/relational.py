@@ -2768,14 +2768,17 @@ def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     rows_ = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
     hashed = counts.crossJoin(F.broadcast(rows_)).withColumn("col", _cms_col())
     cells = hashed.groupBy("r", "col").agg(F.sum("n").alias("cell_n"))
+    # the exact count rides the est aggregation as max(n) — n is constant
+    # per item (counts is item-keyed), so this is exact and avoids an
+    # un-hinted item-grain x item-grain join back onto the cache (whose
+    # pre-materialization stats can mis-pick a huge broadcast side)
     est = (
         hashed.join(F.broadcast(cells), ["r", "col"])
         .groupBy("item")
-        .agg(F.min("cell_n").alias("est_n"))
+        .agg(F.min("cell_n").alias("est_n"), F.max("n").alias("n"))
     )
     return (
-        counts.join(est, "item")
-        .select(
+        est.select(
             "item",
             F.col("n").cast("bigint").alias("exact_n"),
             F.col("est_n").cast("bigint").alias("est_n"),
@@ -3330,14 +3333,21 @@ def events_countmin_merged_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = day_cells.groupBy("r", "col").agg(F.sum("cell_n").alias("cell_n"))
     hashed = counts.crossJoin(F.broadcast(rows_)).withColumn("col", _cms_col())
+    # exact n and n_days ride the est aggregation — both are constant per
+    # item (counts is item-keyed), so max() is exact and the item-grain
+    # join back onto the counts frame disappears (same rationale as
+    # events_countmin_heavy_hitters)
     est = (
         hashed.join(F.broadcast(merged), ["r", "col"])
         .groupBy("item")
-        .agg(F.min("cell_n").alias("est_n"))
+        .agg(
+            F.min("cell_n").alias("est_n"),
+            F.max("n").alias("n"),
+            F.max("n_days").alias("n_days"),
+        )
     )
     return (
-        counts.join(est, "item")
-        .select(
+        est.select(
             "item",
             F.col("n").cast("bigint").alias("exact_n"),
             F.col("est_n").cast("bigint").alias("est_n"),
