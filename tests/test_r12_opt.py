@@ -183,3 +183,170 @@ def test_exact_global_ntile_matches_window_ntile(spark):
                 c.unpersist()
         assert got1 == want, (n, q)
         assert got2 == got1, (n, q)
+
+
+def test_tfidf_cascade_matches_doc_grain_join_shape(spark, tmp_path):
+    """The r12 tfidf rewrite rests on two exact integer identities:
+    sum(tf*idf) == idf*sum(tf) (idf constant per term, all products
+    non-negative in the bigint headroom) and df == sum over langs of
+    per-(lang,term) doc counts (one lang per doc). Pin the new
+    registered query against the OLD doc-grain-join shape, replayed
+    verbatim, on a seeded random corpus with multi-lang/multi-term
+    structure and duplicate terms within docs."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    from pravega_spark.queries.text import (
+        _IDF_SCALE,
+        _TFIDF_MIN_LEN,
+        _TFIDF_TOP_K,
+        STOPWORDS,
+        _tokens,
+        text_tfidf_top_terms,
+    )
+    from pravega_spark.sources import load_table
+
+    rng = random.Random(12)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "the", "and", "of", "ab"]  # stopwords + a min-len reject mixed in
+    rows = []
+    for i in range(400):
+        lang = rng.choice(["en", "de", "fr"])
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        rows.append((i, lang, " ".join(words)))
+    d = tmp_path / "tfidf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = [tuple(r) for r in text_tfidf_top_terms(spark, str(d)).collect()]
+
+    # the pre-r12 shape, replayed verbatim
+    docs = load_table(spark, str(d), "documents")
+    n_docs = docs.groupBy().agg(F.count("*").alias("n"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    ).filter((F.length("term") >= _TFIDF_MIN_LEN) & ~F.col("term").isin(*STOPWORDS))
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("idf", F.expr(f"div(n * {_IDF_SCALE}, df)"))
+        .groupBy("lang", "term")
+        .agg(
+            F.sum((F.col("tf") * F.col("idf")).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("score"),
+            F.max("df").cast("bigint").alias("df"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    want = [
+        tuple(r)
+        for r in scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _TFIDF_TOP_K)
+        .select(
+            "lang", F.col("rank").cast("bigint").alias("rank"), "term", "score", "df"
+        )
+        .orderBy("lang", "rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_countmin_est_carries_exact_counts(spark, tmp_path):
+    """The r12 Count-Min rewrite rides n/n_days through the est
+    aggregation as max() instead of joining back onto the item-grain
+    counts frame — exact because counts is item-keyed. Pin both
+    registered queries against the old join-back shape on real
+    testdata."""
+    from pravega_spark.queries.relational import (
+        _CMS_DEPTH,
+        _CMS_TOP_K,
+        _cms_col,
+        _cms_item,
+        _t,
+        events_countmin_heavy_hitters,
+        events_countmin_merged_days,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got_hh = [tuple(r) for r in events_countmin_heavy_hitters(spark, sf).collect()]
+    got_md = [tuple(r) for r in events_countmin_merged_days(spark, sf).collect()]
+
+    # old heavy-hitters shape, replayed verbatim (join back on item)
+    ev = _t(spark, sf, "events")
+    counts = ev.select(_cms_item().alias("item")).groupBy("item").agg(
+        F.count("*").alias("n")
+    )
+    rows_ = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
+    hashed = counts.crossJoin(F.broadcast(rows_)).withColumn("col", _cms_col())
+    cells = hashed.groupBy("r", "col").agg(F.sum("n").alias("cell_n"))
+    est = (
+        hashed.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("item")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    want_hh = [
+        tuple(r)
+        for r in counts.join(est, "item")
+        .select(
+            "item",
+            F.col("n").cast("bigint").alias("exact_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+            (F.col("est_n") - F.col("n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("est_n"), "item")
+        .limit(_CMS_TOP_K)
+        .collect()
+    ]
+    assert got_hh == want_hh
+
+    # old merged-days shape (countDistinct day + join back on item)
+    day_counts = (
+        ev.select(_cms_item().alias("item"), F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("item", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    counts2 = day_counts.groupBy("item").agg(
+        F.sum("n").alias("n"), F.countDistinct("day").alias("n_days")
+    )
+    day_cells = (
+        day_counts.crossJoin(F.broadcast(rows_))
+        .withColumn("col", _cms_col())
+        .groupBy("day", "r", "col")
+        .agg(F.sum("n").alias("cell_n"))
+    )
+    merged = day_cells.groupBy("r", "col").agg(F.sum("cell_n").alias("cell_n"))
+    hashed2 = counts2.crossJoin(F.broadcast(rows_)).withColumn("col", _cms_col())
+    est2 = (
+        hashed2.join(F.broadcast(merged), ["r", "col"])
+        .groupBy("item")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    want_md = [
+        tuple(r)
+        for r in counts2.join(est2, "item")
+        .select(
+            "item",
+            F.col("n").cast("bigint").alias("exact_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+            (F.col("est_n") - F.col("n")).cast("bigint").alias("overcount"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .orderBy(F.desc("est_n"), "item")
+        .limit(_CMS_TOP_K)
+        .collect()
+    ]
+    assert got_md == want_md
